@@ -1,0 +1,182 @@
+"""Canonical Huffman table derivation and decode LUTs.
+
+Capability parity with `/root/reference/src/huffman.rs:175-285` (table build) and
+`:295-346` (OpenDML MJPEG default tables). The decode-time state machine lives in
+the entropy layer (Python oracle in `entropy/scan_python.py`, C++ host kernel in
+`entropy/cpp/`); this module only derives the *tables*, stored as flat numpy
+arrays so they can be handed to the C++ kernel without any conversion:
+
+- ``lut_value``/``lut_size``  : 256-entry fast path for codes of <= 8 bits
+  (value, code length); size 0 means "fall back to the canonical search".
+- ``maxcode``/``delta``       : per-length canonical decode parameters
+  (F.2.2.3 Figure F.15; delta[i] = VALPTR(i) - MINCODE(i)).
+- ``ac_lut_value``/``ac_lut_run_size`` : fused AC fast path that also performs
+  the F.12 receive/extend, for AC codes whose code+magnitude bits fit in 8 bits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .errors import FormatError
+
+LUT_BITS = 8
+
+
+def extend(value: int, count: int) -> int:
+    """F.2.2.1 Figure F.12 sign extension (`/root/reference/src/huffman.rs:165-173`)."""
+    vt = 1 << (count - 1)
+    if value < vt:
+        return value - (1 << count) + 1
+    return value
+
+
+@dataclasses.dataclass
+class HuffmanTable:
+    """Derived decode tables for one DC or AC Huffman table."""
+
+    is_ac: bool
+    values: np.ndarray          # uint8[n]
+    delta: np.ndarray           # int32[16]
+    maxcode: np.ndarray         # int32[16]
+    lut_value: np.ndarray       # uint8[256]
+    lut_size: np.ndarray        # uint8[256]
+    ac_lut_value: np.ndarray | None = None   # int16[256]
+    ac_lut_run_size: np.ndarray | None = None  # uint8[256]: (run << 4) | total_bits
+
+    @classmethod
+    def build(cls, bits: "list[int] | np.ndarray", values: "bytes | np.ndarray",
+              is_ac: bool) -> "HuffmanTable":
+        """Derive canonical codes and LUTs from a DHT (bits, values) spec.
+
+        Annex C derivation per `/root/reference/src/huffman.rs:191-285`.
+        Raises FormatError on an over-subscribed code length table.
+        """
+        bits = list(bits)
+        assert len(bits) == 16
+        values = np.frombuffer(bytes(values), dtype=np.uint8).copy()
+
+        # Figure C.1: huffsize — the code length of each value, in order.
+        huffsize: list[int] = []
+        for i, count in enumerate(bits):
+            huffsize.extend([i + 1] * count)
+        if not huffsize:
+            raise FormatError("encountered table with zero length in DHT")
+
+        # Figure C.2: huffcode — canonical code assignment.
+        huffcode = [0] * len(huffsize)
+        code = 0
+        code_size = huffsize[0]
+        for i, size in enumerate(huffsize):
+            while code_size < size:
+                code <<= 1
+                code_size += 1
+            if code >= (1 << size):
+                raise FormatError("bad huffman code length")
+            huffcode[i] = code
+            code += 1
+
+        # Figure F.15 canonical decode parameters.
+        delta = np.zeros(16, dtype=np.int32)
+        maxcode = np.full(16, -1, dtype=np.int32)
+        j = 0
+        for i in range(16):
+            if bits[i] != 0:
+                delta[i] = j - huffcode[j]
+                j += bits[i]
+                maxcode[i] = huffcode[j - 1]
+
+        # 8-bit prefix LUT.
+        lut_value = np.zeros(1 << LUT_BITS, dtype=np.uint8)
+        lut_size = np.zeros(1 << LUT_BITS, dtype=np.uint8)
+        for i, size in enumerate(huffsize):
+            if size > LUT_BITS:
+                continue
+            bits_remaining = LUT_BITS - size
+            start = huffcode[i] << bits_remaining
+            lut_value[start:start + (1 << bits_remaining)] = values[i]
+            lut_size[start:start + (1 << bits_remaining)] = size
+
+        ac_lut_value = None
+        ac_lut_run_size = None
+        if is_ac:
+            # Fused AC fast path: decode + receive_extend in one 8-bit lookup
+            # (`/root/reference/src/huffman.rs:224-243`).
+            ac_lut_value = np.zeros(1 << LUT_BITS, dtype=np.int16)
+            ac_lut_run_size = np.zeros(1 << LUT_BITS, dtype=np.uint8)
+            for i in range(1 << LUT_BITS):
+                value = int(lut_value[i])
+                size = int(lut_size[i])
+                run_length = value >> 4
+                magnitude = value & 0x0F
+                if magnitude > 0 and size + magnitude <= LUT_BITS:
+                    raw = ((i << size) & 0xFF) >> (LUT_BITS - magnitude)
+                    ac_lut_value[i] = extend(raw, magnitude)
+                    ac_lut_run_size[i] = (run_length << 4) | (size + magnitude)
+
+        return cls(
+            is_ac=is_ac,
+            values=values,
+            delta=delta,
+            maxcode=maxcode,
+            lut_value=lut_value,
+            lut_size=lut_size,
+            ac_lut_value=ac_lut_value,
+            ac_lut_run_size=ac_lut_run_size,
+        )
+
+
+# OpenDML K.3 default tables for MJPEG streams that omit DHT
+# (`/root/reference/src/huffman.rs:295-346`).
+_MJPEG_DC_LUMA_BITS = [0x00, 0x01, 0x05, 0x01, 0x01, 0x01, 0x01, 0x01,
+                       0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00]
+_MJPEG_DC_LUMA_VALUES = bytes(range(12))
+_MJPEG_DC_CHROMA_BITS = [0x00, 0x03, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01,
+                         0x01, 0x01, 0x01, 0x00, 0x00, 0x00, 0x00, 0x00]
+_MJPEG_DC_CHROMA_VALUES = bytes(range(12))
+_MJPEG_AC_LUMA_BITS = [0x00, 0x02, 0x01, 0x03, 0x03, 0x02, 0x04, 0x03,
+                       0x05, 0x05, 0x04, 0x04, 0x00, 0x00, 0x01, 0x7D]
+_MJPEG_AC_LUMA_VALUES = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+_MJPEG_AC_CHROMA_BITS = [0x00, 0x02, 0x01, 0x02, 0x04, 0x04, 0x03, 0x04,
+                         0x07, 0x05, 0x04, 0x04, 0x00, 0x01, 0x02, 0x77]
+_MJPEG_AC_CHROMA_VALUES = bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+
+
+def fill_default_mjpeg_tables(scan, dc_tables: list, ac_tables: list) -> None:
+    """Install OpenDML K.3 defaults for table slots a MJPEG scan uses but never
+    defined (`/root/reference/src/huffman.rs:295-346`; triggered per
+    `/root/reference/src/decoder.rs:817-823`). Mutates the table lists in place."""
+    if dc_tables[0] is None and 0 in scan.dc_table_indices:
+        dc_tables[0] = HuffmanTable.build(_MJPEG_DC_LUMA_BITS, _MJPEG_DC_LUMA_VALUES, is_ac=False)
+    if dc_tables[1] is None and 1 in scan.dc_table_indices:
+        dc_tables[1] = HuffmanTable.build(_MJPEG_DC_CHROMA_BITS, _MJPEG_DC_CHROMA_VALUES, is_ac=False)
+    if ac_tables[0] is None and 0 in scan.ac_table_indices:
+        ac_tables[0] = HuffmanTable.build(_MJPEG_AC_LUMA_BITS, _MJPEG_AC_LUMA_VALUES, is_ac=True)
+    if ac_tables[1] is None and 1 in scan.ac_table_indices:
+        ac_tables[1] = HuffmanTable.build(_MJPEG_AC_CHROMA_BITS, _MJPEG_AC_CHROMA_VALUES, is_ac=True)
