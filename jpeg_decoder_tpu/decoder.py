@@ -31,8 +31,9 @@ from .entropy.scan_python import read_marker as _read_marker
 from .errors import FormatError, IoError, JpegError, UnsupportedError, UnsupportedFeature
 from .huffman import fill_default_mjpeg_tables
 from .ops import upsample as U
-from .ops.color import ColorTransform, color_convert_image
-from .ops.idct import blocks_to_plane, choose_idct_size, dequantize_and_idct_blocks
+from .ops.color import ColorTransform
+from .ops.idct import choose_idct_size
+from .ops.pipeline import geometry_from_frame, reconstruct_image
 from .ops.predictors import reconstruct_lossless
 from .parser import (AdobeColorTransform, ByteCursor, CodingProcess, Dimensions)
 from .entropy.scan_python import UNZIGZAG
@@ -81,7 +82,13 @@ class Decoder:
     (`/root/reference/src/decoder.rs:101-154`).
     """
 
-    def __init__(self, source):
+    def __init__(self, source, backend: str = "numpy"):
+        """`backend` selects the reconstruction engine: "numpy" (host oracle)
+        or "jax" (jitted, fused device pipeline — the TPU path). Both are
+        bit-identical; the entropy stage always runs on the host."""
+        if backend not in ("numpy", "jax"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self._backend = backend
         self._cursor = ByteCursor(_as_bytes(source))
         self.frame: Optional[P.FrameInfo] = None
         self._dc_huffman_tables: list = [None, None, None, None]
@@ -99,8 +106,12 @@ class Decoder:
         self._coefficients: list = []  # progressive full-image stores, per component
         self._coefficients_finished = [0] * MAX_COMPONENTS
         self._decoding_buffer_size_limit: Optional[int] = None
-        # Rendered per-component planes (np.uint8 [H, W]) / u16 for lossless.
-        self._planes: list = []
+        # Deferred render inputs per component: (coefficient store snapshot,
+        # quantization table snapshot), captured at scan-completion time to
+        # reproduce the reference's render-during-scan semantics
+        # (`/root/reference/src/decoder.rs:847-861,1035-1048`).
+        self._pending_render: dict = {}
+        # Reconstructed u16 planes for lossless.
         self._planes_u16: list = []
 
     # -- configuration -------------------------------------------------------
@@ -198,6 +209,12 @@ class Decoder:
         reference: L8/RGB24/CMYK32 are u8 samples; L16 is native-endian u16."""
         return self._decode_internal(stop_after_metadata=False)
 
+    def _decode_entropy_only(self) -> None:
+        """Run parse + entropy stages, leaving per-component coefficient
+        snapshots in `_pending_render` without touching a device. Used by the
+        batch service to separate host work from the device pipeline."""
+        self._decode_internal(stop_after_metadata=False, assemble=False)
+
     def decode_array(self) -> np.ndarray:
         """Convenience: decode to an [H, W] or [H, W, C] numpy array."""
         data = self.decode()
@@ -212,7 +229,7 @@ class Decoder:
 
     # -- driver state machine ------------------------------------------------
 
-    def _decode_internal(self, stop_after_metadata: bool) -> bytes:
+    def _decode_internal(self, stop_after_metadata: bool, assemble: bool = True) -> bytes:
         """The marker state machine (`/root/reference/src/decoder.rs:297-615`)."""
         cursor = self._cursor
 
@@ -227,7 +244,7 @@ class Decoder:
         scans_processed = 0
         if self.frame is not None:
             n = len(self.frame.components)
-            self._planes = [None] * n
+            self._pending_render = {}
             self._planes_u16 = [None] * n
 
         while True:
@@ -264,7 +281,7 @@ class Decoder:
                 if stop_after_metadata:
                     return b""
 
-                self._planes = [None] * component_count
+                self._pending_render = {}
                 self._planes_u16 = [None] * component_count
 
             elif marker == M.SOS:
@@ -343,7 +360,7 @@ class Decoder:
         if self.frame is None:
             raise FormatError("end of image encountered before frame")
 
-        return self._decode_planes()
+        return self._decode_planes(assemble)
 
     # -- scan processing -----------------------------------------------------
 
@@ -421,12 +438,17 @@ class Decoder:
             self._dc_huffman_tables, self._ac_huffman_tables,
             self._restart_interval, stores)
 
-        # Render components completed by this scan (the reference IDCTs them
-        # during the scan via workers; batched render here is equivalent).
+        # Snapshot components completed by this scan (the reference IDCTs them
+        # during the scan via workers; a deferred batched render over the
+        # snapshot is equivalent — the copy freezes the coefficient state and
+        # quantization table as of this scan).
         for pos, comp_i in enumerate(scan.component_indices):
             if finished[pos]:
-                store = self._coefficients[comp_i] if is_progressive else fresh_stores[pos]
-                self._planes[comp_i] = self._render_component(frame.components[comp_i], store)
+                store = (self._coefficients[comp_i].copy() if is_progressive
+                         else fresh_stores[pos])
+                qt = self._quantization_tables[
+                    frame.components[comp_i].quantization_table_index]
+                self._pending_render[comp_i] = (store, qt.copy())
 
         return marker
 
@@ -450,16 +472,6 @@ class Decoder:
             self._planes_u16[comp_i] = plane
 
         return marker
-
-    def _render_component(self, component: P.Component, store: np.ndarray) -> np.ndarray:
-        """Batched dequant+IDCT of a full component store to a u8 plane."""
-        qt = self._quantization_tables[component.quantization_table_index]
-        scale = component.dct_scale
-        bw = component.block_size.width
-        bh = component.block_size.height
-        blocks = store.reshape(-1, 64)
-        pixels = dequantize_and_idct_blocks(blocks, qt, scale)
-        return blocks_to_plane(pixels, bw, bh)
 
     # -- final assembly ------------------------------------------------------
 
@@ -501,7 +513,7 @@ class Decoder:
             return ColorTransform.YCBCR
         return ColorTransform.UNKNOWN
 
-    def _decode_planes(self) -> bytes:
+    def _decode_planes(self, assemble: bool = True) -> bytes:
         """End-of-image assembly (`/root/reference/src/decoder.rs:617-696`)."""
         frame = self.frame
         output_size = frame.output_size
@@ -520,45 +532,33 @@ class Decoder:
             for i, component in enumerate(frame.components):
                 if self._coefficients_finished[i] == _ALL_64:
                     continue
-                if self._quantization_tables[component.quantization_table_index] is None:
+                qt = self._quantization_tables[component.quantization_table_index]
+                if qt is None:
                     continue
-                self._planes[i] = self._render_component(component, self._coefficients[i])
+                self._pending_render[i] = (self._coefficients[i], qt)
 
+        if not assemble:
+            return b""
         if frame.coding_process == CodingProcess.LOSSLESS:
             return self._compute_image_lossless()
         return self._compute_image()
 
     def _compute_image(self) -> bytes:
-        """DCT-mode image assembly (`/root/reference/src/decoder.rs:1300-1336`)."""
+        """DCT-mode image assembly (`/root/reference/src/decoder.rs:1300-1336`)
+        via the fused reconstruction pipeline (`ops/pipeline.py`)."""
         frame = self.frame
-        if any(p is None for p in self._planes) or not self._planes:
+        n = len(frame.components)
+        if any(i not in self._pending_render for i in range(n)):
             raise FormatError("not all components have data")
 
-        if len(frame.components) == 1:
-            component = frame.components[0]
-            plane = self._planes[0]
-            w, h = component.size.width, component.size.height
-            return np.ascontiguousarray(plane[:h, :w]).tobytes()
+        # Single component: no color pipeline, just de-stride + crop
+        # (`/root/reference/src/decoder.rs:1308-1332`).
+        transform = None if n == 1 else self._determine_color_transform()
 
-        out_w = frame.output_size.width
-        out_h = frame.output_size.height
-        h_max = max(c.horizontal_sampling_factor for c in frame.components)
-        v_max = max(c.vertical_sampling_factor for c in frame.components)
-
-        channels = []
-        for component, plane in zip(frame.components, self._planes):
-            mode, hs, vs = U.choose_upsampler(
-                (component.horizontal_sampling_factor, component.vertical_sampling_factor),
-                (h_max, v_max), out_w, out_h)
-            channels.append(U.upsample_component(
-                plane, mode,
-                input_width=component.size.width,
-                input_height=component.size.height,
-                out_rows=out_h, out_width=out_w,
-                h_scale=hs, v_scale=vs))
-
-        transform = self._determine_color_transform()
-        image = color_convert_image(channels, transform)
+        geometry = geometry_from_frame(frame, transform)
+        stores = [self._pending_render[i][0].reshape(-1, 64) for i in range(n)]
+        qts = [self._pending_render[i][1] for i in range(n)]
+        image = reconstruct_image(geometry, stores, qts, backend=self._backend)
         return np.ascontiguousarray(image).tobytes()
 
     def _compute_image_lossless(self) -> bytes:

@@ -1,0 +1,133 @@
+"""Fused, jitted device pipeline: coefficient stores -> final image tensor.
+
+This is the TPU execution path. Where the reference dispatches per-MCU-row
+worker tasks (`/root/reference/src/worker/rayon.rs:140-219`), here the entire
+per-image reconstruction — dequantize + IDCT of every block of every component,
+chroma upsampling, and color conversion — is traced once per image *geometry*
+and compiled by XLA into a single fused device program. Host work per image is
+just the entropy stage and one int16 host->device transfer per component.
+
+Geometry (shapes, sampling, scale, transform) is static under jit; pipelines
+are cached per geometry so repeated decodes of same-shaped images (the serving
+case) reuse the compiled executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .color import ColorTransform, color_convert_image
+from .idct import blocks_to_plane, dequantize_and_idct_blocks
+from .upsample import upsample_component
+
+
+@dataclasses.dataclass(frozen=True)
+class ComponentGeometry:
+    """Static per-component reconstruction parameters."""
+
+    blocks_wide: int
+    blocks_high: int
+    dct_scale: int
+    size_width: int
+    size_height: int
+    upsampler_mode: str
+    h_scale: int
+    v_scale: int
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageGeometry:
+    """Static per-image reconstruction parameters (the jit cache key)."""
+
+    components: Tuple[ComponentGeometry, ...]
+    out_width: int
+    out_height: int
+    transform: Optional[ColorTransform]  # None for single-component crop path
+
+
+def _reconstruct(geometry: ImageGeometry, stores, qts, xp):
+    """Trace the full reconstruction. `stores` are int16 [N_i, 64] per
+    component, `qts` uint16[64] per component (natural order)."""
+    planes = []
+    for comp, store, qt in zip(geometry.components, stores, qts):
+        pixels = dequantize_and_idct_blocks(store, qt, comp.dct_scale, xp=xp)
+        planes.append(blocks_to_plane(pixels, comp.blocks_wide, comp.blocks_high, xp=xp))
+
+    if geometry.transform is None:
+        comp = geometry.components[0]
+        return planes[0][:comp.size_height, :comp.size_width]
+
+    channels = [
+        upsample_component(
+            plane, comp.upsampler_mode,
+            input_width=comp.size_width, input_height=comp.size_height,
+            out_rows=geometry.out_height, out_width=geometry.out_width,
+            h_scale=comp.h_scale, v_scale=comp.v_scale, xp=xp)
+        for comp, plane in zip(geometry.components, planes)
+    ]
+    return color_convert_image(channels, geometry.transform, xp=xp)
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled_pipeline(geometry: ImageGeometry):
+    import jax
+    import jax.numpy as jnp
+
+    def run(stores, qts):
+        return _reconstruct(geometry, stores, qts, jnp)
+
+    return jax.jit(run)
+
+
+def reconstruct_image(geometry: ImageGeometry, stores, qts, backend: str = "numpy"):
+    """Run the reconstruction pipeline.
+
+    backend "numpy": host oracle. backend "jax": jitted device pipeline
+    (compiled once per geometry, cached).
+    Returns a numpy uint8 array ([H, W] or [H, W, C], or [H, W*C] for the
+    raw/None transform layout).
+    """
+    if backend == "jax":
+        out = _compiled_pipeline(geometry)(tuple(stores), tuple(qts))
+        return np.asarray(out)
+    return _reconstruct(geometry, stores, qts, np)
+
+
+def geometry_from_frame(frame, transform: Optional[ColorTransform]) -> ImageGeometry:
+    """Distill a parsed FrameInfo into the static geometry key."""
+    from .upsample import choose_upsampler
+
+    h_max = max(c.horizontal_sampling_factor for c in frame.components)
+    v_max = max(c.vertical_sampling_factor for c in frame.components)
+    out_w = frame.output_size.width
+    out_h = frame.output_size.height
+
+    comps = []
+    for c in frame.components:
+        if transform is None:
+            mode, hs, vs = "h1v1", 1, 1
+        else:
+            mode, hs, vs = choose_upsampler(
+                (c.horizontal_sampling_factor, c.vertical_sampling_factor),
+                (h_max, v_max), out_w, out_h)
+        comps.append(ComponentGeometry(
+            blocks_wide=c.block_size.width,
+            blocks_high=c.block_size.height,
+            dct_scale=c.dct_scale,
+            size_width=c.size.width,
+            size_height=c.size.height,
+            upsampler_mode=mode,
+            h_scale=hs,
+            v_scale=vs,
+        ))
+
+    return ImageGeometry(
+        components=tuple(comps),
+        out_width=out_w,
+        out_height=out_h,
+        transform=transform,
+    )

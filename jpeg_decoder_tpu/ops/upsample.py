@@ -86,6 +86,31 @@ def _set_col(arr, col: int, values):
     return arr
 
 
+def h1v2_combine(xp, near_rows, far_rows):
+    """V2 vertical triangle filter given pre-gathered near/far rows (uint32).
+    Exposed separately so the mesh-striped path can feed halo-exchanged rows."""
+    return ((3 * near_rows + far_rows + 2) >> 2).astype(xp.uint8)
+
+
+def h2v2_combine(xp, near_rows, far_rows, input_width: int):
+    """H2V2 filter given pre-gathered near/far rows (uint32 [..., input_width]).
+    Returns uint8 [..., 2*input_width]. Taps from
+    `/root/reference/src/upsampler.rs:215-227`."""
+    t = 3 * near_rows + far_rows
+    if input_width == 1:
+        col = ((3 * near_rows[..., 0] + far_rows[..., 0] + 2) >> 2).astype(xp.uint8)
+        return xp.stack([col, col], axis=-1)
+    t_prev = xp.concatenate([t[..., :1], t[..., :-1]], axis=-1)
+    even = (3 * t + t_prev + 8) >> 4         # out[2i] from (t[i], t[i-1])
+    t_next = xp.concatenate([t[..., 1:], t[..., -1:]], axis=-1)
+    odd = (3 * t + t_next + 8) >> 4          # out[2i+1] from (t[i], t[i+1])
+    out = xp.stack([even, odd], axis=-1).reshape(t.shape[:-1] + (2 * input_width,))
+    # First and last output samples use the quarter-weight edge formula.
+    out = _set_col(out, 0, (t[..., 0] + 2) >> 2)
+    out = _set_col(out, -1, (t[..., -1] + 2) >> 2)
+    return out.astype(xp.uint8)
+
+
 def upsample_component(plane, mode: str, input_width: int, input_height: int,
                        out_rows: int, out_width: int, h_scale: int = 1,
                        v_scale: int = 1, xp=np):
@@ -111,27 +136,14 @@ def upsample_component(plane, mode: str, input_width: int, input_height: int,
         near, far = _near_far_rows(xp, out_rows, input_height)
         near_rows = p[near, :out_width].astype(xp.uint32)
         far_rows = p[far, :out_width].astype(xp.uint32)
-        return ((3 * near_rows + far_rows + 2) >> 2).astype(xp.uint8)
+        return h1v2_combine(xp, near_rows, far_rows)
 
     if mode == H2V2:
         # `/root/reference/src/upsampler.rs:191-228`
         near, far = _near_far_rows(xp, out_rows, input_height)
         near_rows = p[near, :input_width].astype(xp.uint32)
         far_rows = p[far, :input_width].astype(xp.uint32)
-        t = 3 * near_rows + far_rows  # [out_rows, input_width]
-        if input_width == 1:
-            col = ((3 * near_rows[:, 0] + far_rows[:, 0] + 2) >> 2).astype(xp.uint8)
-            out = xp.stack([col, col], axis=-1)
-            return out[:, :out_width]
-        t_prev = xp.concatenate([t[:, :1], t[:, :-1]], axis=-1)
-        even = (3 * t + t_prev + 8) >> 4         # out[2i] from (t[i], t[i-1])
-        t_next = xp.concatenate([t[:, 1:], t[:, -1:]], axis=-1)
-        odd = (3 * t + t_next + 8) >> 4          # out[2i+1] from (t[i], t[i+1])
-        out = xp.stack([even, odd], axis=-1).reshape(out_rows, 2 * input_width)
-        # First and last output samples use the quarter-weight edge formula.
-        out = _set_col(out, 0, (t[:, 0] + 2) >> 2)
-        out = _set_col(out, -1, (t[:, -1] + 2) >> 2)
-        return out[:, :out_width].astype(xp.uint8)
+        return h2v2_combine(xp, near_rows, far_rows, input_width)[:, :out_width]
 
     if mode == GENERIC:
         # Nearest-neighbor integer scaling (`/root/reference/src/upsampler.rs:230-250`).

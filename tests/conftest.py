@@ -9,10 +9,18 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+try:
+    # This environment's sitecustomize registers a TPU-tunnel PJRT plugin and
+    # pins jax_platforms; re-pin to CPU before any backend is instantiated so
+    # the test suite never rides the tunnel.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 REFERENCE = Path("/root/reference")
