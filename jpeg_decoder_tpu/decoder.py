@@ -113,6 +113,15 @@ class Decoder:
         self._pending_render: dict = {}
         # Reconstructed u16 planes for lossless.
         self._planes_u16: list = []
+        # Optional pooled allocator for coefficient stores (must return a
+        # zeroed int16 array); used by the streaming service to avoid repeated
+        # large-page allocation churn.
+        self._store_allocator = None
+
+    def _alloc_store(self, size: int) -> np.ndarray:
+        if self._store_allocator is not None:
+            return self._store_allocator(size)
+        return np.zeros(size, dtype=np.int16)
 
     # -- configuration -------------------------------------------------------
 
@@ -426,7 +435,7 @@ class Decoder:
                 stores.append(self._coefficients[comp_i])
             elif finished[pos]:
                 c = frame.components[comp_i]
-                store = np.zeros(c.block_size.width * c.block_size.height * 64, dtype=np.int16)
+                store = self._alloc_store(c.block_size.width * c.block_size.height * 64)
                 fresh_stores[pos] = store
                 stores.append(store)
             else:

@@ -1,0 +1,780 @@
+// Host entropy kernel: JPEG bitstream -> coefficient / difference tensors.
+//
+// Native tier of the TPU decode engine (the analog of the reference's
+// src/arch/* SIMD tier, but aimed at the one stage a TPU cannot run: the
+// bit-serial Huffman decode). Semantics are exactly those of the Python
+// oracle in ../scan_python.py, which in turn mirrors:
+//   - bit reservoir + unstuffing:  /root/reference/src/huffman.rs:14-160
+//   - baseline/progressive scans:  /root/reference/src/decoder.rs:794-1298
+//   - lossless difference scan:    /root/reference/src/decoder/lossless.rs:11-106
+//
+// Exposed via a C ABI (ctypes); all tables arrive as flat arrays prepared by
+// ../huffman.py. When a scan uses restart intervals, segments are decoded in
+// parallel with std::thread (the format guarantees full decoder-state reset at
+// RSTn: F.2.1.3.1 / G.1.2.2).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 -o libjtentropy.so entropy.cc -lpthread
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kLutBits = 8;
+
+// Zigzag index -> natural index (/root/reference/src/decoder.rs:27-36).
+static const uint8_t UNZIGZAG[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+};
+
+struct HuffTable {          // mirrors jpeg_decoder_tpu.huffman.HuffmanTable
+  const uint8_t* lut_value;     // [256]
+  const uint8_t* lut_size;      // [256]
+  const int32_t* delta;         // [16]
+  const int32_t* maxcode;       // [16]
+  const uint8_t* values;        // [n]
+  const int16_t* ac_lut_value;  // [256] or null
+  const uint8_t* ac_lut_run_size;  // [256] or null
+};
+
+struct ScanComp {
+  int32_t h_samp;        // MCU horizontal samples (1 for non-interleaved)
+  int32_t v_samp;        // MCU vertical samples
+  int32_t block_width;   // component block grid width
+  int16_t* store;        // [block_h*block_w*64] natural order, or null (dummy)
+  const HuffTable* dc;   // may be null
+  const HuffTable* ac;   // may be null
+};
+
+struct ScanParams {
+  int64_t pos;             // in/out: cursor position
+  int32_t ncomp;
+  int32_t is_progressive;
+  int32_t max_mcu_x, max_mcu_y;
+  int32_t image_w, image_h;
+  int32_t ss, se;          // spectral selection [ss, se)
+  int32_t ah, al;
+  int32_t restart_interval;
+  int32_t nthreads;
+  int32_t out_marker;      // out: terminating marker byte or -1
+};
+
+enum Err { OK = 0, ERR_FORMAT = 1, ERR_IO = 2 };
+
+struct Error {
+  int code = OK;
+  char msg[160] = {0};
+  void format(const char* m) {
+    code = ERR_FORMAT;
+    std::snprintf(msg, sizeof msg, "%s", m);
+  }
+  void io() { code = ERR_IO; }
+  explicit operator bool() const { return code != OK; }
+};
+
+inline int16_t wrap16(int32_t v) { return static_cast<int16_t>(v); }
+
+// ---------------------------------------------------------------------------
+// Bit reservoir (semantics of /root/reference/src/huffman.rs:14-160)
+// ---------------------------------------------------------------------------
+struct BitReader {
+  const uint8_t* data;
+  size_t len;
+  size_t pos;
+  uint64_t bits = 0;
+  int num_bits = 0;
+  int marker = -1;  // captured marker byte, -1 none
+
+  BitReader(const uint8_t* d, size_t l, size_t p) : data(d), len(l), pos(p) {}
+
+  void reset() { bits = 0; num_bits = 0; }
+
+  bool read_bits(Error& err) {
+    while (num_bits <= 56) {
+      uint8_t byte;
+      if (marker >= 0) {
+        byte = 0;  // post-marker: zero fill
+      } else {
+        // Fast path: refill 4 bytes at once when none is 0xFF.
+        if (num_bits <= 32 && pos + 4 <= len) {
+          uint32_t w;
+          std::memcpy(&w, data + pos, 4);
+          // has-zero-byte(w ^ 0xFF..FF) <=> some byte of w is 0xFF.
+          uint32_t z = w ^ 0xFFFFFFFFu;
+          if ((z - 0x01010101u) & ~z & 0x80808080u) {
+            // some byte is 0xFF -> slow path below
+          } else {
+            uint32_t be = __builtin_bswap32(w);
+            bits |= static_cast<uint64_t>(be) << (32 - num_bits);
+            num_bits += 32;
+            pos += 4;
+            continue;
+          }
+        }
+        if (pos >= len) { err.io(); return false; }
+        byte = data[pos++];
+        if (byte == 0xFF) {
+          if (pos >= len) { err.io(); return false; }
+          uint8_t next = data[pos++];
+          if (next != 0x00) {
+            while (next == 0xFF) {
+              if (pos >= len) { err.io(); return false; }
+              next = data[pos++];
+            }
+            if (next == 0x00) {
+              err.format("FF 00 found where marker was expected");
+              return false;
+            }
+            marker = next;
+            continue;
+          }
+        }
+      }
+      bits |= static_cast<uint64_t>(byte) << (56 - num_bits);
+      num_bits += 8;
+    }
+    return true;
+  }
+
+  inline uint32_t peek(int count) const {
+    return static_cast<uint32_t>((bits >> (64 - count)) & ((1u << count) - 1));
+  }
+  inline void consume(int count) { bits <<= count; num_bits -= count; }
+
+  // F.2.2.3 Figure F.16 (/root/reference/src/huffman.rs:31-58)
+  int decode(const HuffTable* t, Error& err) {
+    if (num_bits < 16 && !read_bits(err)) return -1;
+    uint32_t idx = static_cast<uint32_t>(bits >> 56);
+    int size = t->lut_size[idx];
+    if (size > 0) {
+      consume(size);
+      return t->lut_value[idx];
+    }
+    uint32_t b16 = static_cast<uint32_t>(bits >> 48);
+    for (int i = kLutBits; i < 16; i++) {
+      int32_t code = static_cast<int32_t>(b16 >> (15 - i));
+      if (code <= t->maxcode[i]) {
+        consume(i + 1);
+        return t->values[code + t->delta[i]];
+      }
+    }
+    err.format("failed to decode huffman code");
+    return -1;
+  }
+
+  // Fused fast-AC (/root/reference/src/huffman.rs:60-78). Returns true with
+  // (*value, *run) set, false when the LUT can't resolve (or on error).
+  bool decode_fast_ac(const HuffTable* t, int16_t* value, int* run, Error& err) {
+    if (!t->ac_lut_run_size) return false;
+    if (num_bits < kLutBits && !read_bits(err)) return false;
+    uint32_t idx = static_cast<uint32_t>(bits >> 56);
+    uint8_t run_size = t->ac_lut_run_size[idx];
+    if (run_size == 0) return false;
+    consume(run_size & 0x0F);
+    *value = t->ac_lut_value[idx];
+    *run = run_size >> 4;
+    return true;
+  }
+
+  int get_bits(int count, Error& err) {
+    if (num_bits < count && !read_bits(err)) return -1;
+    uint32_t v = peek(count);
+    consume(count);
+    return static_cast<int>(v);
+  }
+
+  // F.2.2.1 receive + extend (/root/reference/src/huffman.rs:93-96,165-173)
+  int receive_extend(int count, Error& err) {
+    int v = get_bits(count, err);
+    if (err) return 0;
+    int vt = 1 << (count - 1);
+    return v < vt ? v - (1 << count) + 1 : v;
+  }
+
+  int take_marker(Error& err) {
+    if (!read_bits(err)) return -1;
+    int m = marker;
+    marker = -1;
+    return m;
+  }
+};
+
+// Tolerant inter-segment marker scan (/root/reference/src/decoder.rs:766-791).
+int read_marker(const uint8_t* data, size_t len, size_t* pos) {
+  for (;;) {
+    while (*pos < len && data[*pos] != 0xFF) (*pos)++;
+    if (*pos >= len) return -1;
+    (*pos)++;  // consume 0xFF
+    while (*pos < len && data[*pos] == 0xFF) (*pos)++;
+    if (*pos >= len) return -1;
+    uint8_t byte = data[(*pos)++];
+    if (byte != 0x00) return byte;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// DCT-mode block decoders
+// ---------------------------------------------------------------------------
+struct BlockRef {
+  int16_t* p;  // null = dummy
+  inline int16_t get(int i) const { return p ? p[i] : static_cast<int16_t>(0); }
+  inline void set(int i, int32_t v) const { if (p) p[i] = wrap16(v); }
+};
+
+// F.2.2 sequential / first-pass progressive
+// (/root/reference/src/decoder.rs:1086-1172)
+bool decode_block(BitReader& r, BlockRef blk, const HuffTable* dc,
+                  const HuffTable* ac, int ss, int se, int al,
+                  uint32_t* eob_run, int16_t* dc_pred, Error& err) {
+  if (ss == 0) {
+    int value = r.decode(dc, err);
+    if (err) return false;
+    int32_t diff = 0;
+    if (value != 0) {
+      if (value > 11) {
+        err.format("invalid DC difference magnitude category");
+        return false;
+      }
+      diff = r.receive_extend(value, err);
+      if (err) return false;
+    }
+    *dc_pred = wrap16(static_cast<int32_t>(*dc_pred) + diff);
+    blk.set(0, static_cast<int32_t>(*dc_pred) << al);
+  }
+
+  int index = ss > 1 ? ss : 1;
+  if (index < se && *eob_run > 0) {
+    (*eob_run)--;
+    return true;
+  }
+
+  while (index < se) {
+    int16_t fav;
+    int run;
+    if (r.decode_fast_ac(ac, &fav, &run, err)) {
+      index += run;
+      if (index >= se) break;
+      blk.set(UNZIGZAG[index], static_cast<int32_t>(fav) << al);
+      index++;
+    } else {
+      if (err) return false;
+      int byte = r.decode(ac, err);
+      if (err) return false;
+      int rr = byte >> 4;
+      int s = byte & 0x0F;
+      if (s == 0) {
+        if (rr == 15) {
+          index += 16;
+        } else {
+          uint32_t eob = (1u << rr) - 1;
+          if (rr > 0) {
+            int extra = r.get_bits(rr, err);
+            if (err) return false;
+            eob += static_cast<uint32_t>(extra);
+          }
+          *eob_run = eob;
+          break;
+        }
+      } else {
+        index += rr;
+        if (index >= se) break;
+        int v = r.receive_extend(s, err);
+        if (err) return false;
+        blk.set(UNZIGZAG[index], static_cast<int32_t>(v) << al);
+        index++;
+      }
+    }
+  }
+  return true;
+}
+
+// G.1.2.3 correction-bit pass (/root/reference/src/decoder.rs:1260-1298)
+int refine_non_zeroes(BitReader& r, BlockRef blk, int start, int end, int zrl,
+                      int bit, Error& err) {
+  int last = end - 1;
+  int zero_run_length = zrl;
+  for (int i = start; i < end; i++) {
+    int idx = UNZIGZAG[i];
+    int16_t coeff = blk.get(idx);
+    if (coeff == 0) {
+      if (zero_run_length == 0) return i;
+      zero_run_length--;
+    } else {
+      int b = r.get_bits(1, err);
+      if (err) return -1;
+      if (b == 1 && (coeff & bit) == 0) {
+        int32_t nv = coeff > 0 ? coeff + bit : coeff - bit;
+        if (nv < -32768 || nv > 32767) {
+          err.format("Coefficient overflow");
+          return -1;
+        }
+        blk.set(idx, nv);
+      }
+    }
+  }
+  return last;
+}
+
+// G.1.2 refinement scan (/root/reference/src/decoder.rs:1174-1258)
+bool decode_block_sa(BitReader& r, BlockRef blk, const HuffTable* ac, int ss,
+                     int se, int al, uint32_t* eob_run, Error& err) {
+  int bit = 1 << al;
+  if (ss == 0) {
+    int b = r.get_bits(1, err);
+    if (err) return false;
+    if (b == 1) blk.set(0, blk.get(0) | bit);
+    return true;
+  }
+
+  if (*eob_run > 0) {
+    (*eob_run)--;
+    refine_non_zeroes(r, blk, ss, se, 64, bit, err);
+    return !err;
+  }
+
+  int index = ss;
+  while (index < se) {
+    int byte = r.decode(ac, err);
+    if (err) return false;
+    int rr = byte >> 4;
+    int s = byte & 0x0F;
+    int zero_run_length = rr;
+    int value = 0;
+    if (s == 0) {
+      if (rr != 15) {
+        uint32_t eob = (1u << rr) - 1;
+        if (rr > 0) {
+          int extra = r.get_bits(rr, err);
+          if (err) return false;
+          eob += static_cast<uint32_t>(extra);
+        }
+        *eob_run = eob;
+        zero_run_length = 64;
+      }
+    } else if (s == 1) {
+      int b = r.get_bits(1, err);
+      if (err) return false;
+      value = b == 1 ? bit : -bit;
+    } else {
+      err.format("unexpected huffman code");
+      return false;
+    }
+
+    index = refine_non_zeroes(r, blk, index, se, zero_run_length, bit, err);
+    if (err) return false;
+    if (value != 0) blk.set(UNZIGZAG[index], value);
+    index++;
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Scan decode (serial over an MCU index range)
+// ---------------------------------------------------------------------------
+struct McuRange {          // [first, last) in decoded-MCU sequence order
+  int64_t first, last;
+};
+
+// Decode MCUs [range) assuming reader is positioned at the range start with
+// fresh state. Restart markers are handled only when crossing interval
+// boundaries inside the range (serial mode); parallel mode passes ranges that
+// never cross a boundary.
+bool decode_mcu_range(BitReader& r, const ScanParams& sp, const ScanComp* comps,
+                      McuRange range, bool handle_restarts, Error& err) {
+  const bool progressive = sp.is_progressive != 0;
+  const bool interleaved = sp.ncomp > 1;
+  int16_t dc_pred[4] = {0, 0, 0, 0};
+  uint32_t eob_run = 0;
+  int expected_rst = 0;
+  uint32_t mcus_left = static_cast<uint32_t>(sp.restart_interval);
+
+  // The reference's decoded-MCU enumeration with its row/column breaks
+  // (/root/reference/src/decoder.rs:910-917) always covers a rectangle, so a
+  // range maps directly to (y, x) = (seq / cols, seq % cols).
+  int64_t cols = 0;
+  for (int32_t x = 0; x < sp.max_mcu_x; x++) {
+    if (x * 8 >= sp.image_w) break;
+    cols++;
+  }
+  if (cols == 0) return true;
+
+  for (int64_t seq = range.first; seq < range.last; seq++) {
+    {
+      const int32_t mcu_y = static_cast<int32_t>(seq / cols);
+      const int32_t mcu_x = static_cast<int32_t>(seq % cols);
+
+      if (handle_restarts && sp.restart_interval > 0) {
+        if (mcus_left == 0) {
+          int m = r.take_marker(err);
+          if (err) return false;
+          if (m < 0) {
+            char buf[96];
+            std::snprintf(buf, sizeof buf, "no marker found where RST%d was expected",
+                          expected_rst);
+            err.format(buf);
+            return false;
+          }
+          if (m < 0xD0 || m > 0xD7) {
+            char buf[96];
+            std::snprintf(buf, sizeof buf,
+                          "found marker inside scan where RST%d was expected",
+                          expected_rst);
+            err.format(buf);
+            return false;
+          }
+          if (m - 0xD0 != expected_rst) {
+            char buf[96];
+            std::snprintf(buf, sizeof buf, "found RST%d where RST%d was expected",
+                          m - 0xD0, expected_rst);
+            err.format(buf);
+            return false;
+          }
+          r.reset();
+          dc_pred[0] = dc_pred[1] = dc_pred[2] = dc_pred[3] = 0;
+          eob_run = 0;
+          expected_rst = (expected_rst + 1) % 8;
+          mcus_left = static_cast<uint32_t>(sp.restart_interval);
+        }
+        mcus_left--;
+      }
+
+      for (int32_t i = 0; i < sp.ncomp; i++) {
+        const ScanComp& c = comps[i];
+        for (int32_t v = 0; v < c.v_samp; v++) {
+          for (int32_t h = 0; h < c.h_samp; h++) {
+            int64_t by = static_cast<int64_t>(mcu_y) * c.v_samp + v;
+            int64_t bx = static_cast<int64_t>(mcu_x) * c.h_samp + h;
+            int64_t off = (by * c.block_width + bx) * 64;
+            BlockRef blk{c.store ? c.store + off : nullptr};
+            bool ok;
+            if (sp.ah == 0) {
+              ok = decode_block(r, blk, c.dc, c.ac, sp.ss, sp.se, sp.al,
+                                &eob_run, &dc_pred[i], err);
+            } else {
+              ok = decode_block_sa(r, blk, c.ac, sp.ss, sp.se, sp.al,
+                                   &eob_run, err);
+            }
+            if (!ok) return false;
+          }
+        }
+      }
+    }
+  }
+  return true;
+}
+
+int64_t count_decoded_mcus(const ScanParams& sp) {
+  int64_t rows = 0, cols = 0;
+  for (int32_t y = 0; y < sp.max_mcu_y; y++) {
+    if (y * 8 >= sp.image_h) break;
+    rows++;
+  }
+  for (int32_t x = 0; x < sp.max_mcu_x; x++) {
+    if (x * 8 >= sp.image_w) break;
+    cols++;
+  }
+  return rows * cols;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.
+// sp->pos is advanced; sp->out_marker receives the pending marker (-1 none).
+int jt_decode_scan_dct(const uint8_t* data, uint64_t len, ScanParams* sp,
+                       const ScanComp* comps, char* err_msg) {
+  Error err;
+  sp->out_marker = -1;
+
+  const int64_t total_mcus = count_decoded_mcus(*sp);
+  bool parallel_done = false;
+
+  if (sp->restart_interval > 0 && sp->nthreads > 1 &&
+      total_mcus > 4 * sp->restart_interval) {
+    // Segment-parallel path: split at RSTn byte positions. Entropy data for
+    // segment k starts right after the k-th RST marker. Fall back to serial
+    // on any irregularity.
+    int64_t nseg = (total_mcus + sp->restart_interval - 1) / sp->restart_interval;
+    std::vector<size_t> seg_start;  // byte pos where each segment's data begins
+    seg_start.reserve(nseg);
+    seg_start.push_back(static_cast<size_t>(sp->pos));
+    bool regular = true;
+    size_t p = static_cast<size_t>(sp->pos);
+    int expect = 0;
+    while (static_cast<int64_t>(seg_start.size()) < nseg && p + 1 < len) {
+      if (data[p] == 0xFF) {
+        uint8_t m = data[p + 1];
+        if (m >= 0xD0 && m <= 0xD7) {
+          if (m - 0xD0 != expect) { regular = false; break; }
+          expect = (expect + 1) % 8;
+          seg_start.push_back(p + 2);
+          p += 2;
+          continue;
+        }
+        if (m != 0x00 && m != 0xFF) break;  // real marker: end of scan data
+        p += 2;
+        continue;
+      }
+      p++;
+    }
+    if (regular && static_cast<int64_t>(seg_start.size()) == nseg) {
+      int nt = sp->nthreads;
+      std::vector<Error> errs(nt);
+      std::vector<std::thread> threads;
+      std::atomic<int64_t> next_seg{0};
+      for (int t = 0; t < nt; t++) {
+        threads.emplace_back([&, t]() {
+          for (;;) {
+            int64_t s = next_seg.fetch_add(1);
+            if (s >= nseg) return;
+            BitReader r(data, len, seg_start[s]);
+            McuRange range{s * sp->restart_interval,
+                           std::min<int64_t>((s + 1) * sp->restart_interval,
+                                             total_mcus)};
+            if (!decode_mcu_range(r, *sp, comps, range, /*restarts=*/false,
+                                  errs[t])) {
+              return;
+            }
+          }
+        });
+      }
+      for (auto& th : threads) th.join();
+      for (auto& e : errs) {
+        if (e) {
+          if (e.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", e.msg);
+          return e.code;
+        }
+      }
+      // Finish: position a reader at the start of the final segment's data and
+      // skim to the scan-terminating marker exactly like the serial path.
+      BitReader r(data, len, seg_start[nseg - 1]);
+      McuRange last{(nseg - 1) * sp->restart_interval, total_mcus};
+      Error e2;
+      if (!decode_mcu_range(r, *sp, comps, last, false, e2)) {
+        if (e2.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", e2.msg);
+        return e2.code;
+      }
+      int marker = r.take_marker(e2);
+      if (e2) {
+        if (e2.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", e2.msg);
+        return e2.code;
+      }
+      while (marker >= 0xD0 && marker <= 0xD7) {
+        marker = read_marker(data, len, &r.pos);
+      }
+      sp->out_marker = marker;
+      sp->pos = static_cast<int64_t>(r.pos);
+      parallel_done = true;
+    }
+  }
+
+  if (!parallel_done) {
+    BitReader r(data, len, static_cast<size_t>(sp->pos));
+    if (!decode_mcu_range(r, *sp, comps, McuRange{0, total_mcus},
+                          /*restarts=*/true, err)) {
+      if (err.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", err.msg);
+      return err.code;
+    }
+    // End-of-scan marker recovery (/root/reference/src/decoder.rs:1063-1066).
+    int marker = r.take_marker(err);
+    if (err) {
+      if (err.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", err.msg);
+      return err.code;
+    }
+    while (marker >= 0xD0 && marker <= 0xD7) {
+      marker = read_marker(data, len, &r.pos);
+    }
+    sp->out_marker = marker;
+    sp->pos = static_cast<int64_t>(r.pos);
+  }
+  return OK;
+}
+
+// Lossless phase-1: Huffman differences (/root/reference/src/decoder/lossless.rs:49-106).
+// diffs: int32 [ncomp, h, w] (component-major). Returns Err code.
+// leftover_out receives the stale restart counter for the phase-2 quirk.
+int jt_decode_scan_lossless(const uint8_t* data, uint64_t len, int64_t* pos_io,
+                            int32_t ncomp, const HuffTable* const* dc_tables,
+                            int32_t width, int32_t height,
+                            int32_t restart_interval, int32_t* out_marker,
+                            int32_t* leftover_out, int32_t* diffs,
+                            char* err_msg) {
+  Error err;
+  *out_marker = -1;
+  BitReader r(data, len, static_cast<size_t>(*pos_io));
+  uint32_t mcus_left = static_cast<uint32_t>(restart_interval);
+  int expected_rst = 0;
+  const int64_t plane = static_cast<int64_t>(width) * height;
+
+  for (int64_t y = 0; y < height; y++) {
+    for (int64_t x = 0; x < width; x++) {
+      if (restart_interval > 0) {
+        if (mcus_left == 0) {
+          int m = r.take_marker(err);
+          if (err) goto fail;
+          if (m < 0xD0 || m > 0xD7 || m - 0xD0 != expected_rst) {
+            char buf[96];
+            std::snprintf(buf, sizeof buf, "restart marker mismatch (expected RST%d)",
+                          expected_rst);
+            err.format(buf);
+            goto fail;
+          }
+          r.reset();
+          expected_rst = (expected_rst + 1) % 8;
+          mcus_left = static_cast<uint32_t>(restart_interval);
+        }
+        mcus_left--;
+      }
+      for (int32_t i = 0; i < ncomp; i++) {
+        int value = r.decode(dc_tables[i], err);
+        if (err) goto fail;
+        int32_t diff;
+        if (value == 0) {
+          diff = 0;
+        } else if (value <= 15) {
+          diff = r.receive_extend(value, err);
+          if (err) goto fail;
+        } else if (value == 16) {
+          diff = 32768;
+        } else {
+          err.format("invalid DC difference magnitude category");
+          goto fail;
+        }
+        diffs[i * plane + y * width + x] = diff;
+      }
+    }
+  }
+
+  {
+    int marker = r.take_marker(err);
+    if (err) goto fail;
+    while (marker >= 0xD0 && marker <= 0xD7) {
+      marker = read_marker(data, len, &r.pos);
+    }
+    *out_marker = marker;
+    *pos_io = static_cast<int64_t>(r.pos);
+    *leftover_out = static_cast<int32_t>(mcus_left);
+  }
+  return OK;
+
+fail:
+  if (err.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", err.msg);
+  return err.code;
+}
+
+// Lossless phase-2 scalar reconstruction
+// (/root/reference/src/decoder/lossless.rs:108-226), incl. the stale
+// restart-flag quirk (restart_all applies default prediction everywhere).
+// predictor: Table H.1 selection 0-7. out: uint16 [h, w].
+void jt_reconstruct_lossless(const int32_t* diffs, int32_t height, int32_t width,
+                             int32_t predictor, int32_t point_transform,
+                             int32_t precision, int32_t restart_all,
+                             uint16_t* out) {
+  const int pt = point_transform;
+  const int32_t guarded_default =
+      precision > 1 + pt ? (1 << (precision - pt - 1)) : 0;
+
+  if (restart_all) {
+    for (int64_t i = 0; i < static_cast<int64_t>(height) * width; i++) {
+      out[i] = static_cast<uint16_t>(
+          ((guarded_default + diffs[i]) & 0xFFFF) << pt);
+    }
+    return;
+  }
+
+  if (predictor == 1) {
+    // Fast path (/root/reference/src/decoder/lossless.rs:108-138): NB its
+    // first-pixel default is 1 << (P - Pt - 1) WITHOUT the precision guard.
+    const int32_t default1 = 1 << (precision - pt - 1);
+    int32_t result = ((default1 + diffs[0]) & 0xFFFF);
+    out[0] = static_cast<uint16_t>(result << pt);
+    uint16_t prev = out[0];
+    for (int64_t y = 1; y < height; y++) {
+      int32_t v = ((static_cast<int32_t>(prev) + diffs[y * width]) & 0xFFFF);
+      out[y * width] = static_cast<uint16_t>(v << pt);
+      prev = out[y * width];
+    }
+    for (int64_t y = 0; y < height; y++) {
+      for (int64_t x = 1; x < width; x++) {
+        int32_t p = out[y * width + x - 1];
+        int32_t v = ((p + diffs[y * width + x]) & 0xFFFF);
+        out[y * width + x] = static_cast<uint16_t>(v << pt);
+      }
+    }
+    return;
+  }
+
+  for (int64_t y = 0; y < height; y++) {
+    for (int64_t x = 0; x < width; x++) {
+      int32_t prediction;
+      if (x == 0 && y == 0) {
+        prediction = guarded_default;
+      } else if (y == 0) {
+        prediction = out[x - 1];
+      } else if (x == 0) {
+        prediction = out[(y - 1) * width];
+      } else {
+        int32_t ra = out[y * width + x - 1];
+        int32_t rb = out[(y - 1) * width + x];
+        int32_t rc = out[(y - 1) * width + x - 1];
+        switch (predictor) {
+          case 0: prediction = 0; break;
+          case 2: prediction = rb; break;
+          case 3: prediction = rc; break;
+          case 4: prediction = ra + rb - rc; break;
+          case 5: prediction = ra + ((rb - rc) >> 1); break;
+          case 6: prediction = rb + ((ra - rc) >> 1); break;
+          case 7: prediction = (ra + rb) / 2; break;
+          default: prediction = ra; break;
+        }
+      }
+      int32_t v = ((prediction + diffs[y * width + x]) & 0xFFFF);
+      out[y * width + x] = static_cast<uint16_t>(v << pt);
+    }
+  }
+}
+
+// Single-pass sparse (COO) packing of a coefficient store: writes global
+// indices (base + i) and values of nonzero coefficients. Returns nnz (capped
+// at cap). Feeds the decode-to-device streaming path without numpy
+// temporaries.
+int64_t jt_pack_coo(const int16_t* store, int64_t n, int64_t base,
+                    int32_t* idx_out, int16_t* vals_out, int64_t cap) {
+  int64_t k = 0;
+  int64_t i = 0;
+  // Word-at-a-time skip over zero runs (coefficient tensors are ~90% zero).
+  while (i + 4 <= n && k < cap) {
+    uint64_t w;
+    std::memcpy(&w, store + i, 8);
+    if (w == 0) { i += 4; continue; }
+    for (int j = 0; j < 4 && k < cap; j++, i++) {
+      if (store[i] != 0) {
+        idx_out[k] = static_cast<int32_t>(base + i);
+        vals_out[k] = store[i];
+        k++;
+      }
+    }
+  }
+  for (; i < n && k < cap; i++) {
+    if (store[i] != 0) {
+      idx_out[k] = static_cast<int32_t>(base + i);
+      vals_out[k] = store[i];
+      k++;
+    }
+  }
+  return k;
+}
+
+// memset helper so pooled store buffers can be cleared without touching
+// Python-side page-faulting paths.
+void jt_zero(void* p, int64_t bytes) { std::memset(p, 0, static_cast<size_t>(bytes)); }
+
+}  // extern "C"

@@ -1,0 +1,256 @@
+"""ctypes bindings for the C++ host entropy kernel (cpp/entropy.cc).
+
+Builds the shared library on demand with g++ (no pip deps), marshals the
+Huffman tables prepared by ..huffman as raw pointers, and exposes the same
+decode_scan_* interface as the Python oracle. ctypes releases the GIL for the
+duration of each call, so host thread pools scale across cores.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..errors import FormatError, IoError
+from ..parser import CodingProcess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_CPP = os.path.join(_DIR, "cpp", "entropy.cc")
+_SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
+
+_lib = None
+_build_lock = threading.Lock()
+_NTHREADS = max(1, os.cpu_count() or 1)
+
+
+class _CHuffTable(C.Structure):
+    _fields_ = [
+        ("lut_value", C.c_void_p),
+        ("lut_size", C.c_void_p),
+        ("delta", C.c_void_p),
+        ("maxcode", C.c_void_p),
+        ("values", C.c_void_p),
+        ("ac_lut_value", C.c_void_p),
+        ("ac_lut_run_size", C.c_void_p),
+    ]
+
+
+class _CScanComp(C.Structure):
+    _fields_ = [
+        ("h_samp", C.c_int32),
+        ("v_samp", C.c_int32),
+        ("block_width", C.c_int32),
+        ("store", C.c_void_p),
+        ("dc", C.c_void_p),
+        ("ac", C.c_void_p),
+    ]
+
+
+class _CScanParams(C.Structure):
+    _fields_ = [
+        ("pos", C.c_int64),
+        ("ncomp", C.c_int32),
+        ("is_progressive", C.c_int32),
+        ("max_mcu_x", C.c_int32),
+        ("max_mcu_y", C.c_int32),
+        ("image_w", C.c_int32),
+        ("image_h", C.c_int32),
+        ("ss", C.c_int32),
+        ("se", C.c_int32),
+        ("ah", C.c_int32),
+        ("al", C.c_int32),
+        ("restart_interval", C.c_int32),
+        ("nthreads", C.c_int32),
+        ("out_marker", C.c_int32),
+    ]
+
+
+def _build() -> Optional[str]:
+    with _build_lock:
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_CPP):
+            return _SO
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+                 "-o", _SO + ".tmp", _CPP, "-lpthread"],
+                check=True, capture_output=True, timeout=240)
+            os.replace(_SO + ".tmp", _SO)
+            return _SO
+        except Exception:
+            return None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    so = _build()
+    if so is None:
+        return None
+    lib = C.CDLL(so)
+    lib.jt_decode_scan_dct.restype = C.c_int
+    lib.jt_decode_scan_dct.argtypes = [
+        C.c_char_p, C.c_uint64, C.POINTER(_CScanParams), C.POINTER(_CScanComp),
+        C.c_char_p]
+    lib.jt_decode_scan_lossless.restype = C.c_int
+    lib.jt_decode_scan_lossless.argtypes = [
+        C.c_char_p, C.c_uint64, C.POINTER(C.c_int64), C.c_int32,
+        C.POINTER(C.c_void_p), C.c_int32, C.c_int32, C.c_int32,
+        C.POINTER(C.c_int32), C.POINTER(C.c_int32), C.c_void_p, C.c_char_p]
+    lib.jt_reconstruct_lossless.restype = None
+    lib.jt_reconstruct_lossless.argtypes = [
+        C.c_void_p, C.c_int32, C.c_int32, C.c_int32, C.c_int32, C.c_int32,
+        C.c_int32, C.c_void_p]
+    lib.jt_pack_coo.restype = C.c_int64
+    lib.jt_pack_coo.argtypes = [
+        C.c_void_p, C.c_int64, C.c_int64, C.c_void_p, C.c_void_p, C.c_int64]
+    lib.jt_zero.restype = None
+    lib.jt_zero.argtypes = [C.c_void_p, C.c_int64]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _huff_ptr(table):
+    """Build (and cache on the table object) the C view of a HuffmanTable."""
+    cached = getattr(table, "_c_struct", None)
+    if cached is not None:
+        return cached[0]
+    # Keep strong refs to the backing numpy buffers alongside the struct.
+    values = np.ascontiguousarray(table.values, dtype=np.uint8)
+    refs = [values]
+    st = _CHuffTable(
+        lut_value=table.lut_value.ctypes.data,
+        lut_size=table.lut_size.ctypes.data,
+        delta=table.delta.ctypes.data,
+        maxcode=table.maxcode.ctypes.data,
+        values=values.ctypes.data,
+        ac_lut_value=table.ac_lut_value.ctypes.data if table.ac_lut_value is not None else None,
+        ac_lut_run_size=(table.ac_lut_run_size.ctypes.data
+                         if table.ac_lut_run_size is not None else None),
+    )
+    table._c_struct = (st, refs)
+    return st
+
+
+def _raise(code: int, msg: bytes) -> None:
+    if code == 1:
+        raise FormatError(msg.decode("utf-8", "replace"))
+    if code == 2:
+        raise IoError()
+    raise FormatError(f"native entropy error {code}")
+
+
+def decode_scan_dct(cursor, frame, scan, dc_tables, ac_tables, restart_interval: int,
+                    stores: list) -> Optional[int]:
+    """Native counterpart of scan_python.decode_scan_dct (same contract)."""
+    lib = _load()
+    components = [frame.components[i] for i in scan.component_indices]
+    is_interleaved = len(components) > 1
+
+    comps = (_CScanComp * len(components))()
+    keepalive = []
+    for i, c in enumerate(components):
+        dc = dc_tables[scan.dc_table_indices[i]]
+        ac = ac_tables[scan.ac_table_indices[i]]
+        dc_st = _huff_ptr(dc) if dc is not None else None
+        ac_st = _huff_ptr(ac) if ac is not None else None
+        keepalive.extend([dc, ac, dc_st, ac_st])
+        comps[i].h_samp = c.horizontal_sampling_factor if is_interleaved else 1
+        comps[i].v_samp = c.vertical_sampling_factor if is_interleaved else 1
+        comps[i].block_width = c.block_size.width
+        comps[i].store = stores[i].ctypes.data if stores[i] is not None else None
+        comps[i].dc = C.addressof(dc_st) if dc_st is not None else None
+        comps[i].ac = C.addressof(ac_st) if ac_st is not None else None
+
+    sp = _CScanParams(
+        pos=cursor.pos,
+        ncomp=len(components),
+        is_progressive=1 if frame.coding_process == CodingProcess.DCT_PROGRESSIVE else 0,
+        max_mcu_x=frame.mcu_size.width if is_interleaved else components[0].block_size.width,
+        max_mcu_y=frame.mcu_size.height if is_interleaved else components[0].block_size.height,
+        image_w=frame.image_size.width,
+        image_h=frame.image_size.height,
+        ss=scan.spectral_selection_start,
+        se=scan.spectral_selection_end,
+        ah=scan.successive_approximation_high,
+        al=scan.successive_approximation_low,
+        restart_interval=restart_interval,
+        nthreads=_NTHREADS,
+        out_marker=-1,
+    )
+
+    err = C.create_string_buffer(160)
+    code = lib.jt_decode_scan_dct(cursor.data, len(cursor.data), C.byref(sp),
+                                  comps, err)
+    if code != 0:
+        cursor.pos = len(cursor.data)  # conservative: stream consumed
+        _raise(code, err.value)
+    cursor.pos = sp.pos
+    return sp.out_marker if sp.out_marker >= 0 else None
+
+
+def decode_scan_lossless(cursor, frame, scan, dc_tables, restart_interval: int):
+    """Native counterpart of scan_python.decode_scan_lossless (same contract)."""
+    lib = _load()
+    ncomp = len(scan.component_indices)
+    w = frame.image_size.width
+    h = frame.image_size.height
+
+    tables = []
+    ptrs = (C.c_void_p * ncomp)()
+    for i in range(ncomp):
+        t = dc_tables[scan.dc_table_indices[i]]
+        st = _huff_ptr(t)
+        tables.append((t, st))
+        ptrs[i] = C.addressof(st)
+
+    diffs = np.zeros((ncomp, h, w), dtype=np.int32)
+    pos = C.c_int64(cursor.pos)
+    marker = C.c_int32(-1)
+    leftover = C.c_int32(0)
+    err = C.create_string_buffer(160)
+    code = lib.jt_decode_scan_lossless(
+        cursor.data, len(cursor.data), C.byref(pos), ncomp, ptrs, w, h,
+        restart_interval, C.byref(marker), C.byref(leftover),
+        diffs.ctypes.data, err)
+    if code != 0:
+        cursor.pos = len(cursor.data)
+        _raise(code, err.value)
+    cursor.pos = pos.value
+    return (marker.value if marker.value >= 0 else None), diffs, leftover.value
+
+
+def pack_coo(store: np.ndarray, base: int, idx_out: np.ndarray,
+             vals_out: np.ndarray) -> int:
+    """Append nonzero (global index, value) pairs of `store` (int16, flat)
+    starting at output slot 0; returns nnz written."""
+    lib = _load()
+    return lib.jt_pack_coo(store.ctypes.data, store.size, base,
+                           idx_out.ctypes.data, vals_out.ctypes.data,
+                           idx_out.size)
+
+
+def zero_buffer(arr: np.ndarray) -> None:
+    _load().jt_zero(arr.ctypes.data, arr.nbytes)
+
+
+def reconstruct_lossless(diffs: np.ndarray, predictor: int, point_transform: int,
+                         precision: int, restart_all: bool) -> np.ndarray:
+    """Native scalar predictor reconstruction (all predictors, any Pt)."""
+    lib = _load()
+    h, w = diffs.shape
+    diffs = np.ascontiguousarray(diffs, dtype=np.int32)
+    out = np.empty((h, w), dtype=np.uint16)
+    lib.jt_reconstruct_lossless(
+        diffs.ctypes.data, h, w, int(predictor), point_transform, precision,
+        1 if restart_all else 0, out.ctypes.data)
+    return out

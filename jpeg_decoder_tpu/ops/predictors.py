@@ -56,6 +56,12 @@ def reconstruct_lossless(diffs: np.ndarray, predictor: Predictor, point_transfor
     h, w = diffs.shape
     pt = point_transform
 
+    from ..entropy.native import get_native
+    native = get_native()
+    if native is not None:
+        return native.reconstruct_lossless(diffs, int(predictor), pt, precision,
+                                           restart_all)
+
     if predictor == Predictor.RA:
         return _reconstruct_ra(diffs, pt, precision)
 
