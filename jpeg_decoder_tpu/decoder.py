@@ -82,13 +82,22 @@ class Decoder:
     (`/root/reference/src/decoder.rs:101-154`).
     """
 
-    def __init__(self, source, backend: str = "numpy"):
+    def __init__(self, source, backend: str = "numpy", precision: str = "exact"):
         """`backend` selects the reconstruction engine: "numpy" (host oracle)
-        or "jax" (jitted, fused device pipeline — the TPU path). Both are
-        bit-identical; the entropy stage always runs on the host."""
+        or "jax" (jitted, fused device pipeline — the TPU path). The entropy
+        stage always runs on the host.
+
+        `precision`: "exact" reproduces the reference's scalar integer kernels
+        bit-for-bit (its `platform_independent` contract); "fast" uses the
+        fp32 MXU IDCT, within the reference reftest tolerance but not
+        bit-identical (its default-SIMD contract,
+        `/root/reference/src/arch/mod.rs:13-57`)."""
         if backend not in ("numpy", "jax"):
             raise ValueError(f"unknown backend {backend!r}")
+        if precision not in ("exact", "fast"):
+            raise ValueError(f"unknown precision {precision!r}")
         self._backend = backend
+        self._precision = precision
         self._cursor = ByteCursor(_as_bytes(source))
         self.frame: Optional[P.FrameInfo] = None
         self._dc_huffman_tables: list = [None, None, None, None]
@@ -117,6 +126,10 @@ class Decoder:
         # zeroed int16 array); used by the streaming service to avoid repeated
         # large-page allocation churn.
         self._store_allocator = None
+        # Optional streaming capture: when set (and the frame is baseline),
+        # the native entropy kernel emits the zigzag-prefix + COO-residual
+        # interchange format directly and no dense stores are allocated.
+        self._prefix_capture = None
 
     def _alloc_store(self, size: int) -> np.ndarray:
         if self._store_allocator is not None:
@@ -427,6 +440,12 @@ class Decoder:
                 self._ac_huffman_tables[i] is None for i in scan.ac_table_indices):
             raise FormatError("scan makes use of unset ac huffman table")
 
+        # Streaming fast path: baseline scans can emit the device interchange
+        # format straight from the entropy kernel (see models/stream.py).
+        if (self._prefix_capture is not None and not is_progressive
+                and self._prefix_capture.wants(frame)):
+            return self._prefix_capture.decode_scan(self, frame, scan, finished)
+
         # Entropy destination stores.
         stores: list = []
         fresh_stores: dict = {}
@@ -564,7 +583,7 @@ class Decoder:
         # (`/root/reference/src/decoder.rs:1308-1332`).
         transform = None if n == 1 else self._determine_color_transform()
 
-        geometry = geometry_from_frame(frame, transform)
+        geometry = geometry_from_frame(frame, transform, precision=self._precision)
         stores = [self._pending_render[i][0].reshape(-1, 64) for i in range(n)]
         qts = [self._pending_render[i][1] for i in range(n)]
         image = reconstruct_image(geometry, stores, qts, backend=self._backend)

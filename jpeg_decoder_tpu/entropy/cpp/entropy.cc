@@ -51,6 +51,7 @@ struct ScanComp {
   int16_t* store;        // [block_h*block_w*64] natural order, or null (dummy)
   const HuffTable* dc;   // may be null
   const HuffTable* ac;   // may be null
+  int64_t store_elems;   // total int16 elements in store (for fallback zeroing)
 };
 
 struct ScanParams {
@@ -222,15 +223,52 @@ int read_marker(const uint8_t* data, size_t len, size_t* pos) {
 // ---------------------------------------------------------------------------
 // DCT-mode block decoders
 // ---------------------------------------------------------------------------
-struct BlockRef {
+// Block sinks: where decoded coefficients land. Dense writes natural-order
+// int16[64] slices (progressive needs read-modify). Prefix writes the
+// streaming interchange format directly — first K zigzag slots densely, the
+// rest appended to a COO residual — skipping the 64-coefficient store
+// entirely (one fewer 20MB-class write+read+zero per image; the host stage is
+// memory-bandwidth-bound).
+struct DenseBlock {
   int16_t* p;  // null = dummy
-  inline int16_t get(int i) const { return p ? p[i] : static_cast<int16_t>(0); }
-  inline void set(int i, int32_t v) const { if (p) p[i] = wrap16(v); }
+  inline void set_zz(int z, int32_t v) const { if (p) p[UNZIGZAG[z]] = wrap16(v); }
+  inline int16_t get_nat(int i) const { return p ? p[i] : static_cast<int16_t>(0); }
+  inline void set_nat(int i, int32_t v) const { if (p) p[i] = wrap16(v); }
+};
+
+struct ResidBuf {
+  int32_t* idx;
+  int16_t* vals;
+  int64_t count;
+  int64_t cap;
+};
+
+struct PrefixBlock {
+  int16_t* prefix;     // K zigzag slots for this block, or null = dummy
+  int32_t k;
+  int64_t flat_base;   // global dense element offset of this block
+  ResidBuf* resid;
+  inline void set_zz(int z, int32_t v) const {
+    if (!prefix) return;
+    int16_t w = wrap16(v);
+    if (z < k) {
+      prefix[z] = w;
+    } else if (w != 0 && resid->count < resid->cap) {
+      resid->idx[resid->count] = static_cast<int32_t>(flat_base + UNZIGZAG[z]);
+      resid->vals[resid->count] = w;
+      resid->count++;
+    }
+  }
+  // Refinement accessors are never exercised in prefix mode (baseline only);
+  // present so the template instantiates.
+  inline int16_t get_nat(int) const { return 0; }
+  inline void set_nat(int, int32_t) const {}
 };
 
 // F.2.2 sequential / first-pass progressive
 // (/root/reference/src/decoder.rs:1086-1172)
-bool decode_block(BitReader& r, BlockRef blk, const HuffTable* dc,
+template <class Blk>
+bool decode_block(BitReader& r, Blk blk, const HuffTable* dc,
                   const HuffTable* ac, int ss, int se, int al,
                   uint32_t* eob_run, int16_t* dc_pred, Error& err) {
   if (ss == 0) {
@@ -246,7 +284,7 @@ bool decode_block(BitReader& r, BlockRef blk, const HuffTable* dc,
       if (err) return false;
     }
     *dc_pred = wrap16(static_cast<int32_t>(*dc_pred) + diff);
-    blk.set(0, static_cast<int32_t>(*dc_pred) << al);
+    blk.set_zz(0, static_cast<int32_t>(*dc_pred) << al);
   }
 
   int index = ss > 1 ? ss : 1;
@@ -261,7 +299,7 @@ bool decode_block(BitReader& r, BlockRef blk, const HuffTable* dc,
     if (r.decode_fast_ac(ac, &fav, &run, err)) {
       index += run;
       if (index >= se) break;
-      blk.set(UNZIGZAG[index], static_cast<int32_t>(fav) << al);
+      blk.set_zz(index, static_cast<int32_t>(fav) << al);
       index++;
     } else {
       if (err) return false;
@@ -287,7 +325,7 @@ bool decode_block(BitReader& r, BlockRef blk, const HuffTable* dc,
         if (index >= se) break;
         int v = r.receive_extend(s, err);
         if (err) return false;
-        blk.set(UNZIGZAG[index], static_cast<int32_t>(v) << al);
+        blk.set_zz(index, static_cast<int32_t>(v) << al);
         index++;
       }
     }
@@ -296,13 +334,14 @@ bool decode_block(BitReader& r, BlockRef blk, const HuffTable* dc,
 }
 
 // G.1.2.3 correction-bit pass (/root/reference/src/decoder.rs:1260-1298)
-int refine_non_zeroes(BitReader& r, BlockRef blk, int start, int end, int zrl,
+template <class Blk>
+int refine_non_zeroes(BitReader& r, Blk blk, int start, int end, int zrl,
                       int bit, Error& err) {
   int last = end - 1;
   int zero_run_length = zrl;
   for (int i = start; i < end; i++) {
     int idx = UNZIGZAG[i];
-    int16_t coeff = blk.get(idx);
+    int16_t coeff = blk.get_nat(idx);
     if (coeff == 0) {
       if (zero_run_length == 0) return i;
       zero_run_length--;
@@ -315,7 +354,7 @@ int refine_non_zeroes(BitReader& r, BlockRef blk, int start, int end, int zrl,
           err.format("Coefficient overflow");
           return -1;
         }
-        blk.set(idx, nv);
+        blk.set_nat(idx, nv);
       }
     }
   }
@@ -323,13 +362,14 @@ int refine_non_zeroes(BitReader& r, BlockRef blk, int start, int end, int zrl,
 }
 
 // G.1.2 refinement scan (/root/reference/src/decoder.rs:1174-1258)
-bool decode_block_sa(BitReader& r, BlockRef blk, const HuffTable* ac, int ss,
+template <class Blk>
+bool decode_block_sa(BitReader& r, Blk blk, const HuffTable* ac, int ss,
                      int se, int al, uint32_t* eob_run, Error& err) {
   int bit = 1 << al;
   if (ss == 0) {
     int b = r.get_bits(1, err);
     if (err) return false;
-    if (b == 1) blk.set(0, blk.get(0) | bit);
+    if (b == 1) blk.set_nat(0, blk.get_nat(0) | bit);
     return true;
   }
 
@@ -369,7 +409,7 @@ bool decode_block_sa(BitReader& r, BlockRef blk, const HuffTable* ac, int ss,
 
     index = refine_non_zeroes(r, blk, index, se, zero_run_length, bit, err);
     if (err) return false;
-    if (value != 0) blk.set(UNZIGZAG[index], value);
+    if (value != 0) blk.set_zz(index, value);
     index++;
   }
   return true;
@@ -386,8 +426,10 @@ struct McuRange {          // [first, last) in decoded-MCU sequence order
 // fresh state. Restart markers are handled only when crossing interval
 // boundaries inside the range (serial mode); parallel mode passes ranges that
 // never cross a boundary.
+template <class MakeBlk>
 bool decode_mcu_range(BitReader& r, const ScanParams& sp, const ScanComp* comps,
-                      McuRange range, bool handle_restarts, Error& err) {
+                      McuRange range, bool handle_restarts, MakeBlk&& make_blk,
+                      Error& err) {
   const bool progressive = sp.is_progressive != 0;
   const bool interleaved = sp.ncomp > 1;
   int16_t dc_pred[4] = {0, 0, 0, 0};
@@ -451,8 +493,7 @@ bool decode_mcu_range(BitReader& r, const ScanParams& sp, const ScanComp* comps,
           for (int32_t h = 0; h < c.h_samp; h++) {
             int64_t by = static_cast<int64_t>(mcu_y) * c.v_samp + v;
             int64_t bx = static_cast<int64_t>(mcu_x) * c.h_samp + h;
-            int64_t off = (by * c.block_width + bx) * 64;
-            BlockRef blk{c.store ? c.store + off : nullptr};
+            auto blk = make_blk(i, by * c.block_width + bx);
             bool ok;
             if (sp.ah == 0) {
               ok = decode_block(r, blk, c.dc, c.ac, sp.ss, sp.se, sp.al,
@@ -496,6 +537,11 @@ int jt_decode_scan_dct(const uint8_t* data, uint64_t len, ScanParams* sp,
 
   const int64_t total_mcus = count_decoded_mcus(*sp);
   bool parallel_done = false;
+  auto dense_blk = [&](int32_t i, int64_t block_index) {
+    const ScanComp& c = comps[i];
+    return DenseBlock{c.store ? c.store + block_index * 64 : nullptr};
+  };
+
 
   if (sp->restart_interval > 0 && sp->nthreads > 1 &&
       total_mcus > 4 * sp->restart_interval) {
@@ -527,59 +573,77 @@ int jt_decode_scan_dct(const uint8_t* data, uint64_t len, ScanParams* sp,
     }
     if (regular && static_cast<int64_t>(seg_start.size()) == nseg) {
       int nt = sp->nthreads;
-      std::vector<Error> errs(nt);
       std::vector<std::thread> threads;
       std::atomic<int64_t> next_seg{0};
+      std::atomic<bool> irregular{false};
       for (int t = 0; t < nt; t++) {
-        threads.emplace_back([&, t]() {
+        threads.emplace_back([&]() {
           for (;;) {
             int64_t s = next_seg.fetch_add(1);
-            if (s >= nseg) return;
+            if (s >= nseg || irregular.load(std::memory_order_relaxed)) return;
             BitReader r(data, len, seg_start[s]);
             McuRange range{s * sp->restart_interval,
                            std::min<int64_t>((s + 1) * sp->restart_interval,
                                              total_mcus)};
-            if (!decode_mcu_range(r, *sp, comps, range, /*restarts=*/false,
-                                  errs[t])) {
+            Error e;
+            if (!decode_mcu_range(r, *sp, comps, range, /*restarts=*/false, dense_blk, e)) {
+              irregular.store(true);
               return;
+            }
+            if (s < nseg - 1) {
+              // Faithful restart validation: the segment must end with the
+              // expected RSTn reachable by a reservoir refill, exactly as the
+              // reference's take_marker would see it
+              // (/root/reference/src/decoder.rs:920-952).
+              int m = r.take_marker(e);
+              if (e || m != 0xD0 + static_cast<int>(s % 8)) {
+                irregular.store(true);
+                return;
+              }
             }
           }
         });
       }
       for (auto& th : threads) th.join();
-      for (auto& e : errs) {
-        if (e) {
-          if (e.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", e.msg);
-          return e.code;
+
+      if (irregular.load()) {
+        // Any anomaly: wipe partial writes and rerun serially so error
+        // semantics (and partial-decode state) match the reference exactly.
+        for (int32_t i = 0; i < sp->ncomp; i++) {
+          if (comps[i].store) {
+            std::memset(comps[i].store, 0,
+                        static_cast<size_t>(comps[i].store_elems) * sizeof(int16_t));
+          }
         }
+      } else {
+        // Finish: position a reader at the start of the final segment's data
+        // and skim to the scan-terminating marker like the serial path.
+        BitReader r(data, len, seg_start[nseg - 1]);
+        McuRange last{(nseg - 1) * sp->restart_interval, total_mcus};
+        Error e2;
+        if (!decode_mcu_range(r, *sp, comps, last, false, dense_blk, e2)) {
+          if (e2.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", e2.msg);
+          return e2.code;
+        }
+        int marker = r.take_marker(e2);
+        if (e2) {
+          if (e2.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", e2.msg);
+          return e2.code;
+        }
+        while (marker >= 0xD0 && marker <= 0xD7) {
+          marker = read_marker(data, len, &r.pos);
+        }
+        sp->out_marker = marker;
+        sp->pos = static_cast<int64_t>(r.pos);
+        parallel_done = true;
       }
-      // Finish: position a reader at the start of the final segment's data and
-      // skim to the scan-terminating marker exactly like the serial path.
-      BitReader r(data, len, seg_start[nseg - 1]);
-      McuRange last{(nseg - 1) * sp->restart_interval, total_mcus};
-      Error e2;
-      if (!decode_mcu_range(r, *sp, comps, last, false, e2)) {
-        if (e2.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", e2.msg);
-        return e2.code;
-      }
-      int marker = r.take_marker(e2);
-      if (e2) {
-        if (e2.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", e2.msg);
-        return e2.code;
-      }
-      while (marker >= 0xD0 && marker <= 0xD7) {
-        marker = read_marker(data, len, &r.pos);
-      }
-      sp->out_marker = marker;
-      sp->pos = static_cast<int64_t>(r.pos);
-      parallel_done = true;
     }
   }
 
   if (!parallel_done) {
     BitReader r(data, len, static_cast<size_t>(sp->pos));
     if (!decode_mcu_range(r, *sp, comps, McuRange{0, total_mcus},
-                          /*restarts=*/true, err)) {
+                          /*restarts=*/true, dense_blk, err)) {
       if (err.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", err.msg);
       return err.code;
     }
@@ -595,6 +659,54 @@ int jt_decode_scan_dct(const uint8_t* data, uint64_t len, ScanParams* sp,
     sp->out_marker = marker;
     sp->pos = static_cast<int64_t>(r.pos);
   }
+  return OK;
+}
+
+// Prefix-mode scan decode: baseline (non-progressive) scans emit the
+// zigzag-prefix + COO-residual interchange format directly, with no dense
+// coefficient store. pcomps aligns with comps; resid_count is cumulative
+// across scans (in/out).
+struct PrefixComp {
+  int16_t* prefix;  // [nblocks, K] zigzag-prefix output (zero-initialized), or null = dummy
+  int64_t base;     // global dense element offset of this component
+};
+
+int jt_decode_scan_dct_prefix(const uint8_t* data, uint64_t len, ScanParams* sp,
+                              const ScanComp* comps, const PrefixComp* pcomps,
+                              int32_t prefix_k, int32_t* resid_idx,
+                              int16_t* resid_vals, int64_t resid_cap,
+                              int64_t* resid_count, char* err_msg) {
+  Error err;
+  sp->out_marker = -1;
+  const int64_t total_mcus = count_decoded_mcus(*sp);
+  ResidBuf resid{resid_idx, resid_vals, *resid_count, resid_cap};
+
+  auto prefix_blk = [&](int32_t i, int64_t block_index) {
+    const PrefixComp& pc = pcomps[i];
+    return PrefixBlock{
+        pc.prefix ? pc.prefix + block_index * prefix_k : nullptr,
+        prefix_k,
+        pc.base + block_index * 64,
+        &resid};
+  };
+
+  BitReader r(data, len, static_cast<size_t>(sp->pos));
+  if (!decode_mcu_range(r, *sp, comps, McuRange{0, total_mcus},
+                        /*restarts=*/true, prefix_blk, err)) {
+    if (err.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", err.msg);
+    return err.code;
+  }
+  int marker = r.take_marker(err);
+  if (err) {
+    if (err.code == ERR_FORMAT && err_msg) std::snprintf(err_msg, 160, "%s", err.msg);
+    return err.code;
+  }
+  while (marker >= 0xD0 && marker <= 0xD7) {
+    marker = read_marker(data, len, &r.pos);
+  }
+  sp->out_marker = marker;
+  sp->pos = static_cast<int64_t>(r.pos);
+  *resid_count = resid.count;
   return OK;
 }
 
@@ -776,5 +888,31 @@ int64_t jt_pack_coo(const int16_t* store, int64_t n, int64_t base,
 // memset helper so pooled store buffers can be cleared without touching
 // Python-side page-faulting paths.
 void jt_zero(void* p, int64_t bytes) { std::memset(p, 0, static_cast<size_t>(bytes)); }
+
+// Zigzag-prefix packing: for each 8x8 block, emit its first K coefficients in
+// zigzag order (where JPEG energy concentrates) densely, plus a sparse COO
+// residual for nonzeros beyond the prefix. The device rebuilds the natural-
+// order tensor with a static column permutation (no large scatter) + a tiny
+// residual scatter — the host<->device interchange format of the streaming
+// path. Returns the residual count.
+int64_t jt_pack_prefix(const int16_t* store, int64_t nblocks, int32_t K,
+                       int64_t base, int16_t* prefix_out, int32_t* resid_idx,
+                       int16_t* resid_vals, int64_t resid_cap) {
+  int64_t r = 0;
+  for (int64_t b = 0; b < nblocks; b++) {
+    const int16_t* blk = store + b * 64;
+    int16_t* pfx = prefix_out + b * K;
+    for (int32_t j = 0; j < K; j++) pfx[j] = blk[UNZIGZAG[j]];
+    for (int32_t j = K; j < 64; j++) {
+      int16_t v = blk[UNZIGZAG[j]];
+      if (v != 0 && r < resid_cap) {
+        resid_idx[r] = static_cast<int32_t>(base + b * 64 + UNZIGZAG[j]);
+        resid_vals[r] = v;
+        r++;
+      }
+    }
+  }
+  return r;
+}
 
 }  // extern "C"

@@ -48,6 +48,14 @@ class _CScanComp(C.Structure):
         ("store", C.c_void_p),
         ("dc", C.c_void_p),
         ("ac", C.c_void_p),
+        ("store_elems", C.c_int64),
+    ]
+
+
+class _CPrefixComp(C.Structure):
+    _fields_ = [
+        ("prefix", C.c_void_p),
+        ("base", C.c_int64),
     ]
 
 
@@ -111,6 +119,15 @@ def _load():
         C.c_void_p, C.c_int64, C.c_int64, C.c_void_p, C.c_void_p, C.c_int64]
     lib.jt_zero.restype = None
     lib.jt_zero.argtypes = [C.c_void_p, C.c_int64]
+    lib.jt_pack_prefix.restype = C.c_int64
+    lib.jt_pack_prefix.argtypes = [
+        C.c_void_p, C.c_int64, C.c_int32, C.c_int64, C.c_void_p, C.c_void_p,
+        C.c_void_p, C.c_int64]
+    lib.jt_decode_scan_dct_prefix.restype = C.c_int
+    lib.jt_decode_scan_dct_prefix.argtypes = [
+        C.c_char_p, C.c_uint64, C.POINTER(_CScanParams), C.POINTER(_CScanComp),
+        C.POINTER(_CPrefixComp), C.c_int32, C.c_void_p, C.c_void_p, C.c_int64,
+        C.POINTER(C.c_int64), C.c_char_p]
     _lib = lib
     return lib
 
@@ -149,10 +166,9 @@ def _raise(code: int, msg: bytes) -> None:
     raise FormatError(f"native entropy error {code}")
 
 
-def decode_scan_dct(cursor, frame, scan, dc_tables, ac_tables, restart_interval: int,
-                    stores: list) -> Optional[int]:
-    """Native counterpart of scan_python.decode_scan_dct (same contract)."""
-    lib = _load()
+def _build_scan_args(frame, scan, dc_tables, ac_tables, stores, restart_interval,
+                     cursor):
+    from ..parser import CodingProcess as _CP
     components = [frame.components[i] for i in scan.component_indices]
     is_interleaved = len(components) > 1
 
@@ -167,14 +183,16 @@ def decode_scan_dct(cursor, frame, scan, dc_tables, ac_tables, restart_interval:
         comps[i].h_samp = c.horizontal_sampling_factor if is_interleaved else 1
         comps[i].v_samp = c.vertical_sampling_factor if is_interleaved else 1
         comps[i].block_width = c.block_size.width
-        comps[i].store = stores[i].ctypes.data if stores[i] is not None else None
+        store = stores[i] if stores is not None else None
+        comps[i].store = store.ctypes.data if store is not None else None
         comps[i].dc = C.addressof(dc_st) if dc_st is not None else None
         comps[i].ac = C.addressof(ac_st) if ac_st is not None else None
+        comps[i].store_elems = store.size if store is not None else 0
 
     sp = _CScanParams(
         pos=cursor.pos,
         ncomp=len(components),
-        is_progressive=1 if frame.coding_process == CodingProcess.DCT_PROGRESSIVE else 0,
+        is_progressive=1 if frame.coding_process == _CP.DCT_PROGRESSIVE else 0,
         max_mcu_x=frame.mcu_size.width if is_interleaved else components[0].block_size.width,
         max_mcu_y=frame.mcu_size.height if is_interleaved else components[0].block_size.height,
         image_w=frame.image_size.width,
@@ -187,6 +205,15 @@ def decode_scan_dct(cursor, frame, scan, dc_tables, ac_tables, restart_interval:
         nthreads=_NTHREADS,
         out_marker=-1,
     )
+    return components, comps, sp, keepalive
+
+
+def decode_scan_dct(cursor, frame, scan, dc_tables, ac_tables, restart_interval: int,
+                    stores: list) -> Optional[int]:
+    """Native counterpart of scan_python.decode_scan_dct (same contract)."""
+    lib = _load()
+    components, comps, sp, keepalive = _build_scan_args(
+        frame, scan, dc_tables, ac_tables, stores, restart_interval, cursor)
 
     err = C.create_string_buffer(160)
     code = lib.jt_decode_scan_dct(cursor.data, len(cursor.data), C.byref(sp),
@@ -196,6 +223,36 @@ def decode_scan_dct(cursor, frame, scan, dc_tables, ac_tables, restart_interval:
         _raise(code, err.value)
     cursor.pos = sp.pos
     return sp.out_marker if sp.out_marker >= 0 else None
+
+
+def decode_scan_dct_prefix(cursor, frame, scan, dc_tables, ac_tables,
+                           restart_interval: int, prefix_arrays: list,
+                           bases: list, prefix_k: int, resid_idx, resid_vals,
+                           resid_count: int) -> tuple:
+    """Baseline scan decode emitting the zigzag-prefix + residual format
+    directly (no dense store). prefix_arrays[i] is int16 [nblocks, K]
+    (zero-initialized) or None (dummy). Returns (marker, new_resid_count)."""
+    lib = _load()
+    components, comps, sp, keepalive = _build_scan_args(
+        frame, scan, dc_tables, ac_tables, None, restart_interval, cursor)
+
+    pcomps = (_CPrefixComp * len(components))()
+    for i in range(len(components)):
+        arr = prefix_arrays[i]
+        pcomps[i].prefix = arr.ctypes.data if arr is not None else None
+        pcomps[i].base = bases[i]
+
+    count = C.c_int64(resid_count)
+    err = C.create_string_buffer(160)
+    code = lib.jt_decode_scan_dct_prefix(
+        cursor.data, len(cursor.data), C.byref(sp), comps, pcomps, prefix_k,
+        resid_idx.ctypes.data, resid_vals.ctypes.data, resid_idx.size,
+        C.byref(count), err)
+    if code != 0:
+        cursor.pos = len(cursor.data)
+        _raise(code, err.value)
+    cursor.pos = sp.pos
+    return (sp.out_marker if sp.out_marker >= 0 else None), count.value
 
 
 def decode_scan_lossless(cursor, frame, scan, dc_tables, restart_interval: int):
@@ -241,6 +298,16 @@ def pack_coo(store: np.ndarray, base: int, idx_out: np.ndarray,
 
 def zero_buffer(arr: np.ndarray) -> None:
     _load().jt_zero(arr.ctypes.data, arr.nbytes)
+
+
+def pack_prefix(store: np.ndarray, nblocks: int, k: int, base: int,
+                prefix_out: np.ndarray, resid_idx: np.ndarray,
+                resid_vals: np.ndarray) -> int:
+    """Zigzag-prefix + residual-COO packing of one component store."""
+    lib = _load()
+    return lib.jt_pack_prefix(store.ctypes.data, nblocks, k, base,
+                              prefix_out.ctypes.data, resid_idx.ctypes.data,
+                              resid_vals.ctypes.data, resid_idx.size)
 
 
 def reconstruct_lossless(diffs: np.ndarray, predictor: int, point_transform: int,

@@ -1,18 +1,19 @@
 """Decode-to-device streaming: the production TPU ingestion pipeline.
 
 Decoded images stay in device HBM (where a training/serving model consumes
-them); the host never reads pixels back. Per image the host does the bit-serial
-entropy stage and ships coefficients in sparse COO form — JPEG coefficient
-tensors are ~90+% zeros, so this cuts host->device bytes by 3-5x versus dense
-int16 — and the device scatters to dense and runs the fused reconstruction
-pipeline (`ops/pipeline.py`).
+them); the host never reads pixels back. Per image the host runs the
+bit-serial entropy stage and ships coefficients in a *zigzag-prefix* format:
 
-Stages are overlapped: a host thread pool runs entropy while async device_put
-streams previous images' COO tensors and async-dispatched jit calls reconstruct
-them. Sustained throughput = the slowest stage, not the sum.
+- a dense int16 [blocks, K] tensor holding each block's first K coefficients
+  in zigzag order (JPEG energy concentrates there), rebuilt on device with a
+  static column permutation — no scatter;
+- a small COO residual for nonzeros beyond the prefix, applied with one
+  (tiny) scatter-add.
 
-nnz counts are padded to bucket sizes so the scatter program compiles once per
-(geometry, bucket) pair; padding entries scatter-add zeros (a no-op).
+This keeps host->device bytes within ~1.2x of pure sparse COO while replacing
+the large random scatter (the dominant device cost for COO) with a shuffle.
+Stages are overlapped: host thread-pool entropy, async device_put, async jit
+dispatch. Sustained throughput = slowest stage, not the sum.
 """
 
 from __future__ import annotations
@@ -20,37 +21,75 @@ from __future__ import annotations
 import concurrent.futures as cf
 import dataclasses
 import functools
-from typing import Iterable, Optional
+import threading
+from typing import Iterable
 
 import numpy as np
 
 from ..decoder import Decoder
+from ..entropy.scan_python import UNZIGZAG
 from ..ops.pipeline import ImageGeometry, _reconstruct, geometry_from_frame
 
+PREFIX_K = 16
 
-def _bucket_nnz(nnz: int) -> int:
-    """Round nnz up to a compile-friendly bucket (1.3x geometric steps)."""
-    size = 4096
-    while size < nnz:
+
+def _tune_malloc() -> None:
+    """Keep multi-MB numpy buffers on the heap instead of per-allocation mmap.
+
+    glibc mmaps allocations above ~128KB and munmaps them on free, so every
+    per-image tensor (prefix, residuals) pays full page-fault cost again —
+    measured at 100+ ms per large_image-class decode. Raising the mmap
+    threshold (and disabling trim) makes the heap retain and reuse the pages.
+    """
+    import ctypes
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
+# Natural index -> zigzag position (inverse of UNZIGZAG).
+_ZIGZAG_OF_NATURAL = np.zeros(64, np.int32)
+for _z, _n in enumerate(UNZIGZAG):
+    _ZIGZAG_OF_NATURAL[_n] = _z
+
+
+def _bucket(n: int, floor: int = 2048) -> int:
+    """Round up to a compile-friendly bucket (1.3x geometric steps)."""
+    size = floor
+    while size < n:
         size = int(size * 1.3) + (-int(size * 1.3) % 256)
     return size
 
 
 @functools.lru_cache(maxsize=256)
-def _compiled_coo_pipeline(geometry: ImageGeometry, total_coeffs: int, nnz_bucket: int):
+def _compiled_prefix_pipeline(geometry: ImageGeometry, resid_bucket: int):
     import jax
     import jax.numpy as jnp
 
     comps = geometry.components
-    sizes = [c.blocks_high * c.blocks_wide * 64 for c in comps]
+    nblocks = [c.blocks_high * c.blocks_wide for c in comps]
+    sizes = [n * 64 for n in nblocks]
     offsets = np.cumsum([0] + sizes)[:-1]
+    total = int(sum(sizes))
+    perm = tuple(int(x) for x in _ZIGZAG_OF_NATURAL)
 
-    def run(idx, vals, qts):
-        dense = jnp.zeros((total_coeffs,), jnp.int16).at[idx].add(
-            vals, mode="drop", indices_are_sorted=True, unique_indices=False)
+    def run(prefix, resid_idx, resid_vals, qts):
+        # prefix: int16 [sum(nblocks), K] zigzag order.
+        padded = jnp.concatenate(
+            [prefix, jnp.zeros((prefix.shape[0], 64 - PREFIX_K), jnp.int16)],
+            axis=1)
+        dense_blocks = padded[:, jnp.asarray(perm)]       # natural order
+        dense = dense_blocks.reshape(-1)
+        dense = dense.at[resid_idx].add(resid_vals, mode="drop")
         stores = [
-            dense[int(off):int(off) + int(sz)].reshape(-1, 64)
-            for off, sz in zip(offsets, sizes)
+            dense[int(o):int(o) + int(s)].reshape(-1, 64)
+            for o, s in zip(offsets, sizes)
         ]
         return _reconstruct(geometry, stores, qts, jnp)
 
@@ -60,20 +99,20 @@ def _compiled_coo_pipeline(geometry: ImageGeometry, total_coeffs: int, nnz_bucke
 @dataclasses.dataclass
 class StagedImage:
     geometry: ImageGeometry
-    idx: np.ndarray        # int32 [nnz_padded], sorted; padding points past end (dropped)
-    vals: np.ndarray       # int16 [nnz_padded]
-    qts: tuple             # per-component uint16[64]
+    prefix: np.ndarray     # int16 [sum_blocks, K]
+    resid_idx: np.ndarray  # int32 [resid_bucket]; padding -> out of range (dropped)
+    resid_vals: np.ndarray  # int16 [resid_bucket]
+    qts: tuple
     total_coeffs: int
     mpix: float
 
 
 class _BufferPool:
     """Reusable host buffers keyed by (dtype, size). Large per-image numpy
-    allocations hit mmap/page-fault churn (~100s of ms for 20MB-class tensors);
-    pooling keeps the pages resident across images."""
+    allocations hit mmap/page-fault churn (~100s of ms for 20MB-class
+    tensors); pooling keeps the pages resident across images."""
 
     def __init__(self):
-        import threading
         self._lock = threading.Lock()
         self._free: dict = {}
 
@@ -94,17 +133,129 @@ class _BufferPool:
 _pool = _BufferPool()
 
 
-def stage_host(source, scale_to=None) -> StagedImage:
-    """Host stages for one image: parse + entropy + sparse pack.
+class PrefixCapture:
+    """Receives baseline scan output in the device interchange format straight
+    from the native entropy kernel — no dense 64-coefficient stores ever exist
+    on the host, roughly quartering per-image host memory traffic (the staging
+    stage is DRAM-bandwidth-bound at multi-worker rates)."""
 
-    Uses pooled, C-zeroed coefficient stores and the native single-pass COO
-    packer when the C++ kernel is available; falls back to numpy otherwise.
-    """
+    def __init__(self, native, k: int = PREFIX_K):
+        self.native = native
+        self.k = k
+        self.prefix_arrays: dict = {}   # frame comp index -> int16 [nblocks, K]
+        self.bases: list = []
+        self.sizes: list = []
+        self.total = 0
+        self.resid_idx = None
+        self.resid_vals = None
+        self.resid_count = 0
+        self.used = False
+
+    def wants(self, frame) -> bool:
+        return True
+
+    def _ensure_layout(self, frame) -> None:
+        if self.bases:
+            return
+        self.sizes = [c.block_size.width * c.block_size.height * 64
+                      for c in frame.components]
+        self.bases = list(np.cumsum([0] + self.sizes)[:-1])
+        self.total = int(sum(self.sizes))
+        self.resid_idx = _pool.acquire(self.total, np.int32)
+        self.resid_vals = _pool.acquire(self.total, np.int16)
+
+    def _prefix_for(self, comp_i: int, frame) -> np.ndarray:
+        arr = self.prefix_arrays.get(comp_i)
+        if arr is None:
+            nblocks = self.sizes[comp_i] // 64
+            flat = _pool.acquire(nblocks * self.k, np.int16)
+            self.native.zero_buffer(flat)
+            arr = flat.reshape(nblocks, self.k)
+            self.prefix_arrays[comp_i] = arr
+        return arr
+
+    def decode_scan(self, decoder, frame, scan, finished):
+        self._ensure_layout(frame)
+        self.used = True
+        prefixes = []
+        bases = []
+        for pos, comp_i in enumerate(scan.component_indices):
+            if finished[pos]:
+                prefixes.append(self._prefix_for(comp_i, frame))
+                qt = decoder._quantization_tables[
+                    frame.components[comp_i].quantization_table_index]
+                decoder._pending_render[comp_i] = (None, qt.copy())
+            else:
+                prefixes.append(None)  # dummy-block case
+            bases.append(self.bases[comp_i])
+
+        marker, self.resid_count = self.native.decode_scan_dct_prefix(
+            decoder._cursor, frame, scan,
+            decoder._dc_huffman_tables, decoder._ac_huffman_tables,
+            decoder._restart_interval, prefixes, bases, self.k,
+            self.resid_idx, self.resid_vals, self.resid_count)
+        return marker
+
+    def release(self) -> None:
+        for arr in self.prefix_arrays.values():
+            _pool.release(arr.reshape(-1))
+        if self.resid_idx is not None:
+            _pool.release(self.resid_idx)
+            _pool.release(self.resid_vals)
+
+
+def _staged_from_capture(d: Decoder, capture: PrefixCapture, precision: str,
+                         pooled: list) -> StagedImage:
+    from ..errors import FormatError
+
+    frame = d.frame
+    n = len(frame.components)
+    if any(i not in d._pending_render for i in range(n)):
+        capture.release()
+        for buf in pooled:
+            _pool.release(buf)
+        raise FormatError("not all components have data")
+
+    transform = None if n == 1 else d._determine_color_transform()
+    geometry = geometry_from_frame(frame, transform, precision=precision)
+    qts = tuple(d._pending_render[i][1] for i in range(n))
+
+    total_blocks = capture.total // 64
+    prefix = np.empty((total_blocks, capture.k), np.int16)
+    row = 0
+    for i in range(n):
+        nblocks = capture.sizes[i] // 64
+        arr = capture.prefix_arrays.get(i)
+        if arr is None:
+            prefix[row:row + nblocks] = 0
+        else:
+            prefix[row:row + nblocks] = arr
+        row += nblocks
+
+    r = capture.resid_count
+    bucket = _bucket(r)
+    resid_idx = np.full(bucket, capture.total, np.int32)
+    resid_vals = np.zeros(bucket, np.int16)
+    resid_idx[:r] = capture.resid_idx[:r]
+    resid_vals[:r] = capture.resid_vals[:r]
+
+    capture.release()
+    for buf in pooled:
+        _pool.release(buf)
+
+    info = d.info()
+    return StagedImage(geometry, prefix, resid_idx, resid_vals, qts,
+                       capture.total, info.width * info.height / 1e6)
+
+
+def stage_host(source, scale_to=None, precision: str = "fast") -> StagedImage:
+    """Host stages for one image: parse + entropy + prefix/residual pack."""
     from ..entropy.native import get_native
     native = get_native()
 
     d = Decoder(source, backend="numpy")
     pooled: list = []
+    capture = None
     if native is not None:
         def alloc(size: int) -> np.ndarray:
             buf = _pool.acquire(size, np.int16)
@@ -112,68 +263,86 @@ def stage_host(source, scale_to=None) -> StagedImage:
             pooled.append(buf)
             return buf
         d._store_allocator = alloc
+        capture = PrefixCapture(native)
+        d._prefix_capture = capture
 
     if scale_to is not None:
         d.scale(*scale_to)
     d._decode_entropy_only()
+
+    if capture is not None and capture.used:
+        return _staged_from_capture(d, capture, precision, pooled)
     n = len(d.frame.components)
     stores = [d._pending_render[i][0].reshape(-1) for i in range(n)]
     qts = tuple(d._pending_render[i][1] for i in range(n))
     transform = None if n == 1 else d._determine_color_transform()
-    geometry = geometry_from_frame(d.frame, transform)
+    geometry = geometry_from_frame(d.frame, transform, precision=precision)
 
-    total = sum(s.size for s in stores)
+    nblocks = [s.size // 64 for s in stores]
+    total_blocks = sum(nblocks)
+    total = total_blocks * 64
 
+    prefix = np.empty((total_blocks, PREFIX_K), np.int16)
+    scratch_idx = _pool.acquire(total, np.int32)
+    scratch_vals = _pool.acquire(total, np.int16)
+
+    r = 0
+    brow = 0
+    base = 0
     if native is not None:
-        scratch_idx = _pool.acquire(total, np.int32)
-        scratch_vals = _pool.acquire(total, np.int16)
-        k = 0
-        base = 0
-        for s in stores:
-            k += native.pack_coo(s, base, scratch_idx[k:], scratch_vals[k:])
+        for s, nb in zip(stores, nblocks):
+            r += native.pack_prefix(s, nb, PREFIX_K, base,
+                                    prefix[brow:brow + nb],
+                                    scratch_idx[r:], scratch_vals[r:])
+            brow += nb
             base += s.size
-        bucket = _bucket_nnz(k)
-        idx = np.empty(bucket, np.int32)
-        vals = np.empty(bucket, np.int16)
-        idx[:k] = scratch_idx[:k]
-        vals[:k] = scratch_vals[:k]
-        idx[k:] = total  # out-of-range: dropped by the device scatter
-        vals[k:] = 0
-        _pool.release(scratch_idx)
-        _pool.release(scratch_vals)
-        for buf in pooled:
-            _pool.release(buf)
     else:
-        flat = np.concatenate(stores) if n > 1 else stores[0]
-        nz = np.flatnonzero(flat)
-        bucket = _bucket_nnz(len(nz))
-        idx = np.full(bucket, total, np.int32)
-        vals = np.zeros(bucket, np.int16)
-        idx[:len(nz)] = nz
-        vals[:len(nz)] = flat[nz]
+        zz = np.asarray(UNZIGZAG)
+        for s, nb in zip(stores, nblocks):
+            blocks = s.reshape(nb, 64)
+            zzb = blocks[:, zz]
+            prefix[brow:brow + nb] = zzb[:, :PREFIX_K]
+            tail = zzb[:, PREFIX_K:]
+            bi, zi = np.nonzero(tail)
+            cnt = len(bi)
+            scratch_idx[r:r + cnt] = base + bi * 64 + zz[PREFIX_K + zi]
+            scratch_vals[r:r + cnt] = tail[bi, zi]
+            r += cnt
+            brow += nb
+            base += s.size
+
+    bucket = _bucket(r)
+    resid_idx = np.full(bucket, total, np.int32)  # out-of-range: dropped
+    resid_vals = np.zeros(bucket, np.int16)
+    resid_idx[:r] = scratch_idx[:r]
+    resid_vals[:r] = scratch_vals[:r]
+    _pool.release(scratch_idx)
+    _pool.release(scratch_vals)
+    for buf in pooled:
+        _pool.release(buf)
 
     info = d.info()
-    return StagedImage(geometry, idx, vals, qts, total,
+    return StagedImage(geometry, prefix, resid_idx, resid_vals, qts, total,
                        info.width * info.height / 1e6)
 
 
 class DeviceStreamDecoder:
     """Streaming decode-to-device: returns device arrays, never reads back."""
 
-    def __init__(self, host_threads: int = 4):
+    def __init__(self, host_threads: int = 4, precision: str = "fast"):
         self.pool = cf.ThreadPoolExecutor(max_workers=host_threads)
+        self.precision = precision
+
+    def decode_one(self, staged: StagedImage):
+        import jax
+        fn = _compiled_prefix_pipeline(staged.geometry, len(staged.resid_idx))
+        return fn(jax.device_put(staged.prefix),
+                  jax.device_put(staged.resid_idx),
+                  jax.device_put(staged.resid_vals),
+                  staged.qts)
 
     def decode_stream(self, sources: Iterable, scale_to=None) -> list:
         """Decode all sources; returns a list of device uint8 arrays."""
-        import jax
-
-        staged_futures = [self.pool.submit(stage_host, s, scale_to)
+        staged_futures = [self.pool.submit(stage_host, s, scale_to, self.precision)
                           for s in sources]
-        outputs = []
-        for fut in staged_futures:
-            st = fut.result()
-            fn = _compiled_coo_pipeline(st.geometry, st.total_coeffs, len(st.idx))
-            idx_d = jax.device_put(st.idx)
-            vals_d = jax.device_put(st.vals)
-            outputs.append(fn(idx_d, vals_d, st.qts))
-        return outputs
+        return [self.decode_one(fut.result()) for fut in staged_futures]

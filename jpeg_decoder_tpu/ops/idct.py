@@ -231,6 +231,50 @@ def dequantize_and_idct_blocks(coefficients, quantization_table, scale: int = 8,
     raise ValueError(f"Unsupported IDCT scale {scale}/8")
 
 
+def _idct_basis_64() -> np.ndarray:
+    """The 8x8 IDCT as one 64x64 linear map: vec(B F B^T) = (B (x) B) vec(F),
+    row-major. B[y, v] = 0.5 C(v) cos((2y+1) v pi / 16) (A.3.3 of T.81).
+
+    This is the MXU formulation: all blocks of a component become one
+    [N, 64] x [64, 64] matmul instead of per-block butterflies on the VPU.
+    """
+    y = np.arange(8)
+    v = np.arange(8)
+    b = 0.5 * np.cos((2 * y[:, None] + 1) * v[None, :] * np.pi / 16)
+    b[:, 0] *= 1.0 / np.sqrt(2.0)
+    m = np.einsum("yv,xu->yxvu", b, b).reshape(64, 64)
+    return m.astype(np.float32)
+
+
+_IDCT_M64_T = _idct_basis_64().T.copy()  # [64(coef), 64(pixel)]
+
+
+def dequantize_and_idct_blocks_fast(coefficients, quantization_table, xp=np):
+    """fp32 MXU IDCT ("fast" precision mode): bit-equivalence is NOT guaranteed
+    but output stays within the reference reftest tolerance (<=3 vs golden) —
+    the same contract as the reference's arch SIMD kernels, which are also not
+    bit-identical to its scalar path (`/root/reference/src/arch/mod.rs:13-57`,
+    CHANGELOG v0.2.2 note). Exact mode remains the default for parity.
+
+    Returns uint8 [N, 8, 8].
+    """
+    c = xp.asarray(coefficients).reshape(-1, 64).astype(xp.float32)
+    q = xp.asarray(quantization_table).astype(xp.float32).reshape(1, 64)
+    s = c * q
+    if xp is np:
+        y = s @ _IDCT_M64_T
+    else:
+        import jax
+        # HIGHEST keeps the MXU's f32 path full-precision; with the default
+        # (bf16-decomposed) path the worst-case error vs the exact integer
+        # kernel reaches the edge of the reftest tolerance.
+        y = xp.matmul(s, xp.asarray(_IDCT_M64_T),
+                      preferred_element_type=xp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    out = xp.clip(xp.floor(y + xp.float32(128.5)), 0, 255).astype(xp.uint8)
+    return out.reshape(-1, 8, 8)
+
+
 def blocks_to_plane(block_pixels, blocks_wide: int, blocks_high: int, xp=np):
     """Assemble [N, s, s] block pixels into a [blocks_high*s, blocks_wide*s] plane."""
     n, s, _ = block_pixels.shape

@@ -47,14 +47,23 @@ class ImageGeometry:
     out_width: int
     out_height: int
     transform: Optional[ColorTransform]  # None for single-component crop path
+    # "exact": bit-identical integer kernels (the reference's
+    # platform_independent contract). "fast": fp32 MXU IDCT, within reftest
+    # tolerance (the reference's default-SIMD contract).
+    precision: str = "exact"
 
 
 def _reconstruct(geometry: ImageGeometry, stores, qts, xp):
     """Trace the full reconstruction. `stores` are int16 [N_i, 64] per
     component, `qts` uint16[64] per component (natural order)."""
+    from .idct import dequantize_and_idct_blocks_fast
+
     planes = []
     for comp, store, qt in zip(geometry.components, stores, qts):
-        pixels = dequantize_and_idct_blocks(store, qt, comp.dct_scale, xp=xp)
+        if geometry.precision == "fast" and comp.dct_scale == 8:
+            pixels = dequantize_and_idct_blocks_fast(store, qt, xp=xp)
+        else:
+            pixels = dequantize_and_idct_blocks(store, qt, comp.dct_scale, xp=xp)
         planes.append(blocks_to_plane(pixels, comp.blocks_wide, comp.blocks_high, xp=xp))
 
     if geometry.transform is None:
@@ -97,7 +106,8 @@ def reconstruct_image(geometry: ImageGeometry, stores, qts, backend: str = "nump
     return _reconstruct(geometry, stores, qts, np)
 
 
-def geometry_from_frame(frame, transform: Optional[ColorTransform]) -> ImageGeometry:
+def geometry_from_frame(frame, transform: Optional[ColorTransform],
+                        precision: str = "exact") -> ImageGeometry:
     """Distill a parsed FrameInfo into the static geometry key."""
     from .upsample import choose_upsampler
 
@@ -130,4 +140,5 @@ def geometry_from_frame(frame, transform: Optional[ColorTransform]) -> ImageGeom
         out_width=out_w,
         out_height=out_h,
         transform=transform,
+        precision=precision,
     )

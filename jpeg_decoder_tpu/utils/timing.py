@@ -1,0 +1,59 @@
+"""Per-stage decode timing — the observability layer the reference lacks.
+
+SURVEY.md §5: the reference has no in-crate tracing; measurement is external
+criterion benches. Here stage timings (parse, entropy, pack, H2D, device
+pipeline) are first-class: `StageTimer` collects wall times per named stage,
+and `jax.profiler` traces can be captured around the device pipeline for
+XProf when running on real TPUs.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class StageTimer:
+    """Accumulates wall time per stage across repeated decodes."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def summary(self) -> str:
+        lines = []
+        for name in sorted(self.totals, key=self.totals.get, reverse=True):
+            total = self.totals[name]
+            n = self.counts[name]
+            lines.append(f"{name:>16}: {total * 1000:9.2f} ms total, "
+                         f"{total / n * 1000:8.3f} ms/call x{n}")
+        return "\n".join(lines)
+
+    def reset(self) -> None:
+        self.totals.clear()
+        self.counts.clear()
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str] = None):
+    """Capture a jax profiler trace around a block (XProf-compatible).
+
+    No-op when log_dir is None or jax is unavailable.
+    """
+    if log_dir is None:
+        yield
+        return
+    import jax
+    with jax.profiler.trace(log_dir):
+        yield
