@@ -244,19 +244,35 @@ struct ResidBuf {
 };
 
 struct PrefixBlock {
-  int16_t* prefix;     // K zigzag slots for this block, or null = dummy
+  // Compact interchange layout per block: DC as int16 (slot 0), the next K-1
+  // zigzag slots as saturated int8 with int16 correction entries in the
+  // residual for the rare |v| > 127 case, everything beyond K as residual
+  // COO. ~0.8 bytes/coefficient-slot on the wire vs 2 for dense int16.
+  int16_t* dc_slot;    // this block's DC, or null = dummy
+  int8_t* ac_slots;    // K-1 int8 AC prefix slots
   int32_t k;
   int64_t flat_base;   // global dense element offset of this block
   ResidBuf* resid;
-  inline void set_zz(int z, int32_t v) const {
-    if (!prefix) return;
-    int16_t w = wrap16(v);
-    if (z < k) {
-      prefix[z] = w;
-    } else if (w != 0 && resid->count < resid->cap) {
+
+  inline void append_resid(int z, int32_t v) const {
+    if (v != 0 && resid->count < resid->cap) {
       resid->idx[resid->count] = static_cast<int32_t>(flat_base + UNZIGZAG[z]);
-      resid->vals[resid->count] = w;
+      resid->vals[resid->count] = static_cast<int16_t>(v);
       resid->count++;
+    }
+  }
+
+  inline void set_zz(int z, int32_t v) const {
+    if (!dc_slot) return;
+    int16_t w = wrap16(v);
+    if (z == 0) {
+      *dc_slot = w;
+    } else if (z < k) {
+      int32_t sat = w < -128 ? -128 : (w > 127 ? 127 : w);
+      ac_slots[z - 1] = static_cast<int8_t>(sat);
+      append_resid(z, static_cast<int32_t>(w) - sat);
+    } else {
+      append_resid(z, w);
     }
   }
   // Refinement accessors are never exercised in prefix mode (baseline only);
@@ -667,7 +683,8 @@ int jt_decode_scan_dct(const uint8_t* data, uint64_t len, ScanParams* sp,
 // coefficient store. pcomps aligns with comps; resid_count is cumulative
 // across scans (in/out).
 struct PrefixComp {
-  int16_t* prefix;  // [nblocks, K] zigzag-prefix output (zero-initialized), or null = dummy
+  int16_t* dc;      // [nblocks] int16 DC plane (zero-initialized), or null = dummy
+  int8_t* ac;       // [nblocks, K-1] int8 AC prefix (zero-initialized)
   int64_t base;     // global dense element offset of this component
 };
 
@@ -684,7 +701,8 @@ int jt_decode_scan_dct_prefix(const uint8_t* data, uint64_t len, ScanParams* sp,
   auto prefix_blk = [&](int32_t i, int64_t block_index) {
     const PrefixComp& pc = pcomps[i];
     return PrefixBlock{
-        pc.prefix ? pc.prefix + block_index * prefix_k : nullptr,
+        pc.dc ? pc.dc + block_index : nullptr,
+        pc.ac ? pc.ac + block_index * (prefix_k - 1) : nullptr,
         prefix_k,
         pc.base + block_index * 64,
         &resid};
@@ -896,13 +914,24 @@ void jt_zero(void* p, int64_t bytes) { std::memset(p, 0, static_cast<size_t>(byt
 // residual scatter — the host<->device interchange format of the streaming
 // path. Returns the residual count.
 int64_t jt_pack_prefix(const int16_t* store, int64_t nblocks, int32_t K,
-                       int64_t base, int16_t* prefix_out, int32_t* resid_idx,
-                       int16_t* resid_vals, int64_t resid_cap) {
+                       int64_t base, int16_t* dc_out, int8_t* ac_out,
+                       int32_t* resid_idx, int16_t* resid_vals,
+                       int64_t resid_cap) {
   int64_t r = 0;
   for (int64_t b = 0; b < nblocks; b++) {
     const int16_t* blk = store + b * 64;
-    int16_t* pfx = prefix_out + b * K;
-    for (int32_t j = 0; j < K; j++) pfx[j] = blk[UNZIGZAG[j]];
+    dc_out[b] = blk[0];
+    int8_t* ac = ac_out + b * (K - 1);
+    for (int32_t j = 1; j < K; j++) {
+      int32_t w = blk[UNZIGZAG[j]];
+      int32_t sat = w < -128 ? -128 : (w > 127 ? 127 : w);
+      ac[j - 1] = static_cast<int8_t>(sat);
+      if (w != sat && r < resid_cap) {
+        resid_idx[r] = static_cast<int32_t>(base + b * 64 + UNZIGZAG[j]);
+        resid_vals[r] = static_cast<int16_t>(w - sat);
+        r++;
+      }
+    }
     for (int32_t j = K; j < 64; j++) {
       int16_t v = blk[UNZIGZAG[j]];
       if (v != 0 && r < resid_cap) {

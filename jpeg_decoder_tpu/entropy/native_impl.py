@@ -54,7 +54,8 @@ class _CScanComp(C.Structure):
 
 class _CPrefixComp(C.Structure):
     _fields_ = [
-        ("prefix", C.c_void_p),
+        ("dc", C.c_void_p),
+        ("ac", C.c_void_p),
         ("base", C.c_int64),
     ]
 
@@ -122,7 +123,7 @@ def _load():
     lib.jt_pack_prefix.restype = C.c_int64
     lib.jt_pack_prefix.argtypes = [
         C.c_void_p, C.c_int64, C.c_int32, C.c_int64, C.c_void_p, C.c_void_p,
-        C.c_void_p, C.c_int64]
+        C.c_void_p, C.c_void_p, C.c_int64]
     lib.jt_decode_scan_dct_prefix.restype = C.c_int
     lib.jt_decode_scan_dct_prefix.argtypes = [
         C.c_char_p, C.c_uint64, C.POINTER(_CScanParams), C.POINTER(_CScanComp),
@@ -226,20 +227,22 @@ def decode_scan_dct(cursor, frame, scan, dc_tables, ac_tables, restart_interval:
 
 
 def decode_scan_dct_prefix(cursor, frame, scan, dc_tables, ac_tables,
-                           restart_interval: int, prefix_arrays: list,
-                           bases: list, prefix_k: int, resid_idx, resid_vals,
-                           resid_count: int) -> tuple:
-    """Baseline scan decode emitting the zigzag-prefix + residual format
-    directly (no dense store). prefix_arrays[i] is int16 [nblocks, K]
-    (zero-initialized) or None (dummy). Returns (marker, new_resid_count)."""
+                           restart_interval: int, dc_arrays: list,
+                           ac_arrays: list, bases: list, prefix_k: int,
+                           resid_idx, resid_vals, resid_count: int) -> tuple:
+    """Baseline scan decode emitting the compact prefix format directly (no
+    dense store). dc_arrays[i] is int16 [nblocks], ac_arrays[i] is int8
+    [nblocks, K-1] (both zero-initialized), or None (dummy).
+    Returns (marker, new_resid_count)."""
     lib = _load()
     components, comps, sp, keepalive = _build_scan_args(
         frame, scan, dc_tables, ac_tables, None, restart_interval, cursor)
 
     pcomps = (_CPrefixComp * len(components))()
     for i in range(len(components)):
-        arr = prefix_arrays[i]
-        pcomps[i].prefix = arr.ctypes.data if arr is not None else None
+        dc_arr, ac_arr = dc_arrays[i], ac_arrays[i]
+        pcomps[i].dc = dc_arr.ctypes.data if dc_arr is not None else None
+        pcomps[i].ac = ac_arr.ctypes.data if ac_arr is not None else None
         pcomps[i].base = bases[i]
 
     count = C.c_int64(resid_count)
@@ -301,13 +304,14 @@ def zero_buffer(arr: np.ndarray) -> None:
 
 
 def pack_prefix(store: np.ndarray, nblocks: int, k: int, base: int,
-                prefix_out: np.ndarray, resid_idx: np.ndarray,
+                dc_out: np.ndarray, ac_out: np.ndarray, resid_idx: np.ndarray,
                 resid_vals: np.ndarray) -> int:
-    """Zigzag-prefix + residual-COO packing of one component store."""
+    """Zigzag-prefix (DC int16 + AC int8 + exceptions) packing of one store."""
     lib = _load()
     return lib.jt_pack_prefix(store.ctypes.data, nblocks, k, base,
-                              prefix_out.ctypes.data, resid_idx.ctypes.data,
-                              resid_vals.ctypes.data, resid_idx.size)
+                              dc_out.ctypes.data, ac_out.ctypes.data,
+                              resid_idx.ctypes.data, resid_vals.ctypes.data,
+                              resid_idx.size)
 
 
 def reconstruct_lossless(diffs: np.ndarray, predictor: int, point_transform: int,

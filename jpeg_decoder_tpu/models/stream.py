@@ -72,6 +72,9 @@ def _compiled_prefix_pipeline(geometry: ImageGeometry, resid_bucket: int):
     import jax
     import jax.numpy as jnp
 
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+
     comps = geometry.components
     nblocks = [c.blocks_high * c.blocks_wide for c in comps]
     sizes = [n * 64 for n in nblocks]
@@ -79,11 +82,12 @@ def _compiled_prefix_pipeline(geometry: ImageGeometry, resid_bucket: int):
     total = int(sum(sizes))
     perm = tuple(int(x) for x in _ZIGZAG_OF_NATURAL)
 
-    def run(prefix, resid_idx, resid_vals, qts):
-        # prefix: int16 [sum(nblocks), K] zigzag order.
+    def run(dc, ac, resid_idx, resid_vals, qts):
+        # dc: int16 [sum(nblocks)]; ac: int8 [sum(nblocks), K-1] (zigzag
+        # slots 1..K-1, saturated; corrections ride the residual).
         padded = jnp.concatenate(
-            [prefix, jnp.zeros((prefix.shape[0], 64 - PREFIX_K), jnp.int16)],
-            axis=1)
+            [dc[:, None], ac.astype(jnp.int16),
+             jnp.zeros((dc.shape[0], 64 - PREFIX_K), jnp.int16)], axis=1)
         dense_blocks = padded[:, jnp.asarray(perm)]       # natural order
         dense = dense_blocks.reshape(-1)
         dense = dense.at[resid_idx].add(resid_vals, mode="drop")
@@ -99,8 +103,9 @@ def _compiled_prefix_pipeline(geometry: ImageGeometry, resid_bucket: int):
 @dataclasses.dataclass
 class StagedImage:
     geometry: ImageGeometry
-    prefix: np.ndarray     # int16 [sum_blocks, K]
-    resid_idx: np.ndarray  # int32 [resid_bucket]; padding -> out of range (dropped)
+    dc: np.ndarray          # int16 [sum_blocks]
+    ac: np.ndarray          # int8 [sum_blocks, K-1], saturated zigzag slots
+    resid_idx: np.ndarray   # int32 [resid_bucket]; padding -> out of range (dropped)
     resid_vals: np.ndarray  # int16 [resid_bucket]
     qts: tuple
     total_coeffs: int
@@ -164,41 +169,46 @@ class PrefixCapture:
         self.resid_idx = _pool.acquire(self.total, np.int32)
         self.resid_vals = _pool.acquire(self.total, np.int16)
 
-    def _prefix_for(self, comp_i: int, frame) -> np.ndarray:
-        arr = self.prefix_arrays.get(comp_i)
-        if arr is None:
+    def _prefix_for(self, comp_i: int, frame):
+        pair = self.prefix_arrays.get(comp_i)
+        if pair is None:
             nblocks = self.sizes[comp_i] // 64
-            flat = _pool.acquire(nblocks * self.k, np.int16)
-            self.native.zero_buffer(flat)
-            arr = flat.reshape(nblocks, self.k)
-            self.prefix_arrays[comp_i] = arr
-        return arr
+            dc = _pool.acquire(nblocks, np.int16)
+            ac_flat = _pool.acquire(nblocks * (self.k - 1), np.int8)
+            self.native.zero_buffer(dc)
+            self.native.zero_buffer(ac_flat)
+            pair = (dc, ac_flat.reshape(nblocks, self.k - 1))
+            self.prefix_arrays[comp_i] = pair
+        return pair
 
     def decode_scan(self, decoder, frame, scan, finished):
         self._ensure_layout(frame)
         self.used = True
-        prefixes = []
-        bases = []
+        dcs, acs, bases = [], [], []
         for pos, comp_i in enumerate(scan.component_indices):
             if finished[pos]:
-                prefixes.append(self._prefix_for(comp_i, frame))
+                dc, ac = self._prefix_for(comp_i, frame)
+                dcs.append(dc)
+                acs.append(ac)
                 qt = decoder._quantization_tables[
                     frame.components[comp_i].quantization_table_index]
                 decoder._pending_render[comp_i] = (None, qt.copy())
             else:
-                prefixes.append(None)  # dummy-block case
+                dcs.append(None)  # dummy-block case
+                acs.append(None)
             bases.append(self.bases[comp_i])
 
         marker, self.resid_count = self.native.decode_scan_dct_prefix(
             decoder._cursor, frame, scan,
             decoder._dc_huffman_tables, decoder._ac_huffman_tables,
-            decoder._restart_interval, prefixes, bases, self.k,
+            decoder._restart_interval, dcs, acs, bases, self.k,
             self.resid_idx, self.resid_vals, self.resid_count)
         return marker
 
     def release(self) -> None:
-        for arr in self.prefix_arrays.values():
-            _pool.release(arr.reshape(-1))
+        for dc, ac in self.prefix_arrays.values():
+            _pool.release(dc)
+            _pool.release(ac.reshape(-1))
         if self.resid_idx is not None:
             _pool.release(self.resid_idx)
             _pool.release(self.resid_vals)
@@ -221,15 +231,18 @@ def _staged_from_capture(d: Decoder, capture: PrefixCapture, precision: str,
     qts = tuple(d._pending_render[i][1] for i in range(n))
 
     total_blocks = capture.total // 64
-    prefix = np.empty((total_blocks, capture.k), np.int16)
+    dc = np.empty(total_blocks, np.int16)
+    ac = np.empty((total_blocks, capture.k - 1), np.int8)
     row = 0
     for i in range(n):
         nblocks = capture.sizes[i] // 64
-        arr = capture.prefix_arrays.get(i)
-        if arr is None:
-            prefix[row:row + nblocks] = 0
+        pair = capture.prefix_arrays.get(i)
+        if pair is None:
+            dc[row:row + nblocks] = 0
+            ac[row:row + nblocks] = 0
         else:
-            prefix[row:row + nblocks] = arr
+            dc[row:row + nblocks] = pair[0]
+            ac[row:row + nblocks] = pair[1]
         row += nblocks
 
     r = capture.resid_count
@@ -244,7 +257,7 @@ def _staged_from_capture(d: Decoder, capture: PrefixCapture, precision: str,
         _pool.release(buf)
 
     info = d.info()
-    return StagedImage(geometry, prefix, resid_idx, resid_vals, qts,
+    return StagedImage(geometry, dc, ac, resid_idx, resid_vals, qts,
                        capture.total, info.width * info.height / 1e6)
 
 
@@ -282,7 +295,8 @@ def stage_host(source, scale_to=None, precision: str = "fast") -> StagedImage:
     total_blocks = sum(nblocks)
     total = total_blocks * 64
 
-    prefix = np.empty((total_blocks, PREFIX_K), np.int16)
+    dc = np.empty(total_blocks, np.int16)
+    ac = np.empty((total_blocks, PREFIX_K - 1), np.int8)
     scratch_idx = _pool.acquire(total, np.int32)
     scratch_vals = _pool.acquire(total, np.int16)
 
@@ -292,7 +306,7 @@ def stage_host(source, scale_to=None, precision: str = "fast") -> StagedImage:
     if native is not None:
         for s, nb in zip(stores, nblocks):
             r += native.pack_prefix(s, nb, PREFIX_K, base,
-                                    prefix[brow:brow + nb],
+                                    dc[brow:brow + nb], ac[brow:brow + nb],
                                     scratch_idx[r:], scratch_vals[r:])
             brow += nb
             base += s.size
@@ -300,8 +314,16 @@ def stage_host(source, scale_to=None, precision: str = "fast") -> StagedImage:
         zz = np.asarray(UNZIGZAG)
         for s, nb in zip(stores, nblocks):
             blocks = s.reshape(nb, 64)
-            zzb = blocks[:, zz]
-            prefix[brow:brow + nb] = zzb[:, :PREFIX_K]
+            zzb = blocks[:, zz].astype(np.int32)
+            dc[brow:brow + nb] = zzb[:, 0].astype(np.int16)
+            sat = np.clip(zzb[:, 1:PREFIX_K], -128, 127)
+            ac[brow:brow + nb] = sat.astype(np.int8)
+            # int8 saturation corrections ride the residual.
+            ebi, ezi = np.nonzero(zzb[:, 1:PREFIX_K] != sat)
+            cnt = len(ebi)
+            scratch_idx[r:r + cnt] = base + ebi * 64 + zz[1 + ezi]
+            scratch_vals[r:r + cnt] = (zzb[:, 1:PREFIX_K] - sat)[ebi, ezi]
+            r += cnt
             tail = zzb[:, PREFIX_K:]
             bi, zi = np.nonzero(tail)
             cnt = len(bi)
@@ -322,7 +344,7 @@ def stage_host(source, scale_to=None, precision: str = "fast") -> StagedImage:
         _pool.release(buf)
 
     info = d.info()
-    return StagedImage(geometry, prefix, resid_idx, resid_vals, qts, total,
+    return StagedImage(geometry, dc, ac, resid_idx, resid_vals, qts, total,
                        info.width * info.height / 1e6)
 
 
@@ -336,7 +358,8 @@ class DeviceStreamDecoder:
     def decode_one(self, staged: StagedImage):
         import jax
         fn = _compiled_prefix_pipeline(staged.geometry, len(staged.resid_idx))
-        return fn(jax.device_put(staged.prefix),
+        return fn(jax.device_put(staged.dc),
+                  jax.device_put(staged.ac),
                   jax.device_put(staged.resid_idx),
                   jax.device_put(staged.resid_vals),
                   staged.qts)

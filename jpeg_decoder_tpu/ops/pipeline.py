@@ -81,10 +81,29 @@ def _reconstruct(geometry: ImageGeometry, stores, qts, xp):
     return color_convert_image(channels, geometry.transform, xp=xp)
 
 
+def _enable_compile_cache(jax) -> None:
+    """Persistent XLA compile cache: first-compile latency in this environment
+    is seconds-to-minutes (remote compile through the TPU tunnel), so caching
+    across processes matters for every tool/bench invocation."""
+    import os
+    if jax.config.jax_compilation_cache_dir:
+        return
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/jpeg_tpu_jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 @functools.lru_cache(maxsize=256)
 def _compiled_pipeline(geometry: ImageGeometry):
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache(jax)
 
     def run(stores, qts):
         return _reconstruct(geometry, stores, qts, jnp)

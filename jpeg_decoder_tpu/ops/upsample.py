@@ -133,23 +133,37 @@ def upsample_component(plane, mode: str, input_width: int, input_height: int,
 
     if mode == H1V2:
         # `/root/reference/src/upsampler.rs:165-189`
-        near, far = _near_far_rows(xp, out_rows, input_height)
-        near_rows = p[near, :out_width].astype(xp.uint32)
-        far_rows = p[far, :out_width].astype(xp.uint32)
+        near_rows, far_rows = _v2_near_far(xp, p[:, :out_width], input_height,
+                                           out_rows)
         return h1v2_combine(xp, near_rows, far_rows)
 
     if mode == H2V2:
         # `/root/reference/src/upsampler.rs:191-228`
-        near, far = _near_far_rows(xp, out_rows, input_height)
-        near_rows = p[near, :input_width].astype(xp.uint32)
-        far_rows = p[far, :input_width].astype(xp.uint32)
+        near_rows, far_rows = _v2_near_far(xp, p[:, :input_width], input_height,
+                                           out_rows)
         return h2v2_combine(xp, near_rows, far_rows, input_width)[:, :out_width]
 
     if mode == GENERIC:
         # Nearest-neighbor integer scaling (`/root/reference/src/upsampler.rs:230-250`).
-        rows = xp.arange(out_rows) // v_scale
-        gathered = p[rows, :input_width]
-        out = xp.repeat(gathered, h_scale, axis=-1)
+        in_rows = -(-out_rows // v_scale)
+        rep = xp.repeat(p[:in_rows, :input_width], v_scale, axis=0)[:out_rows]
+        out = xp.repeat(rep, h_scale, axis=-1)
         return out[:, :out_width]
 
     raise ValueError(f"unknown upsampler mode {mode}")
+
+
+def _v2_near_far(xp, p, input_height: int, out_rows: int):
+    """V2 vertical sample pairs as shift/interleave ops (no dynamic gathers —
+    row gathers lower terribly on TPU; ~10x slower than this formulation).
+
+    Equivalent to `_near_far_rows` + fancy indexing: output row r has
+    near = in[r//2] and far = in[clip(r//2 -/+ 1, 0, ih-1)] (minus for even r,
+    plus for odd r).
+    """
+    p2 = p[:input_height].astype(xp.uint32)
+    near = xp.repeat(p2, 2, axis=0)[:out_rows]
+    down = xp.concatenate([p2[:1], p2[:-1]], axis=0)   # in[i-1], clamped at 0
+    up = xp.concatenate([p2[1:], p2[-1:]], axis=0)     # in[i+1], clamped at ih-1
+    far = xp.stack([down, up], axis=1).reshape((2 * input_height,) + p2.shape[1:])
+    return near, far[:out_rows]

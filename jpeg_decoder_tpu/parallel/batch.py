@@ -30,6 +30,9 @@ def make_batch_pipeline(geometry: ImageGeometry, mesh, data_axis: str = "data"):
     """
     import jax
     import jax.numpy as jnp
+
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     batch_sharding = NamedSharding(mesh, P(data_axis))

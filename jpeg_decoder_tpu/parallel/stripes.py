@@ -46,6 +46,9 @@ def make_stripe_pipeline(geometry: ImageGeometry, mcu_rows: int, n_stripes: int,
     """
     import jax
     import jax.numpy as jnp
+
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
     from jax import lax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
