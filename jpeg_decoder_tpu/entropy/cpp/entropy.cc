@@ -103,19 +103,20 @@ struct BitReader {
       if (marker >= 0) {
         byte = 0;  // post-marker: zero fill
       } else {
-        // Fast path: refill 4 bytes at once when none is 0xFF.
-        if (num_bits <= 32 && pos + 4 <= len) {
-          uint32_t w;
-          std::memcpy(&w, data + pos, 4);
-          // has-zero-byte(w ^ 0xFF..FF) <=> some byte of w is 0xFF.
-          uint32_t z = w ^ 0xFFFFFFFFu;
-          if ((z - 0x01010101u) & ~z & 0x80808080u) {
-            // some byte is 0xFF -> slow path below
-          } else {
-            uint32_t be = __builtin_bswap32(w);
-            bits |= static_cast<uint64_t>(be) << (32 - num_bits);
-            num_bits += 32;
-            pos += 4;
+        // Fast path: when the next 8 bytes contain no 0xFF, insert exactly as
+        // many whole bytes as the reference's byte-loop would (fill to >56
+        // bits) in one step. Byte-consumption counts and EOF/marker timing
+        // stay identical to the slow path.
+        if (pos + 8 <= len) {
+          uint64_t w;
+          std::memcpy(&w, data + pos, 8);
+          uint64_t z = ~w;  // 0xFF bytes -> 0x00
+          if (!((z - 0x0101010101010101ULL) & w & 0x8080808080808080ULL)) {
+            int take = (64 - num_bits) >> 3;
+            uint64_t be = __builtin_bswap64(w);
+            bits |= (be & (~0ULL << (8 * (8 - take)))) >> num_bits;
+            num_bits += 8 * take;
+            pos += take;
             continue;
           }
         }

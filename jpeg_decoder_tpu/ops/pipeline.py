@@ -53,6 +53,12 @@ class ImageGeometry:
     precision: str = "exact"
 
 
+import os
+
+# Opt-in Pallas kernel tier for the fast path (see ops/pallas_kernels.py).
+_USE_PALLAS = os.environ.get("JPEG_TPU_USE_PALLAS", "") == "1"
+
+
 def _reconstruct(geometry: ImageGeometry, stores, qts, xp):
     """Trace the full reconstruction. `stores` are int16 [N_i, 64] per
     component, `qts` uint16[64] per component (natural order)."""
@@ -61,7 +67,12 @@ def _reconstruct(geometry: ImageGeometry, stores, qts, xp):
     planes = []
     for comp, store, qt in zip(geometry.components, stores, qts):
         if geometry.precision == "fast" and comp.dct_scale == 8:
-            pixels = dequantize_and_idct_blocks_fast(store, qt, xp=xp)
+            if _USE_PALLAS and xp is not np:
+                from .pallas_kernels import dequantize_and_idct_blocks_pallas
+                pixels = dequantize_and_idct_blocks_pallas(
+                    xp.asarray(store), xp.asarray(qt))
+            else:
+                pixels = dequantize_and_idct_blocks_fast(store, qt, xp=xp)
         else:
             pixels = dequantize_and_idct_blocks(store, qt, comp.dct_scale, xp=xp)
         planes.append(blocks_to_plane(pixels, comp.blocks_wide, comp.blocks_high, xp=xp))

