@@ -87,12 +87,18 @@ class Decoder:
         or "jax" (jitted, fused device pipeline — the TPU path). The entropy
         stage always runs on the host.
 
+        `backend="auto"` picks "jax" for images above the reference's
+        parallelism threshold (output > 128x128,
+        `/root/reference/src/decoder.rs:243-260`) when an accelerator is
+        importable, else "numpy" — the analog of the reference's
+        immediate-vs-threaded worker selection.
+
         `precision`: "exact" reproduces the reference's scalar integer kernels
         bit-for-bit (its `platform_independent` contract); "fast" uses the
         fp32 MXU IDCT, within the reference reftest tolerance but not
         bit-identical (its default-SIMD contract,
         `/root/reference/src/arch/mod.rs:13-57`)."""
-        if backend not in ("numpy", "jax"):
+        if backend not in ("numpy", "jax", "auto"):
             raise ValueError(f"unknown backend {backend!r}")
         if precision not in ("exact", "fast"):
             raise ValueError(f"unknown precision {precision!r}")
@@ -501,6 +507,20 @@ class Decoder:
 
         return marker
 
+    @staticmethod
+    def _select_backend(frame) -> str:
+        """Size heuristic mirroring the reference's worker selection
+        (`/root/reference/src/decoder.rs:243-260`, threshold 128*128): small
+        images skip accelerator dispatch overhead entirely."""
+        pixels = frame.output_size.width * frame.output_size.height
+        if pixels <= 128 * 128:
+            return "numpy"
+        try:
+            import jax  # noqa: F401
+            return "jax"
+        except Exception:
+            return "numpy"
+
     # -- final assembly ------------------------------------------------------
 
     def _determine_color_transform(self) -> ColorTransform:
@@ -583,10 +603,14 @@ class Decoder:
         # (`/root/reference/src/decoder.rs:1308-1332`).
         transform = None if n == 1 else self._determine_color_transform()
 
+        backend = self._backend
+        if backend == "auto":
+            backend = self._select_backend(frame)
+
         geometry = geometry_from_frame(frame, transform, precision=self._precision)
         stores = [self._pending_render[i][0].reshape(-1, 64) for i in range(n)]
         qts = [self._pending_render[i][1] for i in range(n)]
-        image = reconstruct_image(geometry, stores, qts, backend=self._backend)
+        image = reconstruct_image(geometry, stores, qts, backend=backend)
         return np.ascontiguousarray(image).tobytes()
 
     def _compute_image_lossless(self) -> bytes:

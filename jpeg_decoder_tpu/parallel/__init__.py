@@ -16,12 +16,13 @@ reference cannot:
 
 from .mesh import make_mesh
 from .batch import decode_batch_sharded, make_batch_pipeline
-from .stripes import decode_striped, make_stripe_pipeline
+from .stripes import decode_striped, decode_striped_batch, make_stripe_pipeline
 
 __all__ = [
     "make_mesh",
     "decode_batch_sharded",
     "make_batch_pipeline",
     "decode_striped",
+    "decode_striped_batch",
     "make_stripe_pipeline",
 ]

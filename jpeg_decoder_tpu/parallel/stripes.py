@@ -37,12 +37,18 @@ def _shard_map():
 
 @functools.lru_cache(maxsize=32)
 def make_stripe_pipeline(geometry: ImageGeometry, mcu_rows: int, n_stripes: int,
-                         mesh, stripe_axis: str = "stripe"):
+                         mesh, stripe_axis: str = "stripe",
+                         data_axis: str = None):
     """Compile the striped reconstruction.
 
     Expects per-component stores padded to `ceil(mcu_rows/n) * n` MCU rows.
     Returns fn(stores, qts) -> uint8 [n*R, W(, C)] sharded on rows, where
     R = stripe output rows.
+
+    With `data_axis` set, inputs carry a leading batch dimension sharded over
+    that mesh axis and each image's rows are striped over `stripe_axis` —
+    batch DP and stripe SP composed in one program (halo ppermutes ride the
+    stripe axis; the data axis needs no collectives).
     """
     import jax
     import jax.numpy as jnp
@@ -120,9 +126,20 @@ def make_stripe_pipeline(geometry: ImageGeometry, mcu_rows: int, n_stripes: int,
         return color_convert_image(channels, geometry.transform, xp=jnp)
 
     shard_map = _shard_map()
-    spec_in = tuple(P(stripe_axis) for _ in comps) + tuple(P() for _ in comps)
-    mapped = shard_map(
-        local_fn, mesh=mesh, in_specs=spec_in, out_specs=P(stripe_axis))
+    if data_axis is None:
+        spec_in = tuple(P(stripe_axis) for _ in comps) + tuple(P() for _ in comps)
+        mapped = shard_map(
+            local_fn, mesh=mesh, in_specs=spec_in, out_specs=P(stripe_axis))
+    else:
+        # Batched: leading dim sharded over the data axis; per-image local_fn
+        # vmapped over the local batch (collectives stay on the stripe axis).
+        spec_in = (tuple(P(data_axis, stripe_axis) for _ in comps)
+                   + tuple(P() for _ in comps))
+        batched_local = jax.vmap(
+            local_fn, in_axes=(0,) * len(comps) + (None,) * len(comps))
+        mapped = shard_map(
+            batched_local, mesh=mesh, in_specs=spec_in,
+            out_specs=P(data_axis, stripe_axis))
 
     def run(stores, qts):
         return mapped(*stores, *qts)
@@ -158,3 +175,37 @@ def decode_striped(geometry: ImageGeometry, stores, qts, mesh, mcu_rows: int,
         comp = comps[0]
         return out[:comp.size_height, :comp.size_width]
     return out[:geometry.out_height]
+
+
+def decode_striped_batch(geometry: ImageGeometry, stores_batched, qts, mesh,
+                         mcu_rows: int, data_axis: str = "data",
+                         stripe_axis: str = "stripe"):
+    """Batch of same-geometry images, each striped: DP x SP in one program.
+
+    stores_batched: list of np.int16 [B, blocks_high_i * blocks_wide_i, 64].
+    Returns np.uint8 [B, ...] cropped to the geometry's output size.
+    """
+    n = mesh.shape[stripe_axis]
+    k = -(-mcu_rows // n)
+    comps = geometry.components
+
+    padded = []
+    for c, store in zip(comps, stores_batched):
+        vi = c.blocks_high // mcu_rows
+        want_rows = k * n * vi
+        b = store.shape[0]
+        blocks = np.asarray(store).reshape(b, c.blocks_high, c.blocks_wide, 64)
+        if want_rows > c.blocks_high:
+            pad = np.zeros((b, want_rows - c.blocks_high, c.blocks_wide, 64),
+                           np.int16)
+            blocks = np.concatenate([blocks, pad], axis=1)
+        padded.append(blocks.reshape(b, -1, 64))
+
+    fn = make_stripe_pipeline(geometry, mcu_rows, n, mesh, stripe_axis,
+                              data_axis=data_axis)
+    out = np.asarray(fn(tuple(padded), tuple(np.asarray(q) for q in qts)))
+
+    if geometry.transform is None:
+        comp = comps[0]
+        return out[:, :comp.size_height, :comp.size_width]
+    return out[:, :geometry.out_height]

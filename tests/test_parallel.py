@@ -72,3 +72,20 @@ def test_stripes_uneven_rows(stripe_mesh):
     out = decode_striped(geometry, stores, qts, stripe_mesh,
                          mcu_rows=frame.mcu_size.height)
     assert out.tobytes() == golden
+
+
+def test_combined_dp_sp(stripe_mesh):
+    """Batch DP x stripe SP composed in one shard_map program."""
+    import jax
+    from jpeg_decoder_tpu.parallel import decode_striped_batch
+    from jpeg_decoder_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"data": 2, "stripe": 4}, jax.devices("cpu"))
+    frame, geometry, stores, qts, golden = _decode_to_stores(REFTEST_IMAGES / "rgb.jpg")
+    B = 4
+    batched = [np.broadcast_to(s, (B,) + s.shape).copy() for s in stores]
+    out = decode_striped_batch(geometry, batched, qts, mesh,
+                               mcu_rows=frame.mcu_size.height)
+    assert out.shape[0] == B
+    for b in range(B):
+        assert out[b].tobytes() == golden

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Mesh scaling harness: decode throughput vs device count.
+
+Measures the batch-DP pipeline over 1/2/4/... device meshes and reports
+scaling efficiency — the harness behind BASELINE.json's ">= 80% 1 chip -> N
+hosts" target. On real multi-chip slices the same code runs unchanged (the
+mesh spans all hosts under jax.distributed); in this single-chip environment
+it runs on the virtual CPU mesh, which validates sharding correctness and
+collective placement but NOT real scaling (virtual devices share host cores —
+numbers here are for plumbing, not headline efficiency).
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python tools/scaling_bench.py [--image PATH] [--batch-per-device 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image", default="/root/reference/benches/large_image.jpg")
+    ap.add_argument("--batch-per-device", type=int, default=2)
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from jpeg_decoder_tpu.decoder import Decoder
+    from jpeg_decoder_tpu.ops.pipeline import geometry_from_frame
+    from jpeg_decoder_tpu.parallel import decode_batch_sharded, make_mesh
+
+    data = open(args.image, "rb").read()
+    d = Decoder(data, backend="numpy")
+    d._decode_entropy_only()
+    n = len(d.frame.components)
+    stores = [d._pending_render[i][0].reshape(-1, 64) for i in range(n)]
+    qts = [d._pending_render[i][1] for i in range(n)]
+    transform = None if n == 1 else d._determine_color_transform()
+    geometry = geometry_from_frame(d.frame, transform, precision="fast")
+    info = d.info()
+    mpix = info.width * info.height / 1e6
+
+    devices = jax.devices()
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= len(devices)]
+    base_rate = None
+    for ndev in sizes:
+        mesh = make_mesh({"data": ndev}, devices)
+        B = args.batch_per_device * ndev
+        batched = [np.broadcast_to(s, (B,) + s.shape).copy() for s in stores]
+        decode_batch_sharded(geometry, batched, qts, mesh)  # warm/compile
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = decode_batch_sharded(geometry, batched, qts, mesh)
+            t = time.perf_counter() - t0
+            best = max(best, B * mpix / t)
+        base_rate = base_rate or best / ndev
+        eff = best / (base_rate * ndev) * 100
+        print(f"devices={ndev:>2}  batch={B:>3}  {best:8.1f} Mpix/s  "
+              f"scaling efficiency {eff:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()
