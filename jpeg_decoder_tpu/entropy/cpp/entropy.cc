@@ -42,7 +42,17 @@ struct HuffTable {          // mirrors jpeg_decoder_tpu.huffman.HuffmanTable
   const uint8_t* values;        // [n]
   const int16_t* ac_lut_value;  // [256] or null
   const uint8_t* ac_lut_run_size;  // [256] or null
+  // 10-bit fused decode(+receive+extend) LUTs; fast_bits[p]==0 => miss.
+  const int16_t* fast_value;    // [1024]
+  const uint8_t* fast_run;      // [1024]
+  const uint8_t* fast_bits;     // [1024]
 };
+
+constexpr int kFastBits = 10;
+
+#include <cstdlib>
+static const bool kNoFastDC = std::getenv("JT_NO_FAST_DC") != nullptr;
+static const bool kNoFastAC = std::getenv("JT_NO_FAST_AC") != nullptr;
 
 struct ScanComp {
   int32_t h_samp;        // MCU horizontal samples (1 for non-interleaved)
@@ -289,16 +299,28 @@ bool decode_block(BitReader& r, Blk blk, const HuffTable* dc,
                   const HuffTable* ac, int ss, int se, int al,
                   uint32_t* eob_run, int16_t* dc_pred, Error& err) {
   if (ss == 0) {
-    int value = r.decode(dc, err);
-    if (err) return false;
-    int32_t diff = 0;
-    if (value != 0) {
-      if (value > 11) {
-        err.format("invalid DC difference magnitude category");
-        return false;
-      }
-      diff = r.receive_extend(value, err);
+    // Fused decode+receive+extend via the 10-bit LUT when enough bits are
+    // buffered (refill trigger matches the canonical path, so marker/EOF
+    // timing is unchanged).
+    if (r.num_bits < 16 && !r.read_bits(err)) return false;
+    int32_t diff;
+    uint32_t p10 = r.peek(kFastBits);
+    uint8_t fb = kNoFastDC ? 0 : dc->fast_bits[p10];
+    if (fb != 0) {
+      diff = dc->fast_value[p10];
+      r.consume(fb);
+    } else {
+      int value = r.decode(dc, err);
       if (err) return false;
+      diff = 0;
+      if (value != 0) {
+        if (value > 11) {
+          err.format("invalid DC difference magnitude category");
+          return false;
+        }
+        diff = r.receive_extend(value, err);
+        if (err) return false;
+      }
     }
     *dc_pred = wrap16(static_cast<int32_t>(*dc_pred) + diff);
     blk.set_zz(0, static_cast<int32_t>(*dc_pred) << al);
@@ -311,6 +333,20 @@ bool decode_block(BitReader& r, Blk blk, const HuffTable* dc,
   }
 
   while (index < se) {
+    // 10-bit fused AC fast path; only taken when the bits are already
+    // buffered, so refill timing matches the 8-bit oracle path exactly.
+    if (!kNoFastAC && r.num_bits >= kFastBits) {
+      uint32_t p10 = r.peek(kFastBits);
+      uint8_t fb = ac->fast_bits[p10];
+      if (fb != 0) {
+        r.consume(fb);
+        index += ac->fast_run[p10];
+        if (index >= se) break;
+        blk.set_zz(index, static_cast<int32_t>(ac->fast_value[p10]) << al);
+        index++;
+        continue;
+      }
+    }
     int16_t fav;
     int run;
     if (r.decode_fast_ac(ac, &fav, &run, err)) {
@@ -544,6 +580,11 @@ int64_t count_decoded_mcus(const ScanParams& sp) {
 }  // namespace
 
 extern "C" {
+
+// ABI handshake: Python refuses to use a library whose struct layouts don't
+// match its ctypes mirrors (guards against stale .so builds mid-upgrade).
+int64_t jt_abi_version() { return 3; }
+
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.
 // sp->pos is advanced; sp->out_marker receives the pending marker (-1 none).

@@ -26,6 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
+_ABI_VERSION = 3  # bump together with jt_abi_version() in entropy.cc
 
 
 class _CHuffTable(C.Structure):
@@ -37,6 +38,9 @@ class _CHuffTable(C.Structure):
         ("values", C.c_void_p),
         ("ac_lut_value", C.c_void_p),
         ("ac_lut_run_size", C.c_void_p),
+        ("fast_value", C.c_void_p),
+        ("fast_run", C.c_void_p),
+        ("fast_bits", C.c_void_p),
     ]
 
 
@@ -102,6 +106,12 @@ def _load():
     if so is None:
         return None
     lib = C.CDLL(so)
+    try:
+        lib.jt_abi_version.restype = C.c_int64
+        if lib.jt_abi_version() != _ABI_VERSION:
+            return None
+    except Exception:
+        return None
     lib.jt_decode_scan_dct.restype = C.c_int
     lib.jt_decode_scan_dct.argtypes = [
         C.c_char_p, C.c_uint64, C.POINTER(_CScanParams), C.POINTER(_CScanComp),
@@ -154,6 +164,9 @@ def _huff_ptr(table):
         ac_lut_value=table.ac_lut_value.ctypes.data if table.ac_lut_value is not None else None,
         ac_lut_run_size=(table.ac_lut_run_size.ctypes.data
                          if table.ac_lut_run_size is not None else None),
+        fast_value=table.fast_value.ctypes.data,
+        fast_run=table.fast_run.ctypes.data,
+        fast_bits=table.fast_bits.ctypes.data,
     )
     table._c_struct = (st, refs)
     return st

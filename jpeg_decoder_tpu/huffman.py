@@ -33,6 +33,9 @@ def extend(value: int, count: int) -> int:
     return value
 
 
+FAST_BITS = 10  # width of the fused decode+extend LUTs (native fast path)
+
+
 @dataclasses.dataclass
 class HuffmanTable:
     """Derived decode tables for one DC or AC Huffman table."""
@@ -45,6 +48,12 @@ class HuffmanTable:
     lut_size: np.ndarray        # uint8[256]
     ac_lut_value: np.ndarray | None = None   # int16[256]
     ac_lut_run_size: np.ndarray | None = None  # uint8[256]: (run << 4) | total_bits
+    # 10-bit fused LUTs (native fast path; exact shortcuts, bits==0 => miss):
+    # DC: value = diff (already extended); AC: value + run, both with total
+    # consumed bit count.
+    fast_value: np.ndarray | None = None     # int16[1024]
+    fast_run: np.ndarray | None = None       # uint8[1024] (AC only, else zeros)
+    fast_bits: np.ndarray | None = None      # uint8[1024]
 
     @classmethod
     def build(cls, bits: "list[int] | np.ndarray", values: "bytes | np.ndarray",
@@ -53,8 +62,21 @@ class HuffmanTable:
 
         Annex C derivation per `/root/reference/src/huffman.rs:191-285`.
         Raises FormatError on an over-subscribed code length table.
+        Memoized: identical (bits, values, class) specs — ubiquitous across
+        images from the same encoder — share one table object.
         """
-        bits = list(bits)
+        key = (bytes(bits), bytes(values), is_ac)
+        cached = _BUILD_CACHE.get(key)
+        if cached is not None:
+            return cached
+        table = cls._build_uncached(list(bits), values, is_ac)
+        if len(_BUILD_CACHE) > 512:
+            _BUILD_CACHE.clear()
+        _BUILD_CACHE[key] = table
+        return table
+
+    @classmethod
+    def _build_uncached(cls, bits, values, is_ac: bool) -> "HuffmanTable":
         assert len(bits) == 16
         values = np.frombuffer(bytes(values), dtype=np.uint8).copy()
 
@@ -116,6 +138,9 @@ class HuffmanTable:
                     ac_lut_value[i] = extend(raw, magnitude)
                     ac_lut_run_size[i] = (run_length << 4) | (size + magnitude)
 
+        fast_value, fast_run, fast_bits = _build_fast_lut(
+            huffcode, huffsize, values, is_ac)
+
         return cls(
             is_ac=is_ac,
             values=values,
@@ -125,7 +150,63 @@ class HuffmanTable:
             lut_size=lut_size,
             ac_lut_value=ac_lut_value,
             ac_lut_run_size=ac_lut_run_size,
+            fast_value=fast_value,
+            fast_run=fast_run,
+            fast_bits=fast_bits,
         )
+
+
+_BUILD_CACHE: dict = {}
+
+
+def _build_fast_lut(huffcode, huffsize, values: np.ndarray, is_ac: bool):
+    """Fused decode(+receive+extend) LUTs over FAST_BITS-wide prefixes.
+
+    Exact shortcuts for the native kernel: an entry resolves a full
+    (symbol, magnitude-bits) pair when code size + magnitude fits the window.
+    DC entries hold the extended diff; AC entries hold the extended value and
+    the zero run. bits == 0 marks a miss (fall back to the canonical path).
+    Vectorized so per-table build cost stays in the tens of microseconds.
+    """
+    n = 1 << FAST_BITS
+    fast_value = np.zeros(n, np.int16)
+    fast_run = np.zeros(n, np.uint8)
+    fast_bits = np.zeros(n, np.uint8)
+
+    prefixes = np.arange(n, dtype=np.uint32)
+    for i, (code, size) in enumerate(zip(huffcode, huffsize)):
+        if size > FAST_BITS:
+            continue
+        sym = int(values[i])
+        magnitude = sym & 0x0F if is_ac else sym
+        if is_ac:
+            run = sym >> 4
+            if magnitude == 0 or size + magnitude > FAST_BITS:
+                continue
+        else:
+            run = 0
+            if magnitude > 11 or size + magnitude > FAST_BITS:
+                continue
+        span = FAST_BITS - size - magnitude  # free low bits
+        base = code << (FAST_BITS - size)
+        if magnitude == 0:
+            # DC category 0: diff is zero, consumes just the code.
+            sl = slice(base, base + (1 << (FAST_BITS - size)))
+            fast_value[sl] = 0
+            fast_run[sl] = run
+            fast_bits[sl] = size
+            continue
+        mag_vals = np.arange(1 << magnitude, dtype=np.int32)
+        extended = np.where(mag_vals < (1 << (magnitude - 1)),
+                            mag_vals - (1 << magnitude) + 1, mag_vals)
+        # Each (code, magnitude bits) pair covers 2^span consecutive entries.
+        start = base + (mag_vals << span)
+        for rep in range(1 << span):
+            idx = start + rep
+            fast_value[idx] = extended.astype(np.int16)
+            fast_run[idx] = run
+            fast_bits[idx] = size + magnitude
+    return fast_value, fast_run, fast_bits
 
 
 # OpenDML K.3 default tables for MJPEG streams that omit DHT
