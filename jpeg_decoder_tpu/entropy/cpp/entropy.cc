@@ -18,6 +18,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 #include <cstdio>
 #include <thread>
 #include <vector>
@@ -50,7 +51,6 @@ struct HuffTable {          // mirrors jpeg_decoder_tpu.huffman.HuffmanTable
 
 constexpr int kFastBits = 10;
 
-#include <cstdlib>
 static const bool kNoFastDC = std::getenv("JT_NO_FAST_DC") != nullptr;
 static const bool kNoFastAC = std::getenv("JT_NO_FAST_AC") != nullptr;
 
@@ -335,13 +335,20 @@ bool decode_block(BitReader& r, Blk blk, const HuffTable* dc,
   while (index < se) {
     // 10-bit fused AC fast path; only taken when the bits are already
     // buffered, so refill timing matches the 8-bit oracle path exactly.
-    if (!kNoFastAC && r.num_bits >= kFastBits) {
+    // Run-overflow (index + run >= se) falls through to the exact path:
+    // the reference's slow path breaks there WITHOUT consuming the magnitude
+    // bits (while its 8-bit fast path consumes them), so the shortcut is only
+    // an exact shortcut in the no-overflow case.
+    // Gate at >=16 buffered bits: symbols beyond the 8-bit LUT go through the
+    // canonical decode() in the oracle, whose refill trigger is <16 — taking
+    // the shortcut with only 10-15 bits buffered would skip a refill the
+    // oracle performs (and with it the oracle's EOF/marker behavior).
+    if (!kNoFastAC && r.num_bits >= 16) {
       uint32_t p10 = r.peek(kFastBits);
       uint8_t fb = ac->fast_bits[p10];
-      if (fb != 0) {
+      if (fb != 0 && index + ac->fast_run[p10] < se) {
         r.consume(fb);
         index += ac->fast_run[p10];
-        if (index >= se) break;
         blk.set_zz(index, static_cast<int32_t>(ac->fast_value[p10]) << al);
         index++;
         continue;

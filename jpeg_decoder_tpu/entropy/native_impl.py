@@ -94,6 +94,15 @@ def _build() -> Optional[str]:
                 check=True, capture_output=True, timeout=240)
             os.replace(_SO + ".tmp", _SO)
             return _SO
+        except subprocess.CalledProcessError as e:
+            # A broken native build must be LOUD: silently decoding on the
+            # 100x-slower Python oracle once cost a full debugging session.
+            import sys
+            sys.stderr.write(
+                "jpeg_decoder_tpu: native entropy kernel failed to build — "
+                "falling back to the Python oracle.\n"
+                + e.stderr.decode("utf-8", "replace")[-2000:] + "\n")
+            return None
         except Exception:
             return None
 
