@@ -192,6 +192,148 @@ def _reconstruct_vectorized_pt0(diffs: np.ndarray, predictor: Predictor,
     raise AssertionError(predictor)
 
 
+def reconstruct_lossless_device(diffs, predictor: Predictor, point_transform: int,
+                                precision: int, restart_all: bool, xp):
+    """TPU-capable lossless reconstruction (SURVEY.md §7.7): predictor 1 as
+    prefix sums, predictor 4 via the telescoped 2-D cumulative sum, predictors
+    2/3 as column chains / a row `lax.scan`; point transform 0 (the corpus-
+    and practice-dominant case). Returns uint16 [H, W], bit-identical to the
+    host oracle. Predictors 5-7 (nonlinear >>1 recurrences) remain host-side;
+    callers dispatch via `device_supported()`.
+    """
+    h, w = diffs.shape
+    d = diffs.astype(xp.int32)
+    mask = 0xFFFF
+
+    if restart_all:
+        default = _default_prediction(precision, point_transform)
+        return (((default + d) & mask) << point_transform).astype(xp.uint16)
+
+    assert point_transform == 0 and device_supported(predictor, point_transform)
+
+    if predictor == Predictor.RA:
+        # Fast-path default: unguarded 1 << (P-1) (see _reconstruct_ra).
+        default = 1 << (precision - 1)
+        col0 = (xp.cumsum(d[:, 0]) + default) & mask
+        if w == 1:
+            return col0[:, None].astype(xp.uint16)
+        rows = (xp.cumsum(d[:, 1:], axis=1) + col0[:, None]) & mask
+        return xp.concatenate([col0[:, None], rows], axis=1).astype(xp.uint16)
+
+    default = _default_prediction(precision, 0)  # guarded form for non-Ra
+    row0 = (xp.cumsum(d[0]) + default) & mask
+    if h == 1:
+        return row0[None, :].astype(xp.uint16)
+
+    if predictor in (Predictor.RB, Predictor.NO_PREDICTION):
+        if predictor == Predictor.RB:
+            acc = (xp.cumsum(d[1:], axis=0) + row0[None, :]) & mask
+            return xp.concatenate([row0[None, :], acc]).astype(xp.uint16)
+        col0 = (xp.cumsum(d[1:, 0]) + row0[0]) & mask
+        body = d[1:, :] & mask
+        body = xp.concatenate([col0[:, None], body[:, 1:]], axis=1)
+        return xp.concatenate([row0[None, :], body]).astype(xp.uint16)
+
+    if predictor == Predictor.RA_RB_RC_1:
+        row_cum = xp.cumsum(d[1:], axis=1)
+        col_cum = xp.cumsum(row_cum, axis=0)
+        out = (row0[None, :] + col_cum) & mask
+        return xp.concatenate([row0[None, :], out]).astype(xp.uint16)
+
+    if predictor == Predictor.RC:
+        # r[y, x] = r[y-1, x-1] + d  (col 0: r[y-1, 0]); sequential in y only.
+        from jax import lax
+
+        def step(prev, drow):
+            shifted = xp.concatenate([prev[:1], prev[:-1]])
+            row = (shifted + drow) & mask
+            return row, row
+
+        _, rows = lax.scan(step, row0, d[1:])
+        return xp.concatenate([row0[None, :], rows]).astype(xp.uint16)
+
+    raise AssertionError(predictor)
+
+
+def device_supported(predictor: Predictor, point_transform: int) -> bool:
+    """Configurations covered by the *closed-form* device path; everything
+    else still runs on device via the wavefront scan below."""
+    return point_transform == 0 and predictor in (
+        Predictor.NO_PREDICTION, Predictor.RA, Predictor.RB, Predictor.RC,
+        Predictor.RA_RB_RC_1)
+
+
+def reconstruct_lossless_wavefront(diffs, predictor: Predictor,
+                                   point_transform: int, precision: int, xp):
+    """Anti-diagonal wavefront reconstruction — the general device
+    formulation (SURVEY.md §7.7; the reference's own comment points at it,
+    `/root/reference/src/decoder/lossless.rs:144-148`).
+
+    Every cell of anti-diagonal k depends only on diagonals k-1 (Ra, Rb) and
+    k-2 (Rc), so a `lax.scan` over H+W-1 diagonals with [H]-wide vector steps
+    evaluates ALL predictors (including the nonlinear 5-7) and any point
+    transform, bit-identically to the scalar oracle.
+    """
+    from jax import lax
+
+    h, w = diffs.shape
+    pt = point_transform
+    mask = 0xFFFF
+    n_diag = h + w - 1
+    default = _default_prediction(precision, pt)
+
+    # Pack d into diagonal-major form: ddiag[k, y] = d[y, k-y] (0 where invalid).
+    ys = xp.arange(h)
+    ks = xp.arange(n_diag)
+    xs = ks[:, None] - ys[None, :]                      # [D, H]
+    valid = (xs >= 0) & (xs < w)
+    ddiag = xp.where(valid, diffs.astype(xp.int32)[ys[None, :], xp.clip(xs, 0, w - 1)], 0)
+
+    y_vec = ys  # [H]
+
+    def shift_down(v):
+        return xp.concatenate([v[:1] * 0, v[:-1]])
+
+    def step(carry, inputs):
+        prev, prev2 = carry          # stored values of diagonals k-1, k-2
+        drow, vrow, k = inputs
+        ra = prev                    # r[y, x-1]
+        rb = shift_down(prev)        # r[y-1, x]
+        rc = shift_down(prev2)       # r[y-1, x-1]
+
+        if predictor == Predictor.NO_PREDICTION:
+            interior = xp.zeros_like(ra)
+        elif predictor == Predictor.RA:
+            interior = ra
+        elif predictor == Predictor.RB:
+            interior = rb
+        elif predictor == Predictor.RC:
+            interior = rc
+        elif predictor == Predictor.RA_RB_RC_1:
+            interior = ra + rb - rc
+        elif predictor == Predictor.RA_RB_RC_2:
+            interior = ra + ((rb - rc) >> 1)
+        elif predictor == Predictor.RA_RB_RC_3:
+            interior = rb + ((ra - rc) >> 1)
+        else:  # RA_RB
+            interior = (ra + rb) // 2
+
+        x_here = k - y_vec
+        pred = xp.where(y_vec == 0, ra, xp.where(x_here == 0, rb, interior))
+        pred = xp.where((y_vec == 0) & (x_here == 0), default, pred)
+        cur = (((pred + drow) & mask) << pt) & mask
+        cur = xp.where(vrow, cur, 0)
+        return (cur, prev), cur
+
+    init = (xp.zeros(h, xp.int32), xp.zeros(h, xp.int32))
+    _, diag_vals = lax.scan(step, init, (ddiag, valid, ks))  # [D, H]
+
+    # Unpack: out[y, x] = diag_vals[x + y, y].
+    xs_full = xp.arange(w)
+    out = diag_vals[xs_full[None, :] + ys[:, None], ys[:, None]]
+    return out.astype(xp.uint16)
+
+
 def _reconstruct_scalar(diffs: np.ndarray, predictor: Predictor, pt: int,
                         precision: int) -> np.ndarray:
     """Exact scalar loop for the remaining cases
