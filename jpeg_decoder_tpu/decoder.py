@@ -408,7 +408,7 @@ class Decoder:
         if (frame.coding_process == CodingProcess.DCT_PROGRESSIVE
                 and not self._coefficients):
             self._coefficients = [
-                np.zeros(c.block_size.width * c.block_size.height * 64, dtype=np.int16)
+                self._alloc_store(c.block_size.width * c.block_size.height * 64)
                 for c in frame.components
             ]
 

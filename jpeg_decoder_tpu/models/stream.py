@@ -100,6 +100,45 @@ def _compiled_prefix_pipeline(geometry: ImageGeometry, resid_bucket: int):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=128)
+def _compiled_prefix_pipeline_batched(geometry: ImageGeometry, resid_bucket: int,
+                                      batch: int):
+    """vmapped variant of the prefix pipeline: one dispatch decodes `batch`
+    same-geometry images (amortizes per-call RPC/dispatch overhead, which
+    dominates sub-megapixel images)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+
+    comps = geometry.components
+    nblocks = [c.blocks_high * c.blocks_wide for c in comps]
+    sizes = [n * 64 for n in nblocks]
+    offsets = np.cumsum([0] + sizes)[:-1]
+    total = int(sum(sizes))
+    perm = tuple(int(x) for x in _ZIGZAG_OF_NATURAL)
+
+    def run_one(dc, ac, resid_idx, resid_vals, qts):
+        padded = jnp.concatenate(
+            [dc[:, None], ac.astype(jnp.int16),
+             jnp.zeros((dc.shape[0], 64 - PREFIX_K), jnp.int16)], axis=1)
+        dense = padded[:, jnp.asarray(perm)].reshape(-1)
+        dense = dense.at[resid_idx].add(resid_vals, mode="drop")
+        stores = [dense[int(o):int(o) + int(s)].reshape(-1, 64)
+                  for o, s in zip(offsets, sizes)]
+        return _reconstruct(geometry, stores, qts, jnp)
+
+    return jax.jit(jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0)))
+
+
+def _batch_bucket(n: int) -> int:
+    size = 1
+    while size < n:
+        size *= 2
+    return size
+
+
 @dataclasses.dataclass
 class StagedImage:
     geometry: ImageGeometry
@@ -364,8 +403,73 @@ class DeviceStreamDecoder:
                   jax.device_put(staged.resid_vals),
                   staged.qts)
 
-    def decode_stream(self, sources: Iterable, scale_to=None) -> list:
-        """Decode all sources; returns a list of device uint8 arrays."""
+    def decode_stream(self, sources: Iterable, scale_to=None,
+                      batch_size: int = 1) -> list:
+        """Decode all sources; returns a list of device uint8 arrays.
+
+        batch_size > 1 groups consecutive same-geometry images into one
+        vmapped device dispatch — essential for sub-megapixel images, where
+        per-dispatch overhead otherwise dominates.
+        """
         staged_futures = [self.pool.submit(stage_host, s, scale_to, self.precision)
                           for s in sources]
-        return [self.decode_one(fut.result()) for fut in staged_futures]
+        if batch_size <= 1:
+            return [self.decode_one(fut.result()) for fut in staged_futures]
+
+        outputs: list = []
+        group: list = []
+
+        def flush():
+            if not group:
+                return
+            outputs.extend(self._decode_group(group))
+            group.clear()
+
+        for fut in staged_futures:
+            st = fut.result()
+            if group and (st.geometry != group[0].geometry
+                          or len(group) >= batch_size):
+                flush()
+            group.append(st)
+        flush()
+        return outputs
+
+    def _decode_group(self, group: list) -> list:
+        import jax
+
+        n = len(group)
+        if n == 1:
+            return [self.decode_one(group[0])]
+        resid_bucket = _bucket(max(len(st.resid_idx) for st in group))
+        batch = _batch_bucket(n)
+
+        def pad_resid(st):
+            idx = np.full(resid_bucket, st.total_coeffs, np.int32)
+            vals = np.zeros(resid_bucket, np.int16)
+            k = len(st.resid_idx)
+            idx[:k] = st.resid_idx
+            vals[:k] = st.resid_vals
+            return idx, vals
+
+        resids = [pad_resid(st) for st in group]
+        pad_with = group[-1]
+        dc = np.stack([st.dc for st in group]
+                      + [pad_with.dc] * (batch - n))
+        ac = np.stack([st.ac for st in group]
+                      + [pad_with.ac] * (batch - n))
+        ri = np.stack([r[0] for r in resids] + [resids[-1][0]] * (batch - n))
+        rv = np.stack([r[1] for r in resids] + [resids[-1][1]] * (batch - n))
+
+        # Per-image quantization tables (same geometry does not imply same
+        # tables), stacked and vmapped alongside the coefficients.
+        ncomp = len(group[0].qts)
+        qts_b = tuple(
+            np.stack([st.qts[c] for st in group]
+                     + [pad_with.qts[c]] * (batch - n))
+            for c in range(ncomp))
+
+        fn = _compiled_prefix_pipeline_batched(
+            group[0].geometry, resid_bucket, batch)
+        out = fn(jax.device_put(dc), jax.device_put(ac),
+                 jax.device_put(ri), jax.device_put(rv), qts_b)
+        return [out[i] for i in range(n)]

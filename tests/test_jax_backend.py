@@ -37,3 +37,20 @@ def test_jax_matches_numpy_scaled(size):
         d.scale(*size)
         outs.append(d.decode())
     assert outs[0] == outs[1]
+
+
+def test_batched_stream_matches_single():
+    """Batched (vmapped) stream pipeline == per-image pipeline, incl. a
+    mixed-geometry stream (forces group flushes)."""
+    import jax.numpy as jnp
+    from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+
+    rgb = open(REFTEST_IMAGES / "rgb.jpg", "rb").read()
+    gray = open(REFTEST_IMAGES / "grayscale_large.jpg", "rb").read()
+    dec = DeviceStreamDecoder(host_threads=2)
+    stream = [rgb, rgb, gray, rgb, gray, gray, rgb]
+    single = dec.decode_stream(stream, batch_size=1)
+    batched = dec.decode_stream(stream, batch_size=4)
+    for a, b in zip(single, batched):
+        assert a.shape == b.shape
+        assert (jnp.asarray(a) == jnp.asarray(b)).all()
