@@ -20,6 +20,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <cstdio>
+#include <algorithm>
 #include <thread>
 #include <vector>
 
@@ -584,13 +585,306 @@ int64_t count_decoded_mcus(const ScanParams& sp) {
   return rows * cols;
 }
 
+// ---------------------------------------------------------------------------
+// Host reconstruction tier: exact integer dequant+IDCT, upsampling, and color
+// conversion for the CPU (numpy-backend) path. Bit-identical to the
+// reference's scalar kernels (/root/reference/src/idct.rs, upsampler.rs,
+// decoder.rs color fns) and to this package's vectorized oracle.
+// ---------------------------------------------------------------------------
+
+// stb constants x 2^12 (match ops/idct.py's f32-derived values).
+enum : int32_t {
+  K0541 = 2217, KM1847 = -7567, K0765 = 3135, K1175 = 4816,
+  K0298 = 1223, K2053 = 8410, K3072 = 12586, K1501 = 6149,
+  KM0899 = -3685, KM2562 = -10497, KM1961 = -8034, KM0390 = -1597,
+};
+
+static inline uint8_t clamp_u8(int32_t x) {
+  return static_cast<uint8_t>(x < 0 ? 0 : (x > 255 ? 255 : x));
+}
+
+// 8x8 exact stb IDCT with the reference's zero-AC-column shortcut
+// (/root/reference/src/idct.rs:241-370). All arithmetic wraps (unsigned mul).
+static void idct8_block(const int16_t* c, const uint16_t* q, uint8_t* out,
+                        int64_t stride) {
+  int32_t temp[64];
+  auto M = [](int32_t a, int32_t b) {
+    return static_cast<int32_t>(static_cast<uint32_t>(a) * static_cast<uint32_t>(b));
+  };
+  for (int i = 0; i < 8; i++) {
+    if (c[i + 8] == 0 && c[i + 16] == 0 && c[i + 24] == 0 && c[i + 32] == 0 &&
+        c[i + 40] == 0 && c[i + 48] == 0 && c[i + 56] == 0) {
+      int32_t dc = M(c[i], q[i]) << 2;
+      for (int k = 0; k < 8; k++) temp[i + 8 * k] = dc;
+    } else {
+      int32_t s0 = M(c[i], q[i]), s1 = M(c[i + 8], q[i + 8]);
+      int32_t s2 = M(c[i + 16], q[i + 16]), s3 = M(c[i + 24], q[i + 24]);
+      int32_t s4 = M(c[i + 32], q[i + 32]), s5 = M(c[i + 40], q[i + 40]);
+      int32_t s6 = M(c[i + 48], q[i + 48]), s7 = M(c[i + 56], q[i + 56]);
+      int32_t p1 = M(s2 + s6, K0541);
+      int32_t t2 = p1 + M(s6, KM1847), t3 = p1 + M(s2, K0765);
+      int32_t t0 = (s0 + s4) << 12, t1 = (s0 - s4) << 12;
+      int32_t x0 = t0 + t3 + 512, x3 = t0 - t3 + 512;
+      int32_t x1 = t1 + t2 + 512, x2 = t1 - t2 + 512;
+      int32_t u0 = s7, u1 = s5, u2 = s3, u3 = s1;
+      int32_t q3 = u0 + u2, q4 = u1 + u3, q1 = u0 + u3, q2 = u1 + u2;
+      int32_t q5 = M(q3 + q4, K1175);
+      u0 = M(u0, K0298); u1 = M(u1, K2053); u2 = M(u2, K3072); u3 = M(u3, K1501);
+      q1 = q5 + M(q1, KM0899); q2 = q5 + M(q2, KM2562);
+      q3 = M(q3, KM1961); q4 = M(q4, KM0390);
+      u3 += q1 + q4; u2 += q2 + q3; u1 += q2 + q4; u0 += q1 + q3;
+      temp[i] = (x0 + u3) >> 10;      temp[i + 56] = (x0 - u3) >> 10;
+      temp[i + 8] = (x1 + u2) >> 10;  temp[i + 48] = (x1 - u2) >> 10;
+      temp[i + 16] = (x2 + u1) >> 10; temp[i + 40] = (x2 - u1) >> 10;
+      temp[i + 24] = (x3 + u0) >> 10; temp[i + 32] = (x3 - u0) >> 10;
+    }
+  }
+  const int32_t X_SCALE = 65536 + (128 << 17);
+  for (int r = 0; r < 8; r++) {
+    const int32_t* s = temp + r * 8;
+    uint8_t* o = out + r * stride;
+    int32_t p1 = M(s[2] + s[6], K0541);
+    int32_t t2 = p1 + M(s[6], KM1847), t3 = p1 + M(s[2], K0765);
+    int32_t t0 = (s[0] + s[4]) << 12, t1 = (s[0] - s[4]) << 12;
+    int32_t x0 = t0 + t3 + X_SCALE, x3 = t0 - t3 + X_SCALE;
+    int32_t x1 = t1 + t2 + X_SCALE, x2 = t1 - t2 + X_SCALE;
+    int32_t u0 = s[7], u1 = s[5], u2 = s[3], u3 = s[1];
+    int32_t q3 = u0 + u2, q4 = u1 + u3, q1 = u0 + u3, q2 = u1 + u2;
+    int32_t q5 = M(q3 + q4, K1175);
+    u0 = M(u0, K0298); u1 = M(u1, K2053); u2 = M(u2, K3072); u3 = M(u3, K1501);
+    q1 = q5 + M(q1, KM0899); q2 = q5 + M(q2, KM2562);
+    q3 = M(q3, KM1961); q4 = M(q4, KM0390);
+    u3 += q1 + q4; u2 += q2 + q3; u1 += q2 + q4; u0 += q1 + q3;
+    o[0] = clamp_u8((x0 + u3) >> 17); o[7] = clamp_u8((x0 - u3) >> 17);
+    o[1] = clamp_u8((x1 + u2) >> 17); o[6] = clamp_u8((x1 - u2) >> 17);
+    o[2] = clamp_u8((x2 + u1) >> 17); o[5] = clamp_u8((x2 - u1) >> 17);
+    o[3] = clamp_u8((x3 + u0) >> 17); o[4] = clamp_u8((x3 - u0) >> 17);
+  }
+}
+
+static void idct4_block(const int16_t* c, const uint16_t* q, uint8_t* out,
+                        int64_t stride) {
+  int32_t temp[16];
+  auto M = [](int32_t a, int32_t b) {
+    return static_cast<int32_t>(static_cast<uint32_t>(a) * static_cast<uint32_t>(b));
+  };
+  for (int i = 0; i < 4; i++) {
+    int32_t s0 = M(c[i], q[i]), s1 = M(c[i + 8], q[i + 8]);
+    int32_t s2 = M(c[i + 16], q[i + 16]), s3 = M(c[i + 24], q[i + 24]);
+    int32_t x0 = (s0 + s2) << 2, x2 = (s0 - s2) << 2;
+    int32_t p1 = M(s1 + s3, K0541);
+    int32_t t0 = (p1 + M(s3, KM1847) + 512) >> 10;
+    int32_t t2 = (p1 + M(s1, K0765) + 512) >> 10;
+    temp[i] = x0 + t2; temp[i + 12] = x0 - t2;
+    temp[i + 4] = x2 + t0; temp[i + 8] = x2 - t0;
+  }
+  const int32_t FINAL = 17;
+  for (int r = 0; r < 4; r++) {
+    const int32_t* s = temp + r * 4;
+    uint8_t* o = out + r * stride;
+    int32_t x0 = (s[0] + s[2]) << 12, x2 = (s[0] - s[2]) << 12;
+    int32_t p1 = M(s[1] + s[3], K0541);
+    int32_t t0 = p1 + M(s[3], KM1847), t2 = p1 + M(s[1], K0765);
+    x0 += (1 << 16) + (128 << 17); x2 += (1 << 16) + (128 << 17);
+    o[0] = clamp_u8((x0 + t2) >> FINAL); o[3] = clamp_u8((x0 - t2) >> FINAL);
+    o[1] = clamp_u8((x2 + t0) >> FINAL); o[2] = clamp_u8((x2 - t0) >> FINAL);
+  }
+}
+
+static void idct2_block(const int16_t* c, const uint16_t* q, uint8_t* out,
+                        int64_t stride) {
+  auto M = [](int32_t a, int32_t b) {
+    return static_cast<int32_t>(static_cast<uint32_t>(a) * static_cast<uint32_t>(b));
+  };
+  int32_t s00 = M(c[0], q[0]), s10 = M(c[8], q[8]);
+  int32_t s01 = M(c[1], q[1]), s11 = M(c[9], q[9]);
+  int32_t x0 = s00 + s10 + 4 + (128 << 3), x2 = s00 - s10 + 4 + (128 << 3);
+  int32_t x1 = s01 + s11, x3 = s01 - s11;
+  out[0] = clamp_u8((x0 + x1) >> 3); out[1] = clamp_u8((x0 - x1) >> 3);
+  out[stride] = clamp_u8((x2 + x3) >> 3); out[stride + 1] = clamp_u8((x2 - x3) >> 3);
+}
+
+static void idct1_block(const int16_t* c, const uint16_t* q, uint8_t* out,
+                        int64_t) {
+  int32_t v = static_cast<int32_t>(
+      static_cast<uint32_t>(c[0]) * static_cast<uint32_t>(q[0]) + 1024u);
+  out[0] = clamp_u8(v / 8);  // trunc division, matching Wrapping<i32>/8
+}
+
+// Color constants x 2^20 (match ops/color.py).
+enum : int32_t { C1402 = 1470104, C0344 = 360857, C0714 = 748830, C1772 = 1858077 };
+
+static inline void ycbcr_px(int32_t y, int32_t cb, int32_t cr, uint8_t* o) {
+  int32_t yy = y * (1 << 20) + (1 << 19);
+  cb -= 128; cr -= 128;
+  auto cl = [](int32_t v) {
+    v >>= 20; return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+  };
+  o[0] = cl(yy + C1402 * cr);
+  o[1] = cl(yy - C0344 * cb - C0714 * cr);
+  o[2] = cl(yy + C1772 * cb);
+}
+
+struct UpsampleSpec {           // mirrors the ctypes struct in native_impl
+  const uint8_t* plane;
+  int64_t stride;
+  int32_t width, height;        // component.size
+  int32_t mode;                 // 0 h1v1, 1 h2v1, 2 h1v2, 3 h2v2, 4 generic
+  int32_t h_scale, v_scale;
+};
+
+// One output row of one component into `line` (reference row semantics,
+// /root/reference/src/upsampler.rs:107-250).
+static void upsample_row(const UpsampleSpec& s, int32_t row, int32_t out_w,
+                         uint8_t* line) {
+  const int32_t w = s.width;
+  if (s.mode == 0) {  // h1v1
+    std::memcpy(line, s.plane + static_cast<int64_t>(row) * s.stride, out_w);
+    return;
+  }
+  if (s.mode == 1) {  // h2v1
+    const uint8_t* in = s.plane + static_cast<int64_t>(row) * s.stride;
+    if (w == 1) { line[0] = in[0]; if (out_w > 1) line[1] = in[0]; return; }
+    uint8_t tmp0 = in[0];
+    line[0] = tmp0;
+    if (out_w > 1) line[1] = static_cast<uint8_t>((in[0] * 3u + in[1] + 2) >> 2);
+    for (int32_t i = 1; i < w - 1; i++) {
+      uint32_t sample = 3u * in[i] + 2;
+      if (2 * i < out_w) line[2 * i] = static_cast<uint8_t>((sample + in[i - 1]) >> 2);
+      if (2 * i + 1 < out_w) line[2 * i + 1] = static_cast<uint8_t>((sample + in[i + 1]) >> 2);
+    }
+    if (2 * (w - 1) < out_w)
+      line[2 * (w - 1)] = static_cast<uint8_t>((in[w - 1] * 3u + in[w - 2] + 2) >> 2);
+    if (2 * (w - 1) + 1 < out_w) line[2 * (w - 1) + 1] = in[w - 1];
+    return;
+  }
+  // V2 modes: near/far rows.
+  int32_t near = row / 2;
+  int32_t far = (row % 2 == 0) ? near - 1 : near + 1;
+  if (far < 0) far = 0;
+  if (far > s.height - 1) far = s.height - 1;
+  const uint8_t* in_n = s.plane + static_cast<int64_t>(near) * s.stride;
+  const uint8_t* in_f = s.plane + static_cast<int64_t>(far) * s.stride;
+  if (s.mode == 2) {  // h1v2
+    for (int32_t i = 0; i < out_w; i++)
+      line[i] = static_cast<uint8_t>((3u * in_n[i] + in_f[i] + 2) >> 2);
+    return;
+  }
+  if (s.mode == 3) {  // h2v2
+    if (w == 1) {
+      uint8_t v = static_cast<uint8_t>((3u * in_n[0] + in_f[0] + 2) >> 2);
+      line[0] = v; if (out_w > 1) line[1] = v;
+      return;
+    }
+    uint32_t t1 = 3u * in_n[0] + in_f[0];
+    line[0] = static_cast<uint8_t>((t1 + 2) >> 2);
+    for (int32_t i = 1; i < w; i++) {
+      uint32_t t0 = t1;
+      t1 = 3u * in_n[i] + in_f[i];
+      if (2 * i - 1 < out_w) line[2 * i - 1] = static_cast<uint8_t>((3 * t0 + t1 + 8) >> 4);
+      if (2 * i < out_w) line[2 * i] = static_cast<uint8_t>((3 * t1 + t0 + 8) >> 4);
+    }
+    if (2 * w - 1 < out_w) line[2 * w - 1] = static_cast<uint8_t>((t1 + 2) >> 2);
+    return;
+  }
+  // generic NN
+  const uint8_t* in = s.plane + static_cast<int64_t>(row / s.v_scale) * s.stride;
+  int32_t idx = 0;
+  for (int32_t i = 0; i < w && idx < out_w; i++)
+    for (int32_t k = 0; k < s.h_scale && idx < out_w; k++) line[idx++] = in[i];
+}
+
 }  // namespace
 
 extern "C" {
 
+// Exact dequant+IDCT of a full component block grid into a u8 plane.
+void jt_idct_component(const int16_t* coeffs, const uint16_t* qt, int64_t bw,
+                       int64_t bh, int32_t scale, uint8_t* plane,
+                       int64_t stride, int32_t nthreads) {
+  auto run = [&](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; b++) {
+      int64_t by = b / bw, bx = b % bw;
+      uint8_t* out = plane + by * scale * stride + bx * scale;
+      const int16_t* c = coeffs + b * 64;
+      switch (scale) {
+        case 8: idct8_block(c, qt, out, stride); break;
+        case 4: idct4_block(c, qt, out, stride); break;
+        case 2: idct2_block(c, qt, out, stride); break;
+        default: idct1_block(c, qt, out, stride); break;
+      }
+    }
+  };
+  int64_t n = bw * bh;
+  if (nthreads > 1 && n > 4096) {
+    std::vector<std::thread> ts;
+    int64_t chunk = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+      int64_t a = t * chunk, b = std::min(n, a + chunk);
+      if (a < b) ts.emplace_back(run, a, b);
+    }
+    for (auto& th : ts) th.join();
+  } else {
+    run(0, n);
+  }
+}
+
+// Upsample + color-convert a whole image.
+// transform: 0 raw/planar-rows, 1 rgb, 2 ycbcr, 3 cmyk, 4 ycck.
+void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
+                       int32_t transform, int32_t out_w, int32_t out_h,
+                       uint8_t* out, int32_t nthreads) {
+  auto run = [&](int32_t r0, int32_t r1) {
+    std::vector<std::vector<uint8_t>> lines(ncomp);
+    for (auto& l : lines) l.resize(out_w);
+    for (int32_t row = r0; row < r1; row++) {
+      for (int32_t ci = 0; ci < ncomp; ci++)
+        upsample_row(comps[ci], row, out_w, lines[ci].data());
+      uint8_t* o = out + static_cast<int64_t>(row) * out_w * ncomp;
+      switch (transform) {
+        case 0:  // raw: per-row planar concatenation (color_no_convert)
+          for (int32_t ci = 0; ci < ncomp; ci++)
+            std::memcpy(o + static_cast<int64_t>(ci) * out_w,
+                        lines[ci].data(), out_w);
+          break;
+        case 1:  // rgb passthrough interleave
+          for (int32_t i = 0; i < out_w; i++)
+            for (int32_t ci = 0; ci < ncomp; ci++) o[i * ncomp + ci] = lines[ci][i];
+          break;
+        case 2:  // ycbcr
+          for (int32_t i = 0; i < out_w; i++)
+            ycbcr_px(lines[0][i], lines[1][i], lines[2][i], o + i * 3);
+          break;
+        case 3:  // cmyk (Adobe inverted)
+          for (int32_t i = 0; i < out_w; i++)
+            for (int32_t ci = 0; ci < 4; ci++)
+              o[i * 4 + ci] = static_cast<uint8_t>(255 - lines[ci][i]);
+          break;
+        default:  // ycck
+          for (int32_t i = 0; i < out_w; i++) {
+            ycbcr_px(lines[0][i], lines[1][i], lines[2][i], o + i * 4);
+            o[i * 4 + 3] = static_cast<uint8_t>(255 - lines[3][i]);
+          }
+          break;
+      }
+    }
+  };
+  if (nthreads > 1 && static_cast<int64_t>(out_h) * out_w > 128 * 1024) {
+    std::vector<std::thread> ts;
+    int32_t chunk = (out_h + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+      int32_t a = t * chunk, b = std::min(out_h, a + chunk);
+      if (a < b) ts.emplace_back(run, a, b);
+    }
+    for (auto& th : ts) th.join();
+  } else {
+    run(0, out_h);
+  }
+}
+
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 3; }
+int64_t jt_abi_version() { return 4; }
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.

@@ -26,7 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 3  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 4  # bump together with jt_abi_version() in entropy.cc
 
 
 class _CHuffTable(C.Structure):
@@ -61,6 +61,18 @@ class _CPrefixComp(C.Structure):
         ("dc", C.c_void_p),
         ("ac", C.c_void_p),
         ("base", C.c_int64),
+    ]
+
+
+class _CUpsampleSpec(C.Structure):
+    _fields_ = [
+        ("plane", C.c_void_p),
+        ("stride", C.c_int64),
+        ("width", C.c_int32),
+        ("height", C.c_int32),
+        ("mode", C.c_int32),
+        ("h_scale", C.c_int32),
+        ("v_scale", C.c_int32),
     ]
 
 
@@ -148,6 +160,14 @@ def _load():
         C.c_char_p, C.c_uint64, C.POINTER(_CScanParams), C.POINTER(_CScanComp),
         C.POINTER(_CPrefixComp), C.c_int32, C.c_void_p, C.c_void_p, C.c_int64,
         C.POINTER(C.c_int64), C.c_char_p]
+    lib.jt_idct_component.restype = None
+    lib.jt_idct_component.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_int64, C.c_int64, C.c_int32, C.c_void_p,
+        C.c_int64, C.c_int32]
+    lib.jt_upsample_color.restype = None
+    lib.jt_upsample_color.argtypes = [
+        C.POINTER(_CUpsampleSpec), C.c_int32, C.c_int32, C.c_int32, C.c_int32,
+        C.c_void_p, C.c_int32]
     _lib = lib
     return lib
 
@@ -347,3 +367,45 @@ def reconstruct_lossless(diffs: np.ndarray, predictor: int, point_transform: int
         diffs.ctypes.data, h, w, int(predictor), point_transform, precision,
         1 if restart_all else 0, out.ctypes.data)
     return out
+
+
+_MODE_IDS = {"h1v1": 0, "h2v1": 1, "h1v2": 2, "h2v2": 3, "generic": 4}
+_TRANSFORM_IDS = {"None": 0, "RGB": 1, "YCbCr": 2, "CMYK": 3, "YCCK": 4}
+
+
+def idct_component(store: np.ndarray, qt: np.ndarray, bw: int, bh: int,
+                   scale: int) -> np.ndarray:
+    """Exact dequant+IDCT of a full component grid -> u8 plane [bh*s, bw*s]."""
+    lib = _load()
+    plane = np.empty((bh * scale, bw * scale), np.uint8)
+    qt = np.ascontiguousarray(qt, np.uint16)
+    lib.jt_idct_component(store.ctypes.data, qt.ctypes.data, bw, bh, scale,
+                          plane.ctypes.data, plane.shape[1], _NTHREADS)
+    return plane
+
+
+def upsample_color(planes: list, specs: list, transform_name: str,
+                   out_w: int, out_h: int, ncomp: int) -> np.ndarray:
+    """Fused upsample + color conversion of a whole image.
+
+    specs[i] = (width, height, mode_name, h_scale, v_scale). For the raw/None
+    transform the output layout is [H, W*ncomp] (per-row planar), else
+    [H, W, ncomp].
+    """
+    lib = _load()
+    cspecs = (_CUpsampleSpec * ncomp)()
+    for i, (plane, (w, h, mode, hs, vs)) in enumerate(zip(planes, specs)):
+        cspecs[i].plane = plane.ctypes.data
+        cspecs[i].stride = plane.shape[1]
+        cspecs[i].width = w
+        cspecs[i].height = h
+        cspecs[i].mode = _MODE_IDS[mode]
+        cspecs[i].h_scale = hs
+        cspecs[i].v_scale = vs
+    tid = _TRANSFORM_IDS[transform_name]
+    out = np.empty(out_h * out_w * ncomp, np.uint8)
+    lib.jt_upsample_color(cspecs, ncomp, tid, out_w, out_h, out.ctypes.data,
+                          _NTHREADS)
+    if tid == 0:
+        return out.reshape(out_h, out_w * ncomp)
+    return out.reshape(out_h, out_w, ncomp)

@@ -133,7 +133,46 @@ def reconstruct_image(geometry: ImageGeometry, stores, qts, backend: str = "nump
     if backend == "jax":
         out = _compiled_pipeline(geometry)(tuple(stores), tuple(qts))
         return np.asarray(out)
+    if geometry.precision == "exact":
+        native_out = _reconstruct_native_host(geometry, stores, qts)
+        if native_out is not None:
+            return native_out
     return _reconstruct(geometry, stores, qts, np)
+
+
+def _reconstruct_native_host(geometry: ImageGeometry, stores, qts):
+    """C++ host reconstruction (exact mode): scalar kernels bit-identical to
+    the vectorized oracle, threaded over blocks/rows. Returns None when the
+    native library is unavailable (callers fall back to numpy)."""
+    from ..entropy.native import get_native
+    native = get_native()
+    if native is None or not hasattr(native, "idct_component"):
+        return None
+
+    planes = []
+    for comp, store, qt in zip(geometry.components, stores, qts):
+        store = np.ascontiguousarray(store, np.int16)
+        planes.append(native.idct_component(
+            store, qt, comp.blocks_wide, comp.blocks_high, comp.dct_scale))
+
+    if geometry.transform is None:
+        comp = geometry.components[0]
+        return planes[0][:comp.size_height, :comp.size_width]
+
+    # Raise the same errors the vectorized path would for invalid pairs.
+    from .color import validate_transform
+    validate_transform(len(planes), geometry.transform)
+    tname = geometry.transform.value
+    if tname not in ("None", "RGB", "YCbCr", "CMYK", "YCCK"):
+        return None
+
+    specs = [
+        (comp.size_width, comp.size_height, comp.upsampler_mode,
+         comp.h_scale, comp.v_scale)
+        for comp in geometry.components
+    ]
+    return native.upsample_color(planes, specs, tname, geometry.out_width,
+                                 geometry.out_height, len(planes))
 
 
 def geometry_from_frame(frame, transform: Optional[ColorTransform],
