@@ -47,6 +47,113 @@ def _kernel_fn():
     return dequant_idct_kernel
 
 
+@functools.lru_cache(maxsize=None)
+def _h2v2_color_kernel():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(ye_ref, yo_ref, cbn_ref, cbf_ref, crn_ref, crf_ref, out_ref):
+        # ye/yo: uint8 [TR, Wc] luma at even/odd output columns
+        # c*n/c*f: uint8 [TR, Wc] chroma near/far rows (pre-gathered verticals)
+        # out: uint8 [6, TR, Wc] — (channel, parity) planar pairs; the caller
+        # interleaves columns in XLA (lane-dim shape casts don't lower in
+        # Mosaic, and the color math is per-pixel so parity split is free).
+        def h2(near, far):
+            # H2V2 horizontal taps (/root/reference/src/upsampler.rs:215-227)
+            t = 3 * near.astype(jnp.int32) + far.astype(jnp.int32)
+            t_prev = jnp.concatenate([t[:, :1], t[:, :-1]], axis=1)
+            t_next = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+            even = (3 * t + t_prev + 8) >> 4
+            odd = (3 * t + t_next + 8) >> 4
+            # Edge samples use the quarter-weight formula.
+            first = (t[:, :1] + 2) >> 2
+            last = (t[:, -1:] + 2) >> 2
+            even = jnp.concatenate([first, even[:, 1:]], axis=1)
+            odd = jnp.concatenate([odd[:, :-1], last], axis=1)
+            return even - 128, odd - 128
+
+        cb_e, cb_o = h2(cbn_ref[:], cbf_ref[:])
+        cr_e, cr_o = h2(crn_ref[:], crf_ref[:])
+        c1402, c0344, c0714, c1772 = 1470104, 360857, 748830, 1858077
+
+        def cl(v):
+            return jnp.clip(v >> 20, 0, 255).astype(jnp.int32).astype(jnp.uint8)
+
+        for p, (y_ref, cb, cr) in enumerate(
+                [(ye_ref, cb_e, cr_e), (yo_ref, cb_o, cr_o)]):
+            yy = y_ref[:].astype(jnp.int32) * (1 << 20) + (1 << 19)
+            out_ref[0 + p, :, :] = cl(yy + c1402 * cr)
+            out_ref[2 + p, :, :] = cl(yy - c0344 * cb - c0714 * cr)
+            out_ref[4 + p, :, :] = cl(yy + c1772 * cb)
+
+    return kernel
+
+
+def fused_h2v2_ycbcr_pallas(y_plane, cb_plane, cr_plane, out_h: int, out_w: int,
+                            chroma_h: int, chroma_w: int, row_tile: int = 256,
+                            interpret: bool = False):
+    """Fused 4:2:0 tail: H2V2 chroma upsample + BT.601 color as one Pallas
+    kernel over output row tiles. Returns planar uint8 [3, out_h, out_w]
+    (the decode-to-device layout; models consume planar directly).
+
+    The V2 vertical near/far pairs are materialized by XLA with the
+    gather-free repeat/shift formulation; the kernel fuses the horizontal
+    triangle filter, fixed-point color conversion, and the planar write.
+    Bit-exact vs the reference taps (edge formulas included).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    hc, wc = chroma_h, chroma_w
+
+    def near_far(p):
+        p2 = p[:hc, :wc]
+        near = jnp.repeat(p2, 2, axis=0)[:out_h]
+        down = jnp.concatenate([p2[:1], p2[:-1]], axis=0)
+        up = jnp.concatenate([p2[1:], p2[-1:]], axis=0)
+        far = jnp.stack([down, up], axis=1).reshape(2 * hc, wc)[:out_h]
+        return near, far
+
+    cbn, cbf = near_far(cb_plane)
+    crn, crf = near_far(cr_plane)
+
+    # Luma split by output-column parity (strided slices are XLA's job).
+    y = y_plane[:out_h, :2 * wc]
+    if y.shape[1] < 2 * wc:
+        y = jnp.concatenate(
+            [y, jnp.zeros((out_h, 2 * wc - y.shape[1]), y.dtype)], axis=1)
+    ye, yo = y[:, 0::2], y[:, 1::2]
+
+    # Pad rows to the tile.
+    h_pad = -(-out_h // row_tile) * row_tile
+    def pad(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((h_pad - a.shape[0],) + a.shape[1:], a.dtype)], axis=0)
+    ye, yo, cbn, cbf, crn, crf = map(pad, (ye, yo, cbn, cbf, crn, crf))
+
+    grid = (h_pad // row_tile,)
+    spec = pl.BlockSpec((row_tile, wc), lambda i: (i, 0))
+    out = pl.pallas_call(
+        _h2v2_color_kernel(),
+        grid=grid,
+        in_specs=[spec] * 6,
+        out_specs=pl.BlockSpec((6, row_tile, wc), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((6, h_pad, wc), jnp.uint8),
+        interpret=interpret,
+    )(ye, yo, cbn, cbf, crn, crf)
+
+    # XLA-side column interleave of the (even, odd) pairs per channel.
+    out = out[:, :out_h, :]
+    chans = [
+        jnp.stack([out[2 * c], out[2 * c + 1]], axis=-1).reshape(out_h, 2 * wc)
+        for c in range(3)
+    ]
+    return jnp.stack(chans, axis=0)[:, :, :out_w]
+
+
 def dequantize_and_idct_blocks_pallas(dense, qt, interpret: bool = False):
     """Pallas dequant+IDCT: int16 [N, 64] + uint16[64] -> uint8 [N, 8, 8].
 

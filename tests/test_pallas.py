@@ -33,3 +33,29 @@ def test_pallas_handles_nonmultiple_block_counts():
     b = dequantize_and_idct_blocks_fast(dense, qt, xp=np)
     assert a.shape == (37, 8, 8)
     assert (a == b).all()
+
+
+def test_fused_h2v2_ycbcr_matches_oracle():
+    import jax.numpy as jnp
+    from jpeg_decoder_tpu.ops.pallas_kernels import fused_h2v2_ycbcr_pallas
+    from jpeg_decoder_tpu.ops.upsample import upsample_component
+    from jpeg_decoder_tpu.ops.color import ycbcr_to_rgb
+
+    rng = np.random.default_rng(3)
+    out_h, out_w = 100, 166          # odd-ish sizes, not tile multiples
+    hc, wc = 50, 83
+    y = rng.integers(0, 256, (out_h + 4, out_w + 2)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hc + 4, wc + 1)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hc + 4, wc + 1)).astype(np.uint8)
+
+    out = np.asarray(fused_h2v2_ycbcr_pallas(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+        out_h, out_w, hc, wc, row_tile=32, interpret=True))
+
+    cbu = upsample_component(cb, "h2v2", input_width=wc, input_height=hc,
+                             out_rows=out_h, out_width=out_w, xp=np)
+    cru = upsample_component(cr, "h2v2", input_width=wc, input_height=hc,
+                             out_rows=out_h, out_width=out_w, xp=np)
+    r, g, b = ycbcr_to_rgb(y[:out_h, :out_w], cbu, cru, xp=np)
+
+    assert (out[0] == r).all() and (out[1] == g).all() and (out[2] == b).all()
