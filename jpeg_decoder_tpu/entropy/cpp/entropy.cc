@@ -219,6 +219,33 @@ struct BitReader {
   }
 };
 
+// Marker display names matching markers.py::name (for error-string parity
+// with the Python oracle).
+void marker_name(int m, char* out, size_t n) {
+  if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+    std::snprintf(out, n, "SOF%d", m - 0xC0);
+  } else if (m >= 0xD0 && m <= 0xD7) {
+    std::snprintf(out, n, "RST%d", m - 0xD0);
+  } else if (m >= 0xE0 && m <= 0xEF) {
+    std::snprintf(out, n, "APP%d", m - 0xE0);
+  } else if (m >= 0xF0 && m <= 0xFD) {
+    std::snprintf(out, n, "JPG%d", m - 0xF0);
+  } else {
+    const char* s = nullptr;
+    switch (m) {
+      case 0x01: s = "TEM"; break; case 0xC4: s = "DHT"; break;
+      case 0xC8: s = "JPG"; break; case 0xCC: s = "DAC"; break;
+      case 0xD8: s = "SOI"; break; case 0xD9: s = "EOI"; break;
+      case 0xDA: s = "SOS"; break; case 0xDB: s = "DQT"; break;
+      case 0xDC: s = "DNL"; break; case 0xDD: s = "DRI"; break;
+      case 0xDE: s = "DHP"; break; case 0xDF: s = "EXP"; break;
+      case 0xFE: s = "COM"; break; default: break;
+    }
+    if (s) std::snprintf(out, n, "%s", s);
+    else std::snprintf(out, n, "RES(0x%02X)", m);
+  }
+}
+
 // Tolerant inter-segment marker scan (/root/reference/src/decoder.rs:766-791).
 int read_marker(const uint8_t* data, size_t len, size_t* pos) {
   for (;;) {
@@ -525,10 +552,12 @@ bool decode_mcu_range(BitReader& r, const ScanParams& sp, const ScanComp* comps,
             return false;
           }
           if (m < 0xD0 || m > 0xD7) {
+            char name[24];
+            marker_name(m, name, sizeof name);
             char buf[96];
             std::snprintf(buf, sizeof buf,
-                          "found marker inside scan where RST%d was expected",
-                          expected_rst);
+                          "found marker %s inside scan where RST%d was expected",
+                          name, expected_rst);
             err.format(buf);
             return false;
           }
@@ -1093,10 +1122,27 @@ int jt_decode_scan_lossless(const uint8_t* data, uint64_t len, int64_t* pos_io,
         if (mcus_left == 0) {
           int m = r.take_marker(err);
           if (err) goto fail;
-          if (m < 0xD0 || m > 0xD7 || m - 0xD0 != expected_rst) {
+          if (m < 0) {
             char buf[96];
-            std::snprintf(buf, sizeof buf, "restart marker mismatch (expected RST%d)",
+            std::snprintf(buf, sizeof buf, "no marker found where RST%d was expected",
                           expected_rst);
+            err.format(buf);
+            goto fail;
+          }
+          if (m < 0xD0 || m > 0xD7) {
+            char name[24];
+            marker_name(m, name, sizeof name);
+            char buf[96];
+            std::snprintf(buf, sizeof buf,
+                          "found marker %s inside scan where RST%d was expected",
+                          name, expected_rst);
+            err.format(buf);
+            goto fail;
+          }
+          if (m - 0xD0 != expected_rst) {
+            char buf[96];
+            std::snprintf(buf, sizeof buf, "found RST%d where RST%d was expected",
+                          m - 0xD0, expected_rst);
             err.format(buf);
             goto fail;
           }
