@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-import io
 from typing import Optional
 
 import numpy as np
@@ -28,7 +27,7 @@ from . import markers as M
 from . import parser as P
 from .entropy import decode_scan_dct, decode_scan_lossless
 from .entropy.scan_python import read_marker as _read_marker
-from .errors import FormatError, IoError, JpegError, UnsupportedError, UnsupportedFeature
+from .errors import FormatError, UnsupportedError, UnsupportedFeature
 from .huffman import fill_default_mjpeg_tables
 from .ops import upsample as U
 from .ops.color import ColorTransform

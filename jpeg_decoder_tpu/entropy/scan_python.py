@@ -20,7 +20,7 @@ from typing import Optional
 import numpy as np
 
 from .. import markers as M
-from ..errors import FormatError, IoError, JpegError
+from ..errors import FormatError, JpegError
 from ..parser import CodingProcess
 from .bitreader import BitReader
 

@@ -13,7 +13,7 @@ one image, it's N host cores × M devices across images.
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -56,7 +56,7 @@ def make_stripe_pipeline(geometry: ImageGeometry, mcu_rows: int, n_stripes: int,
     from ..ops.pipeline import _enable_compile_cache
     _enable_compile_cache(jax)
     from jax import lax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     comps = geometry.components
     # v_i = block rows per MCU row; derive from block grid vs MCU rows.

@@ -9,8 +9,6 @@ must produce byte-identical results with no deadlock.
 
 import concurrent.futures as cf
 
-import pytest
-
 from conftest import REFTEST_IMAGES
 
 from jpeg_decoder_tpu import Decoder

@@ -2,7 +2,6 @@
 the perf harness since tests run on the CPU mesh)."""
 
 import numpy as np
-import pytest
 
 from jpeg_decoder_tpu.ops.idct import dequantize_and_idct_blocks_fast
 
