@@ -54,3 +54,20 @@ def test_batched_stream_matches_single():
     for a, b in zip(single, batched):
         assert a.shape == b.shape
         assert (jnp.asarray(a) == jnp.asarray(b)).all()
+
+
+def test_scaled_decode_through_stream():
+    """Thumbnail decode (IDCT-domain scaling) through the streaming staging."""
+    import jax.numpy as jnp
+    from jpeg_decoder_tpu.models.stream import stage_host, _compiled_prefix_pipeline
+
+    path = str(REFTEST_IMAGES / "rgb.jpg")
+    d = Decoder(path, precision="fast")
+    d.scale(125, 84)
+    golden = d.decode()
+
+    st = stage_host(open(path, "rb").read(), scale_to=(125, 84))
+    fn = _compiled_prefix_pipeline(st.geometry, len(st.resid_idx))
+    out = jnp.asarray(fn(st.dc, st.ac, st.resid_idx, st.resid_vals, st.qts))
+    import numpy as np
+    assert bytes(np.asarray(out).tobytes()) == golden
