@@ -48,6 +48,7 @@ struct HuffTable {          // mirrors jpeg_decoder_tpu.huffman.HuffmanTable
   const int16_t* fast_value;    // [1024]
   const uint8_t* fast_run;      // [1024]
   const uint8_t* fast_bits;     // [1024]
+  const uint32_t* fast_packed;  // [1024]: value(u16) | run<<16 | bits<<20
 };
 
 constexpr int kFastBits = 10;
@@ -332,11 +333,10 @@ bool decode_block(BitReader& r, Blk blk, const HuffTable* dc,
     // timing is unchanged).
     if (r.num_bits < 16 && !r.read_bits(err)) return false;
     int32_t diff;
-    uint32_t p10 = r.peek(kFastBits);
-    uint8_t fb = kNoFastDC ? 0 : dc->fast_bits[p10];
-    if (fb != 0) {
-      diff = dc->fast_value[p10];
-      r.consume(fb);
+    uint32_t packed = kNoFastDC ? 0 : dc->fast_packed[r.peek(kFastBits)];
+    if (packed >> 20) {
+      diff = static_cast<int16_t>(packed & 0xFFFF);
+      r.consume(packed >> 20);
     } else {
       int value = r.decode(dc, err);
       if (err) return false;
@@ -372,12 +372,12 @@ bool decode_block(BitReader& r, Blk blk, const HuffTable* dc,
     // the shortcut with only 10-15 bits buffered would skip a refill the
     // oracle performs (and with it the oracle's EOF/marker behavior).
     if (!kNoFastAC && r.num_bits >= 16) {
-      uint32_t p10 = r.peek(kFastBits);
-      uint8_t fb = ac->fast_bits[p10];
-      if (fb != 0 && index + ac->fast_run[p10] < se) {
-        r.consume(fb);
-        index += ac->fast_run[p10];
-        blk.set_zz(index, static_cast<int32_t>(ac->fast_value[p10]) << al);
+      uint32_t packed = ac->fast_packed[r.peek(kFastBits)];
+      int run = (packed >> 16) & 0xF;
+      if ((packed >> 20) != 0 && index + run < se) {
+        r.consume(packed >> 20);
+        index += run;
+        blk.set_zz(index, static_cast<int32_t>(static_cast<int16_t>(packed & 0xFFFF)) << al);
         index++;
         continue;
       }
@@ -913,7 +913,7 @@ void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
 
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 4; }
+int64_t jt_abi_version() { return 5; }
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.

@@ -26,7 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 4  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 5  # bump together with jt_abi_version() in entropy.cc
 
 
 class _CHuffTable(C.Structure):
@@ -41,6 +41,7 @@ class _CHuffTable(C.Structure):
         ("fast_value", C.c_void_p),
         ("fast_run", C.c_void_p),
         ("fast_bits", C.c_void_p),
+        ("fast_packed", C.c_void_p),
     ]
 
 
@@ -196,6 +197,7 @@ def _huff_ptr(table):
         fast_value=table.fast_value.ctypes.data,
         fast_run=table.fast_run.ctypes.data,
         fast_bits=table.fast_bits.ctypes.data,
+        fast_packed=table.fast_packed.ctypes.data,
     )
     table._c_struct = (st, refs)
     return st

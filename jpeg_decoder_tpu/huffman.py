@@ -54,6 +54,8 @@ class HuffmanTable:
     fast_value: np.ndarray | None = None     # int16[1024]
     fast_run: np.ndarray | None = None       # uint8[1024] (AC only, else zeros)
     fast_bits: np.ndarray | None = None      # uint8[1024]
+    # Single-load packing for the native kernel: value(u16)|run<<16|bits<<20.
+    fast_packed: np.ndarray | None = None    # uint32[1024]
 
     @classmethod
     def build(cls, bits: "list[int] | np.ndarray", values: "bytes | np.ndarray",
@@ -140,6 +142,9 @@ class HuffmanTable:
 
         fast_value, fast_run, fast_bits = _build_fast_lut(
             huffcode, huffsize, values, is_ac)
+        fast_packed = ((fast_value.astype(np.uint32) & 0xFFFF)
+                       | (fast_run.astype(np.uint32) << 16)
+                       | (fast_bits.astype(np.uint32) << 20))
 
         return cls(
             is_ac=is_ac,
@@ -153,6 +158,7 @@ class HuffmanTable:
             fast_value=fast_value,
             fast_run=fast_run,
             fast_bits=fast_bits,
+            fast_packed=fast_packed,
         )
 
 
