@@ -498,13 +498,37 @@ class Decoder:
         restart_all = (self._restart_interval > 0
                        and leftover == self._restart_interval - 1)
 
+        use_device = self._backend == "jax"
         for pos, comp_i in enumerate(scan.component_indices):
-            plane = reconstruct_lossless(
-                diffs[pos], scan.predictor_selection, scan.point_transform,
-                frame.precision, restart_all)
+            if use_device:
+                plane = self._reconstruct_lossless_device(
+                    diffs[pos], scan.predictor_selection, scan.point_transform,
+                    frame.precision, restart_all)
+            else:
+                plane = reconstruct_lossless(
+                    diffs[pos], scan.predictor_selection, scan.point_transform,
+                    frame.precision, restart_all)
             self._planes_u16[comp_i] = plane
 
         return marker
+
+    @staticmethod
+    def _reconstruct_lossless_device(diffs, predictor, pt, precision,
+                                     restart_all):
+        """Device (jnp) predictor reconstruction: closed forms where they
+        exist, anti-diagonal wavefront otherwise (see ops/predictors.py)."""
+        import jax.numpy as jnp
+        import numpy as np_
+        from .ops.predictors import (device_supported,
+                                     reconstruct_lossless_device,
+                                     reconstruct_lossless_wavefront)
+        if restart_all or device_supported(predictor, pt):
+            out = reconstruct_lossless_device(diffs, predictor, pt, precision,
+                                              restart_all, jnp)
+        else:
+            out = reconstruct_lossless_wavefront(diffs, predictor, pt,
+                                                 precision, jnp)
+        return np_.asarray(out)
 
     @staticmethod
     def _select_backend(frame) -> str:

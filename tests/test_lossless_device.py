@@ -109,3 +109,15 @@ def test_wavefront_matches_oracle(predictor, pt):
     dev = jax.jit(lambda d: reconstruct_lossless_wavefront(
         d, predictor, pt, precision, jnp))(diffs)
     assert (np.asarray(dev) == oracle).all(), predictor
+
+
+@pytest.mark.parametrize("name", [
+    "lossless/1/jpeg_lossless_sel1.jpg",   # Ra (closed form)
+    "lossless/1/jpeg_lossless_sel4.jpg",   # Ra+Rb-Rc (closed form)
+    "lossless/1/jpeg_lossless_sel6.jpg",   # Rb+((Ra-Rc)>>1) (wavefront)
+    "lossless/2/MR4.jpg",
+])
+def test_jax_backend_lossless_bit_exact(name):
+    path = str(REFTEST_IMAGES / name)
+    from jpeg_decoder_tpu import Decoder
+    assert Decoder(path, backend="jax").decode() == Decoder(path).decode()
