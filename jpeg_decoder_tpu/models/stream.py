@@ -154,24 +154,47 @@ class StagedImage:
 class _BufferPool:
     """Reusable host buffers keyed by (dtype, size). Large per-image numpy
     allocations hit mmap/page-fault churn (~100s of ms for 20MB-class
-    tensors); pooling keeps the pages resident across images."""
+    tensors); pooling keeps the pages resident across images.
 
-    def __init__(self):
+    Bounded: at most `depth` buffers per (dtype, size) and `budget` total
+    bytes — a long-lived service decoding diverse image sizes must not grow
+    without limit. Eviction drops the least-recently-released size class."""
+
+    def __init__(self, depth: int = 8, budget: int = 1 << 30):
         self._lock = threading.Lock()
         self._free: dict = {}
+        self._depth = depth
+        self._budget = budget
+        self._bytes = 0
 
     def acquire(self, size: int, dtype) -> np.ndarray:
         key = (np.dtype(dtype).str, size)
         with self._lock:
             stack = self._free.get(key)
             if stack:
-                return stack.pop()
+                arr = stack.pop()
+                self._bytes -= arr.nbytes
+                return arr
         return np.empty(size, dtype=dtype)
 
     def release(self, arr: np.ndarray) -> None:
         key = (arr.dtype.str, arr.size)
         with self._lock:
-            self._free.setdefault(key, []).append(arr)
+            stack = self._free.setdefault(key, [])
+            if len(stack) >= self._depth:
+                return  # drop: per-class cap
+            stack.append(arr)
+            self._free[key] = stack
+            # Move to MRU position for budget eviction order.
+            self._free.pop(key)
+            self._free[key] = stack
+            self._bytes += arr.nbytes
+            while self._bytes > self._budget and len(self._free) > 1:
+                old_key = next(iter(self._free))
+                if old_key == key:
+                    break
+                for dropped in self._free.pop(old_key):
+                    self._bytes -= dropped.nbytes
 
 
 _pool = _BufferPool()
@@ -324,6 +347,13 @@ def stage_host(source, scale_to=None, precision: str = "fast") -> StagedImage:
 
     if capture is not None and capture.used:
         return _staged_from_capture(d, capture, precision, pooled)
+
+    n_comp = len(d.frame.components) if d.frame is not None else 0
+    if n_comp == 0 or any(i not in d._pending_render for i in range(n_comp)):
+        for buf in pooled:
+            _pool.release(buf)
+        from ..errors import FormatError
+        raise FormatError("not all components have data")
     n = len(d.frame.components)
     stores = [d._pending_render[i][0].reshape(-1) for i in range(n)]
     qts = tuple(d._pending_render[i][1] for i in range(n))

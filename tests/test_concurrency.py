@@ -47,3 +47,33 @@ def test_concurrent_staging():
 
     with cf.ThreadPoolExecutor(max_workers=8) as pool:
         assert all(pool.map(work, range(32)))
+
+
+def test_soak_mixed_corpus_bounded_memory():
+    """Mixed-corpus soak: decode + staging over many iterations must stay
+    deterministic and keep the buffer pool bounded (long-lived service)."""
+    import random
+
+    from conftest import reftest_files
+    from jpeg_decoder_tpu import JpegError
+    from jpeg_decoder_tpu.models.stream import _pool, stage_host
+
+    datas = []
+    for p in reftest_files()[:20]:
+        datas.append(open(p, "rb").read())
+    rng = random.Random(7)
+    golden = {}
+    for i in range(300):
+        d = rng.choice(datas)
+        try:
+            if i % 3 == 0:
+                stage_host(d)
+            else:
+                out = Decoder(d).decode()
+                key = hash(d)
+                if key in golden:
+                    assert golden[key] == hash(out)
+                golden[key] = hash(out)
+        except JpegError:
+            pass
+    assert _pool._bytes <= _pool._budget
