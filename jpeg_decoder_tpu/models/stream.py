@@ -68,7 +68,8 @@ def _bucket(n: int, floor: int = 2048) -> int:
 
 
 @functools.lru_cache(maxsize=256)
-def _compiled_prefix_pipeline(geometry: ImageGeometry, resid_bucket: int):
+def _compiled_prefix_pipeline(geometry: ImageGeometry, resid_bucket: int,
+                              layout: str = "interleaved"):
     import jax
     import jax.numpy as jnp
 
@@ -95,7 +96,13 @@ def _compiled_prefix_pipeline(geometry: ImageGeometry, resid_bucket: int):
             dense[int(o):int(o) + int(s)].reshape(-1, 64)
             for o, s in zip(offsets, sizes)
         ]
-        return _reconstruct(geometry, stores, qts, jnp)
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import reconstruct_planar_pallas
+            return reconstruct_planar_pallas(geometry, stores, qts)
+        out = _reconstruct(geometry, stores, qts, jnp)
+        if layout == "planar" and out.ndim == 3:
+            return jnp.transpose(out, (2, 0, 1))
+        return out
 
     return jax.jit(run)
 
@@ -420,13 +427,25 @@ def stage_host(source, scale_to=None, precision: str = "fast") -> StagedImage:
 class DeviceStreamDecoder:
     """Streaming decode-to-device: returns device arrays, never reads back."""
 
-    def __init__(self, host_threads: int = 4, precision: str = "fast"):
+    def __init__(self, host_threads: int = 4, precision: str = "fast",
+                 layout: str = "interleaved"):
+        """layout: "interleaved" ([H, W, C]); "planar" ([C, H, W], device
+        transpose); "planar-pallas" ([C, H, W] via the fully-Pallas 4:2:0
+        tail — MXU IDCT + fused upsample/color kernels — falling back to
+        "planar" for unsupported geometries)."""
         self.pool = cf.ThreadPoolExecutor(max_workers=host_threads)
         self.precision = precision
+        self.layout = layout
 
     def decode_one(self, staged: StagedImage):
         import jax
-        fn = _compiled_prefix_pipeline(staged.geometry, len(staged.resid_idx))
+        layout = self.layout
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import is_420_ycbcr
+            if not is_420_ycbcr(staged.geometry):
+                layout = "planar"
+        fn = _compiled_prefix_pipeline(staged.geometry, len(staged.resid_idx),
+                                       layout)
         return fn(jax.device_put(staged.dc),
                   jax.device_put(staged.ac),
                   jax.device_put(staged.resid_idx),

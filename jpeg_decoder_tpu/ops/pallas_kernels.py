@@ -154,6 +154,44 @@ def fused_h2v2_ycbcr_pallas(y_plane, cb_plane, cr_plane, out_h: int, out_w: int,
     return jnp.stack(chans, axis=0)[:, :, :out_w]
 
 
+def is_420_ycbcr(geometry) -> bool:
+    """True for the geometry the fully-Pallas planar tail supports: 3-component
+    YCbCr, full-scale IDCT, luma h1v1 + chroma h2v2 (baseline 4:2:0)."""
+    from .color import ColorTransform
+
+    comps = geometry.components
+    return (len(comps) == 3
+            and geometry.transform == ColorTransform.YCBCR
+            and all(c.dct_scale == 8 for c in comps)
+            and comps[0].upsampler_mode == "h1v1"
+            and comps[1].upsampler_mode == "h2v2"
+            and comps[2].upsampler_mode == "h2v2")
+
+
+def reconstruct_planar_pallas(geometry, stores, qts, interpret=None):
+    """Planar [3, H, W] 4:2:0 reconstruction with the Pallas tail: MXU IDCT
+    kernel per component, then the fused H2V2-upsample + color kernel.
+    Traceable under jit; the decode-to-device layout for model consumers."""
+    from .idct import blocks_to_plane
+
+    assert is_420_ycbcr(geometry)
+    if interpret is None:
+        import jax
+        interpret = jax.default_backend() != "tpu"  # interpret off-TPU (tests)
+    comps = geometry.components
+    planes = []
+    for comp, store, qt in zip(comps, stores, qts):
+        pixels = dequantize_and_idct_blocks_pallas(store, qt, interpret=interpret)
+        import jax.numpy as jnp
+        planes.append(blocks_to_plane(pixels, comp.blocks_wide,
+                                      comp.blocks_high, xp=jnp))
+    chroma = comps[1]
+    return fused_h2v2_ycbcr_pallas(
+        planes[0], planes[1], planes[2],
+        geometry.out_height, geometry.out_width,
+        chroma.size_height, chroma.size_width, interpret=interpret)
+
+
 def dequantize_and_idct_blocks_pallas(dense, qt, interpret: bool = False):
     """Pallas dequant+IDCT: int16 [N, 64] + uint16[64] -> uint8 [N, 8, 8].
 

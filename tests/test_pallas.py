@@ -58,3 +58,21 @@ def test_fused_h2v2_ycbcr_matches_oracle():
     r, g, b = ycbcr_to_rgb(y[:out_h, :out_w], cbu, cru, xp=np)
 
     assert (out[0] == r).all() and (out[1] == g).all() and (out[2] == b).all()
+
+
+def test_planar_pallas_stream_matches_fast_decode():
+    """The fully-Pallas planar 4:2:0 tail through the stream pipeline equals
+    the fast-precision interleaved decode, transposed."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from jpeg_decoder_tpu import Decoder
+    from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+
+    path = "/root/reference/tests/reftest/images/rgb.jpg"
+    data = open(path, "rb").read()
+    golden = Decoder(data, precision="fast").decode_array()  # [H, W, 3]
+
+    dec = DeviceStreamDecoder(host_threads=1, layout="planar-pallas")
+    out = np.asarray(dec.decode_stream([data])[0])           # [3, H, W]
+    assert out.shape == (3,) + golden.shape[:2]
+    assert (out == golden.transpose(2, 0, 1)).all()
