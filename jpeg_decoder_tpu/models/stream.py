@@ -453,17 +453,33 @@ class DeviceStreamDecoder:
                   staged.qts)
 
     def decode_stream(self, sources: Iterable, scale_to=None,
-                      batch_size: int = 1) -> list:
+                      batch_size: int = 1, on_error: str = "raise") -> list:
         """Decode all sources; returns a list of device uint8 arrays.
 
         batch_size > 1 groups consecutive same-geometry images into one
         vmapped device dispatch — essential for sub-megapixel images, where
         per-dispatch overhead otherwise dominates.
+
+        on_error: "raise" propagates the first failure; "none" isolates
+        per-item failures (malformed inputs in a production stream must not
+        poison the batch) and yields None in that slot.
         """
+        from ..errors import JpegError
+
         staged_futures = [self.pool.submit(stage_host, s, scale_to, self.precision)
                           for s in sources]
+
+        def resolve(fut):
+            if on_error == "raise":
+                return fut.result()
+            try:
+                return fut.result()
+            except JpegError:
+                return None
+
         if batch_size <= 1:
-            return [self.decode_one(fut.result()) for fut in staged_futures]
+            return [self.decode_one(st) if st is not None else None
+                    for st in map(resolve, staged_futures)]
 
         outputs: list = []
         group: list = []
@@ -475,7 +491,11 @@ class DeviceStreamDecoder:
             group.clear()
 
         for fut in staged_futures:
-            st = fut.result()
+            st = resolve(fut)
+            if st is None:
+                flush()
+                outputs.append(None)
+                continue
             if group and (st.geometry != group[0].geometry
                           or len(group) >= batch_size):
                 flush()

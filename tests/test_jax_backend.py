@@ -71,3 +71,19 @@ def test_scaled_decode_through_stream():
     out = jnp.asarray(fn(st.dc, st.ac, st.resid_idx, st.resid_vals, st.qts))
     import numpy as np
     assert bytes(np.asarray(out).tobytes()) == golden
+
+
+def test_stream_error_isolation():
+    """Malformed inputs in a stream must not poison the batch (on_error='none')."""
+    from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+
+    good = open(REFTEST_IMAGES / "rgb.jpg", "rb").read()
+    bad = b"\xff\xd8 definitely not a jpeg"
+    dec = DeviceStreamDecoder(host_threads=2)
+    outs = dec.decode_stream([good, bad, good], batch_size=4, on_error="none")
+    assert outs[1] is None
+    assert outs[0] is not None and outs[2] is not None
+    import pytest as _pytest
+    from jpeg_decoder_tpu import JpegError
+    with _pytest.raises(JpegError):
+        dec.decode_stream([good, bad], on_error="raise")
