@@ -601,6 +601,34 @@ bool decode_mcu_range(BitReader& r, const ScanParams& sp, const ScanComp* comps,
   return true;
 }
 
+// Scan the entropy stream for RSTn positions delimiting `nseg` restart
+// segments starting at `start`. Returns true when the expected modulo-8
+// sequence was found in full (irregular streams fall back to serial decode).
+bool scan_restart_segments(const uint8_t* data, size_t len, size_t start,
+                           int64_t nseg, std::vector<size_t>* seg_start) {
+  seg_start->clear();
+  seg_start->push_back(start);
+  size_t p = start;
+  int expect = 0;
+  while (static_cast<int64_t>(seg_start->size()) < nseg && p + 1 < len) {
+    if (data[p] == 0xFF) {
+      uint8_t m = data[p + 1];
+      if (m >= 0xD0 && m <= 0xD7) {
+        if (m - 0xD0 != expect) return false;
+        expect = (expect + 1) % 8;
+        seg_start->push_back(p + 2);
+        p += 2;
+        continue;
+      }
+      if (m != 0x00 && m != 0xFF) break;  // real marker: end of scan data
+      p += 2;
+      continue;
+    }
+    p++;
+  }
+  return static_cast<int64_t>(seg_start->size()) == nseg;
+}
+
 int64_t count_decoded_mcus(const ScanParams& sp) {
   int64_t rows = 0, cols = 0;
   for (int32_t y = 0; y < sp.max_mcu_y; y++) {
@@ -913,7 +941,7 @@ void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
 
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 5; }
+int64_t jt_abi_version() { return 6; }
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.
@@ -938,28 +966,8 @@ int jt_decode_scan_dct(const uint8_t* data, uint64_t len, ScanParams* sp,
     // on any irregularity.
     int64_t nseg = (total_mcus + sp->restart_interval - 1) / sp->restart_interval;
     std::vector<size_t> seg_start;  // byte pos where each segment's data begins
-    seg_start.reserve(nseg);
-    seg_start.push_back(static_cast<size_t>(sp->pos));
-    bool regular = true;
-    size_t p = static_cast<size_t>(sp->pos);
-    int expect = 0;
-    while (static_cast<int64_t>(seg_start.size()) < nseg && p + 1 < len) {
-      if (data[p] == 0xFF) {
-        uint8_t m = data[p + 1];
-        if (m >= 0xD0 && m <= 0xD7) {
-          if (m - 0xD0 != expect) { regular = false; break; }
-          expect = (expect + 1) % 8;
-          seg_start.push_back(p + 2);
-          p += 2;
-          continue;
-        }
-        if (m != 0x00 && m != 0xFF) break;  // real marker: end of scan data
-        p += 2;
-        continue;
-      }
-      p++;
-    }
-    if (regular && static_cast<int64_t>(seg_start.size()) == nseg) {
+    if (scan_restart_segments(data, len, static_cast<size_t>(sp->pos), nseg,
+                              &seg_start)) {
       int nt = sp->nthreads;
       std::vector<std::thread> threads;
       std::atomic<int64_t> next_seg{0};
@@ -1058,6 +1066,7 @@ struct PrefixComp {
   int16_t* dc;      // [nblocks] int16 DC plane (zero-initialized), or null = dummy
   int8_t* ac;       // [nblocks, K-1] int8 AC prefix (zero-initialized)
   int64_t base;     // global dense element offset of this component
+  int64_t nblocks;  // block count (for wipe on parallel fallback)
 };
 
 int jt_decode_scan_dct_prefix(const uint8_t* data, uint64_t len, ScanParams* sp,
@@ -1068,17 +1077,123 @@ int jt_decode_scan_dct_prefix(const uint8_t* data, uint64_t len, ScanParams* sp,
   Error err;
   sp->out_marker = -1;
   const int64_t total_mcus = count_decoded_mcus(*sp);
-  ResidBuf resid{resid_idx, resid_vals, *resid_count, resid_cap};
 
-  auto prefix_blk = [&](int32_t i, int64_t block_index) {
-    const PrefixComp& pc = pcomps[i];
-    return PrefixBlock{
-        pc.dc ? pc.dc + block_index : nullptr,
-        pc.ac ? pc.ac + block_index * (prefix_k - 1) : nullptr,
-        prefix_k,
-        pc.base + block_index * 64,
-        &resid};
+  auto make_prefix_blk = [&](ResidBuf* resid) {
+    return [=](int32_t i, int64_t block_index) {
+      const PrefixComp& pc = pcomps[i];
+      return PrefixBlock{
+          pc.dc ? pc.dc + block_index : nullptr,
+          pc.ac ? pc.ac + block_index * (prefix_k - 1) : nullptr,
+          prefix_k,
+          pc.base + block_index * 64,
+          resid};
+    };
   };
+
+  // Restart-segment parallel path (streaming variant): per-thread residual
+  // regions keep appends race-free; any anomaly (validation failure, region
+  // overflow) wipes the outputs and falls back to the exact serial decode.
+  if (sp->restart_interval > 0 && sp->nthreads > 1 &&
+      total_mcus > 4 * sp->restart_interval) {
+    int64_t nseg = (total_mcus + sp->restart_interval - 1) / sp->restart_interval;
+    std::vector<size_t> seg_start;
+    if (scan_restart_segments(data, len, static_cast<size_t>(sp->pos), nseg,
+                              &seg_start)) {
+      int nt = sp->nthreads;
+      int64_t region = (resid_cap - *resid_count) / nt;
+      std::vector<ResidBuf> regions(nt);
+      for (int t = 0; t < nt; t++) {
+        regions[t] = ResidBuf{resid_idx + *resid_count + t * region,
+                              resid_vals + *resid_count + t * region, 0, region};
+      }
+      std::vector<std::thread> threads;
+      std::atomic<int64_t> next_seg{0};
+      std::atomic<bool> irregular{false};
+      // The final segment is decoded on the caller thread afterwards so its
+      // reader can finish the scan (marker skim); threads take 0..nseg-2.
+      for (int t = 0; t < nt; t++) {
+        threads.emplace_back([&, t]() {
+          auto blk = make_prefix_blk(&regions[t]);
+          for (;;) {
+            int64_t s = next_seg.fetch_add(1);
+            if (s >= nseg - 1 || irregular.load(std::memory_order_relaxed)) return;
+            BitReader r(data, len, seg_start[s]);
+            McuRange range{s * sp->restart_interval,
+                           std::min<int64_t>((s + 1) * sp->restart_interval,
+                                             total_mcus)};
+            Error e;
+            if (!decode_mcu_range(r, *sp, comps, range, /*restarts=*/false,
+                                  blk, e)) {
+              irregular.store(true);
+              return;
+            }
+            int m = r.take_marker(e);
+            if (e || m != 0xD0 + static_cast<int>(s % 8) ||
+                regions[t].count >= regions[t].cap) {
+              irregular.store(true);
+              return;
+            }
+          }
+        });
+      }
+      for (auto& th : threads) th.join();
+
+      bool ok = !irregular.load();
+      ResidBuf last_resid{resid_idx, resid_vals, *resid_count, resid_cap};
+      if (ok) {
+        // Compact per-thread regions into the contiguous prefix (order is
+        // irrelevant: the device scatter accepts unsorted entries).
+        int64_t k = *resid_count;
+        for (int t = 0; t < nt; t++) {
+          if (regions[t].idx != resid_idx + k && regions[t].count > 0) {
+            std::memmove(resid_idx + k, regions[t].idx,
+                         regions[t].count * sizeof(int32_t));
+            std::memmove(resid_vals + k, regions[t].vals,
+                         regions[t].count * sizeof(int16_t));
+          }
+          k += regions[t].count;
+        }
+        last_resid.count = k;
+
+        // Final segment on this thread, then the scan-finish marker skim.
+        auto blk = make_prefix_blk(&last_resid);
+        BitReader r(data, len, seg_start[nseg - 1]);
+        McuRange range{(nseg - 1) * sp->restart_interval, total_mcus};
+        Error e2;
+        if (decode_mcu_range(r, *sp, comps, range, false, blk, e2)) {
+          int marker = r.take_marker(e2);
+          if (!e2) {
+            while (marker >= 0xD0 && marker <= 0xD7) {
+              marker = read_marker(data, len, &r.pos);
+            }
+            sp->out_marker = marker;
+            sp->pos = static_cast<int64_t>(r.pos);
+            *resid_count = last_resid.count;
+            return OK;
+          }
+        }
+        ok = false;  // last segment failed: fall back serially
+      }
+
+      if (!ok) {
+        // Wipe partial prefix writes; residual region entries beyond the
+        // incoming count are simply abandoned (count not advanced).
+        for (int32_t i = 0; i < sp->ncomp; i++) {
+          if (pcomps[i].dc) {
+            std::memset(pcomps[i].dc, 0,
+                        static_cast<size_t>(pcomps[i].nblocks) * sizeof(int16_t));
+          }
+          if (pcomps[i].ac) {
+            std::memset(pcomps[i].ac, 0,
+                        static_cast<size_t>(pcomps[i].nblocks) * (prefix_k - 1));
+          }
+        }
+      }
+    }
+  }
+
+  ResidBuf resid{resid_idx, resid_vals, *resid_count, resid_cap};
+  auto prefix_blk = make_prefix_blk(&resid);
 
   BitReader r(data, len, static_cast<size_t>(sp->pos));
   if (!decode_mcu_range(r, *sp, comps, McuRange{0, total_mcus},

@@ -26,7 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 5  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 6  # bump together with jt_abi_version() in entropy.cc
 
 
 class _CHuffTable(C.Structure):
@@ -62,6 +62,7 @@ class _CPrefixComp(C.Structure):
         ("dc", C.c_void_p),
         ("ac", C.c_void_p),
         ("base", C.c_int64),
+        ("nblocks", C.c_int64),
     ]
 
 
@@ -288,6 +289,7 @@ def decode_scan_dct_prefix(cursor, frame, scan, dc_tables, ac_tables,
         pcomps[i].dc = dc_arr.ctypes.data if dc_arr is not None else None
         pcomps[i].ac = ac_arr.ctypes.data if ac_arr is not None else None
         pcomps[i].base = bases[i]
+        pcomps[i].nblocks = dc_arr.size if dc_arr is not None else 0
 
     count = C.c_int64(resid_count)
     err = C.create_string_buffer(160)
