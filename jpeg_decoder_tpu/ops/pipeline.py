@@ -99,6 +99,14 @@ def _enable_compile_cache(jax) -> None:
     import os
     if jax.config.jax_compilation_cache_dir:
         return
+    try:
+        # CPU compiles are fast and the cache is machine-feature-sensitive
+        # (a cached CPU artifact from a different feature-detection pass can
+        # SIGILL); only the remote TPU compiles are worth persisting.
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
+        return
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/jpeg_tpu_jax_cache")
     try:
