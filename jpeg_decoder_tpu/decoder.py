@@ -519,10 +519,18 @@ class Decoder:
         exist, anti-diagonal wavefront otherwise (see ops/predictors.py)."""
         import jax.numpy as jnp
         import numpy as np_
+        from .parser import Predictor
         from .ops.predictors import (device_supported,
+                                     reconstruct_lossless,
                                      reconstruct_lossless_device,
                                      reconstruct_lossless_wavefront)
-        if restart_all or device_supported(predictor, pt):
+        if predictor == Predictor.RA and pt != 0:
+            # Ra ignores restart_all (reference fast-path dispatch order);
+            # the pt != 0 windowed chain has no device closed form — use the
+            # exact host oracle for this rare configuration.
+            return reconstruct_lossless(np_.asarray(diffs), predictor, pt,
+                                        precision, restart_all)
+        if predictor == Predictor.RA or restart_all or device_supported(predictor, pt):
             out = reconstruct_lossless_device(diffs, predictor, pt, precision,
                                               restart_all, jnp)
         else:

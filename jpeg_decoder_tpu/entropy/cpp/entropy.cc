@@ -1316,14 +1316,9 @@ void jt_reconstruct_lossless(const int32_t* diffs, int32_t height, int32_t width
   const int32_t guarded_default =
       precision > 1 + pt ? (1 << (precision - pt - 1)) : 0;
 
-  if (restart_all) {
-    for (int64_t i = 0; i < static_cast<int64_t>(height) * width; i++) {
-      out[i] = static_cast<uint16_t>(
-          ((guarded_default + diffs[i]) & 0xFFFF) << pt);
-    }
-    return;
-  }
-
+  // NB dispatch order matches the reference: the predictor-1 (Ra) fast path
+  // is checked FIRST (/root/reference/src/decoder/lossless.rs:108) and never
+  // applies the restart default — restart_all only affects the general path.
   if (predictor == 1) {
     // Fast path (/root/reference/src/decoder/lossless.rs:108-138): NB its
     // first-pixel default is 1 << (P - Pt - 1) WITHOUT the precision guard.
@@ -1342,6 +1337,16 @@ void jt_reconstruct_lossless(const int32_t* diffs, int32_t height, int32_t width
         int32_t v = ((p + diffs[y * width + x]) & 0xFFFF);
         out[y * width + x] = static_cast<uint16_t>(v << pt);
       }
+    }
+    return;
+  }
+
+  if (restart_all) {
+    // General path with the stale restart flag set: predict() returns the
+    // guarded default for EVERY pixel (lossless.rs:200-206).
+    for (int64_t i = 0; i < static_cast<int64_t>(height) * width; i++) {
+      out[i] = static_cast<uint16_t>(
+          ((guarded_default + diffs[i]) & 0xFFFF) << pt);
     }
     return;
   }

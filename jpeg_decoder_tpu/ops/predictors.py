@@ -205,13 +205,12 @@ def reconstruct_lossless_device(diffs, predictor: Predictor, point_transform: in
     d = diffs.astype(xp.int32)
     mask = 0xFFFF
 
-    if restart_all:
-        default = _default_prediction(precision, point_transform)
-        return (((default + d) & mask) << point_transform).astype(xp.uint16)
-
-    assert point_transform == 0 and device_supported(predictor, point_transform)
-
     if predictor == Predictor.RA:
+        # Ra dispatches BEFORE the restart check, like the reference's fast
+        # path (`/root/reference/src/decoder/lossless.rs:108-138`), which
+        # never applies the restart default. pt != 0 is routed to the host
+        # oracle by callers (the windowed chain has no device closed form yet).
+        assert point_transform == 0
         # Fast-path default: unguarded 1 << (P-1) (see _reconstruct_ra).
         default = 1 << (precision - 1)
         col0 = (xp.cumsum(d[:, 0]) + default) & mask
@@ -219,6 +218,12 @@ def reconstruct_lossless_device(diffs, predictor: Predictor, point_transform: in
             return col0[:, None].astype(xp.uint16)
         rows = (xp.cumsum(d[:, 1:], axis=1) + col0[:, None]) & mask
         return xp.concatenate([col0[:, None], rows], axis=1).astype(xp.uint16)
+
+    if restart_all:
+        default = _default_prediction(precision, point_transform)
+        return (((default + d) & mask) << point_transform).astype(xp.uint16)
+
+    assert point_transform == 0 and device_supported(predictor, point_transform)
 
     default = _default_prediction(precision, 0)  # guarded form for non-Ra
     row0 = (xp.cumsum(d[0]) + default) & mask
