@@ -19,6 +19,7 @@ dispatch. Sustained throughput = slowest stage, not the sum.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import contextlib
 import dataclasses
 import functools
 import threading
@@ -330,8 +331,16 @@ def _staged_from_capture(d: Decoder, capture: PrefixCapture, precision: str,
                        capture.total, info.width * info.height / 1e6)
 
 
-def stage_host(source, scale_to=None, precision: str = "fast") -> StagedImage:
-    """Host stages for one image: parse + entropy + prefix/residual pack."""
+def stage_host(source, scale_to=None, precision: str = "fast",
+               timer=None) -> StagedImage:
+    """Host stages for one image: parse + entropy + prefix/residual pack.
+
+    `timer` (a `utils.timing.StageTimer`) records this as the "host_stage"
+    stage — the per-stage observability layer the reference lacks
+    (SURVEY.md §5)."""
+    if timer is not None:
+        with timer.stage("host_stage"):
+            return stage_host(source, scale_to, precision, None)
     from ..entropy.native import get_native
     native = get_native()
 
@@ -428,14 +437,29 @@ class DeviceStreamDecoder:
     """Streaming decode-to-device: returns device arrays, never reads back."""
 
     def __init__(self, host_threads: int = 4, precision: str = "fast",
-                 layout: str = "interleaved"):
+                 layout: str = "interleaved", timer=None):
         """layout: "interleaved" ([H, W, C]); "planar" ([C, H, W], device
         transpose); "planar-pallas" ([C, H, W] via the fully-Pallas 4:2:0
         tail — MXU IDCT + fused upsample/color kernels — falling back to
-        "planar" for unsupported geometries)."""
+        "planar" for unsupported geometries).
+
+        `timer`: optional `utils.timing.StageTimer`; records "host_stage"
+        (parse + entropy + pack, per image), "h2d_submit" (device_put
+        submission) and "device_dispatch" (async jit dispatch). Device
+        execution itself is asynchronous — end-to-end wall time is the
+        caller's to measure after block_until_ready."""
         self.pool = cf.ThreadPoolExecutor(max_workers=host_threads)
         self.precision = precision
         self.layout = layout
+        self.timer = timer
+
+    @contextlib.contextmanager
+    def _stage(self, name: str):
+        if self.timer is None:
+            yield
+        else:
+            with self.timer.stage(name):
+                yield
 
     def decode_one(self, staged: StagedImage):
         import jax
@@ -446,11 +470,13 @@ class DeviceStreamDecoder:
                 layout = "planar"
         fn = _compiled_prefix_pipeline(staged.geometry, len(staged.resid_idx),
                                        layout)
-        return fn(jax.device_put(staged.dc),
-                  jax.device_put(staged.ac),
-                  jax.device_put(staged.resid_idx),
-                  jax.device_put(staged.resid_vals),
-                  staged.qts)
+        with self._stage("h2d_submit"):
+            args = (jax.device_put(staged.dc),
+                    jax.device_put(staged.ac),
+                    jax.device_put(staged.resid_idx),
+                    jax.device_put(staged.resid_vals))
+        with self._stage("device_dispatch"):
+            return fn(*args, staged.qts)
 
     def decode_stream(self, sources: Iterable, scale_to=None,
                       batch_size: int = 1, on_error: str = "raise") -> list:
@@ -466,7 +492,8 @@ class DeviceStreamDecoder:
         """
         from ..errors import JpegError
 
-        staged_futures = [self.pool.submit(stage_host, s, scale_to, self.precision)
+        staged_futures = [self.pool.submit(stage_host, s, scale_to,
+                                           self.precision, self.timer)
                           for s in sources]
 
         def resolve(fut):
@@ -539,6 +566,9 @@ class DeviceStreamDecoder:
 
         fn = _compiled_prefix_pipeline_batched(
             group[0].geometry, resid_bucket, batch)
-        out = fn(jax.device_put(dc), jax.device_put(ac),
-                 jax.device_put(ri), jax.device_put(rv), qts_b)
+        with self._stage("h2d_submit"):
+            args = (jax.device_put(dc), jax.device_put(ac),
+                    jax.device_put(ri), jax.device_put(rv))
+        with self._stage("device_dispatch"):
+            out = fn(*args, qts_b)
         return [out[i] for i in range(n)]

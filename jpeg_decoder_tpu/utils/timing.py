@@ -10,17 +10,22 @@ XProf when running on real TPUs.
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 from typing import Dict, Optional
 
 
 class StageTimer:
-    """Accumulates wall time per stage across repeated decodes."""
+    """Accumulates wall time per stage across repeated decodes.
+
+    Thread-safe: staging runs on a host thread pool, so multiple stages
+    report concurrently."""
 
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -28,8 +33,10 @@ class StageTimer:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def summary(self) -> str:
         lines = []
@@ -39,6 +46,12 @@ class StageTimer:
             lines.append(f"{name:>16}: {total * 1000:9.2f} ms total, "
                          f"{total / n * 1000:8.3f} ms/call x{n}")
         return "\n".join(lines)
+
+    def per_call_ms(self) -> Dict[str, float]:
+        """{stage: mean ms per call} — machine-readable summary for bench JSON."""
+        with self._lock:
+            return {name: round(self.totals[name] / self.counts[name] * 1000, 3)
+                    for name in self.totals if self.counts[name]}
 
     def reset(self) -> None:
         self.totals.clear()

@@ -45,17 +45,23 @@ def test_max_decoding_buffer_size():
 
 def test_color_transform_none_is_planar_rows():
     """ColorTransform::None emits per-row planar layout
-    (`/root/reference/src/decoder.rs:1476-1484`)."""
+    (`/root/reference/src/decoder.rs:1476-1484`): row-major, each row holding
+    the upsampled component rows back to back. Feeding those planes through
+    the exact fixed-point YCbCr kernel must reproduce the standard decode
+    bit-for-bit."""
+    from jpeg_decoder_tpu.ops.color import ycbcr_to_rgb
+
     d = Decoder(RGB)
     d.set_color_transform(ColorTransform.NONE)
     raw = np.frombuffer(d.decode(), np.uint8).reshape(333, 3, 500)
 
     d2 = Decoder(RGB)
     d2.set_color_transform(ColorTransform.YCBCR)
-    ycc = d2.decode()
-    # The Y channel of the raw output must be the upsampled luma; compare
-    # against grayscale-style decode of channel 0 via the None layout shape.
-    assert raw.shape == (333, 3, 500)
+    rgb = np.frombuffer(d2.decode(), np.uint8).reshape(333, 500, 3)
+
+    y, cb, cr = (raw[:, i, :].astype(np.int64) for i in range(3))
+    reconverted = np.stack(ycbcr_to_rgb(y, cb, cr), axis=-1).astype(np.uint8)
+    assert (reconverted == rgb).all()
 
 
 def test_invalid_color_transform_pairs():

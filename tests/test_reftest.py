@@ -90,6 +90,26 @@ def test_reftest(jpg):
     check_against_golden(Decoder(str(jpg)), jpg.with_suffix(".png"))
 
 
+@pytest.mark.parametrize(
+    "jpg", reftest_files(), ids=lambda p: str(p.relative_to(REFTEST_IMAGES)))
+def test_reftest_jax_exact(jpg):
+    """Full-corpus jax-backend sweep: exact precision must be bit-identical
+    to the numpy oracle AND pass the golden comparison."""
+    d = Decoder(str(jpg), backend="jax")
+    check_against_golden(d, jpg.with_suffix(".png"))
+    assert Decoder(str(jpg), backend="jax").decode() == Decoder(str(jpg)).decode()
+
+
+@pytest.mark.parametrize(
+    "jpg", reftest_files(), ids=lambda p: str(p.relative_to(REFTEST_IMAGES)))
+def test_reftest_jax_fast(jpg):
+    """Full-corpus fast (MXU-shaped) precision sweep: goldens within the
+    reference tolerance (lossless stays bit-exact — fast only affects the
+    DCT reconstruction tail)."""
+    check_against_golden(Decoder(str(jpg), backend="jax", precision="fast"),
+                         jpg.with_suffix(".png"))
+
+
 @pytest.mark.parametrize("size,golden", [
     ((500, 333), "rgb.png"),
     ((250, 167), "rgb_250x167.png"),

@@ -57,12 +57,43 @@ def run_case(data: bytes, op: str, backend: str, samples: int = 10) -> float:
     return best
 
 
+def run_stream(samples: int, as_json: bool) -> None:
+    """Per-stage timing of the decode-to-device stream (StageTimer) — the
+    command that regenerates BASELINE.md's stage table."""
+    from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+    from jpeg_decoder_tpu.utils.timing import StageTimer
+
+    data = open(f"{BENCHES}/large_image.jpg", "rb").read()
+    timer = StageTimer()
+    dec = DeviceStreamDecoder(host_threads=3, timer=timer)
+    dec.decode_stream([data] * 2)  # warm: compile + pools
+    timer.reset()
+    t0 = time.perf_counter()
+    outs = dec.decode_stream([data] * samples)
+    for o in outs:
+        o.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    stages = timer.per_call_ms()
+    stages["e2e_wall_per_image"] = round(elapsed / samples * 1000, 3)
+    if as_json:
+        print(json.dumps(stages))
+    else:
+        print(timer.summary())
+        print(f"{'e2e wall':>16}: {elapsed / samples * 1000:8.3f} ms/img x{samples}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="numpy", choices=["numpy", "jax", "both"])
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--samples", type=int, default=10)
+    ap.add_argument("--stream", action="store_true",
+                    help="per-stage decode-to-device stream timing")
     args = ap.parse_args()
+
+    if args.stream:
+        run_stream(args.samples, args.json)
+        return
 
     backends = ["numpy", "jax"] if args.backend == "both" else [args.backend]
     results = {}
