@@ -112,6 +112,7 @@ class Decoder:
         self._adobe_color_transform: Optional[AdobeColorTransform] = None
         self._color_transform: Optional[ColorTransform] = None
         self._is_jfif = False
+        self._jfif: Optional[P.JfifInfo] = None
         self._is_mjpeg = False
         self._icc_markers: list = []
         self._exif_data: Optional[bytes] = None
@@ -189,6 +190,12 @@ class Decoder:
         """Raw Photoshop PSIR payload (parsed like the reference, which stores
         but does not publicly expose it)."""
         return self._psir_data
+
+    def jfif_info(self) -> Optional["P.JfifInfo"]:
+        """Parsed JFIF APP0 version/density/thumbnail fields — an extension:
+        the reference only detects the identifier
+        (`/root/reference/src/parser.rs:618-632`)."""
+        return self._jfif
 
     def icc_profile(self) -> Optional[bytes]:
         """Reassemble the multi-chunk APP2 ICC profile
@@ -351,6 +358,8 @@ class Decoder:
                         self._adobe_color_transform = payload
                     elif kind == P.APP_JFIF:
                         self._is_jfif = True
+                        if payload is not None:
+                            self._jfif = payload
                     elif kind == P.APP_AVI1:
                         self._is_mjpeg = True
                     elif kind == P.APP_ICC:

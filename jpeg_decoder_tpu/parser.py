@@ -168,6 +168,25 @@ class IccChunk:
     data: bytes
 
 
+@dataclasses.dataclass(frozen=True)
+class JfifInfo:
+    """JFIF APP0 header fields (jfif3.pdf §JFIF APP0 marker segment).
+
+    The reference only detects the `JFIF\\0` identifier
+    (`/root/reference/src/parser.rs:618-632`); the density/thumbnail fields
+    are parsed here as an extension. `density_unit`: 0 = aspect ratio only,
+    1 = dots/inch, 2 = dots/cm. `thumbnail` is raw RGB24 bytes (may be empty).
+    """
+    version_major: int
+    version_minor: int
+    density_unit: int
+    x_density: int
+    y_density: int
+    thumbnail_width: int
+    thumbnail_height: int
+    thumbnail: bytes
+
+
 # AppData variants are returned as (kind, payload) tuples.
 APP_ADOBE = "adobe"
 APP_JFIF = "jfif"
@@ -525,6 +544,25 @@ def parse_app(cursor: ByteCursor, marker: int) -> Optional[tuple]:
             bytes_read = 5
             if buf == b"JFIF\0":
                 result = (APP_JFIF, None)
+                # Extension over the reference: parse the version/density/
+                # thumbnail fields when present (tolerantly — a short or
+                # malformed tail still counts as JFIF-detected).
+                if length - bytes_read >= 9:
+                    hdr = cursor.take(9)
+                    bytes_read += 9
+                    tw, th = hdr[7], hdr[8]
+                    thumb = b""
+                    tn = 3 * tw * th
+                    if tn and length - bytes_read >= tn:
+                        thumb = cursor.take(tn)
+                        bytes_read += tn
+                    result = (APP_JFIF, JfifInfo(
+                        version_major=hdr[0], version_minor=hdr[1],
+                        density_unit=hdr[2],
+                        x_density=(hdr[3] << 8) | hdr[4],
+                        y_density=(hdr[5] << 8) | hdr[6],
+                        thumbnail_width=tw, thumbnail_height=th,
+                        thumbnail=thumb))
             elif buf == b"AVI1\0":
                 result = (APP_AVI1, None)
     elif n == 1:

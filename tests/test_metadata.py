@@ -81,3 +81,20 @@ def test_read_xmp_data():
     xmp = d.xmp_data()
     assert xmp is not None
     assert xmp[0:9] == b"<?xpacket"
+
+
+def test_jfif_info_fields():
+    """JFIF APP0 density fields (extension over the reference's detect-only
+    handling, `/root/reference/src/parser.rs:618-632`)."""
+    from conftest import REFTEST_IMAGES
+    from jpeg_decoder_tpu import Decoder
+
+    d = Decoder(str(REFTEST_IMAGES / "mozilla" / "jpg-srgb-icc.jpg"))
+    d.read_info()
+    jfif = d.jfif_info()
+    assert jfif is not None
+    assert (jfif.version_major, jfif.version_minor) == (1, 1)
+    assert jfif.density_unit == 1  # dots/inch
+    assert jfif.x_density == 72 and jfif.y_density == 72
+    assert jfif.thumbnail_width == jfif.thumbnail_height == 0
+    assert jfif.thumbnail == b""

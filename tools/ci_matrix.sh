@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Configuration-matrix gate — the analog of the reference's CI matrix
+# (`/root/reference/.github/workflows/rust.yml`: {toolchains} x {features} x
+# {ISAs}). The axes that exist in this framework:
+#
+#   1. native C++ entropy engine        vs  pure-Python oracle (JPEG_TPU_DISABLE_NATIVE)
+#   2. jax on CPU                       vs  jax on the default platform
+#   3. single device                    vs  8-device virtual mesh (parallel tests)
+#
+# Runs the full test suite under each configuration plus the multichip dryrun.
+# Usage: tools/ci_matrix.sh [pytest-args...]
+set -u
+
+cd "$(dirname "$0")/.."
+FAILED=0
+run() {
+  local name="$1"; shift
+  echo "=== [$name] $*"
+  if "$@"; then echo "=== [$name] PASS"; else echo "=== [$name] FAIL"; FAILED=1; fi
+}
+
+# 1. Default: native engine, jax-CPU, 8-device virtual mesh (conftest pins CPU).
+run "native+cpu8" python -m pytest tests/ -x -q "$@"
+
+# 2. Native disabled: every path through the pure-Python entropy oracle.
+run "oracle+cpu8" env JPEG_TPU_DISABLE_NATIVE=1 python -m pytest tests/ -x -q "$@"
+
+# 3. Multichip dryrun at two mesh sizes (clean env: no conftest, honours
+#    whatever platform the driver would use; forced to CPU here).
+for n in 4 8; do
+  run "dryrun$n" env PYTHONPATH= JAX_PLATFORMS=cpu \
+      XLA_FLAGS="--xla_force_host_platform_device_count=$n" \
+      python -c "import __graft_entry__ as g; g.dryrun_multichip($n)"
+done
+
+# 4. Compile-check the single-chip entry point.
+run "entry" env PYTHONPATH= JAX_PLATFORMS=cpu \
+    python -c "import __graft_entry__ as g; fn, args = g.entry(); fn(*args)"
+
+# 5. Fuzz spot-check (three-way differential, 200 mutants).
+run "fuzz200" python tools/fuzz.py 200 1
+
+exit $FAILED

@@ -12,6 +12,22 @@ Invariants checked per mutant:
   1. decode() either succeeds or raises a typed JpegError — never any other
      exception, never a hang (alarm guard).
   2. native and oracle engines agree: same pixels or both error.
+  3. independent oracle (the reference's fail_tmin-vs-mozjpeg analog,
+     `/root/reference/fuzz/fuzz_targets/fail_tmin.rs:36-67`): when PIL/libjpeg
+     also accepts the mutant and the output format maps cleanly (L8/RGB24),
+     pixels agree within the reference's ±3 bar. PIL shares no code with this
+     framework, so a spec misreading common to native+oracle is visible here.
+     Triage (2026-08, round 2): pixel divergences on MUTATED streams are
+     informational, not failures — inspection showed every class traces to
+     legitimate semantic gaps on invalid data: (a) entropy-corruption
+     recovery policy (libjpeg resyncs, the reference zero-fills), (b) DQT
+     mutations driving IDCT overflow, where the reference (and this
+     framework, bit-exactly) uses wrapping arithmetic
+     (`/root/reference/src/idct.rs:1-3`) while libjpeg range-clamps, and
+     (c) libjpeg's repair of broken DHT tables. Hard failures remain:
+     dimension disagreement when both accept, plus invariants 1-2. The
+     authoritative valid-stream PIL parity check lives in
+     tests/test_pil_differential.py (full corpus, ±3).
 
 Usage: python tools/fuzz.py [iterations] [seed]
 """
@@ -53,12 +69,75 @@ def mutate(data: bytes, rng: random.Random) -> bytes:
     return bytes(buf)
 
 
-def run(iterations: int = 500, seed: int = 0, timeout_s: int = 20) -> int:
+def pil_decode(data: bytes):
+    """Independent libjpeg-backed decode. Returns (mode, np.uint8 array) or
+    None when PIL rejects the stream or the format doesn't map cleanly."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    try:
+        im = Image.open(io.BytesIO(data))
+        im.load()
+    except Exception:  # noqa: BLE001 — any PIL rejection just skips the oracle
+        return None
+    if im.mode not in ("L", "RGB"):
+        return None
+    return im.mode, np.asarray(im)
+
+
+def compare_with_pil(our_pixels: bytes, decoder, data: bytes):
+    """Returns None if incomparable, True if within ±3, else a message."""
+    import numpy as np
+
+    from jpeg_decoder_tpu import CodingProcess, PixelFormat
+
+    info = decoder.info()
+    if info is None or info.coding_process == CodingProcess.LOSSLESS:
+        return None  # PIL has no SOF3 support
+    pil = pil_decode(data)
+    if pil is None:
+        return None
+    mode, theirs = pil
+    want_mode = {PixelFormat.L8: "L", PixelFormat.RGB24: "RGB"}.get(
+        info.pixel_format)
+    if want_mode != mode:
+        return None
+    ours = np.frombuffer(our_pixels, np.uint8)
+    if theirs.shape[:2] != (info.height, info.width) or ours.size != theirs.size:
+        return f"shape mismatch: ours {info.width}x{info.height}, PIL {theirs.shape}"
+    diff = np.abs(ours.reshape(theirs.shape).astype(np.int16)
+                  - theirs.astype(np.int16))
+    if diff.max() <= 3:
+        return True
+    return f"max diff {int(diff.max())}, {int((diff > 3).sum())} bad samples"
+
+
+def run(iterations: int = 500, seed: int = 0, timeout_s: int = 60) -> int:
     from jpeg_decoder_tpu import Decoder, JpegError
+
+    class _Hang(Exception):
+        pass
+
+    def _on_alarm(signum, frame):
+        raise _Hang(f"decode exceeded {timeout_s}s")
+
+    signal.signal(signal.SIGALRM, _on_alarm)
 
     rng = random.Random(seed)
     seeds = [open(p, "rb").read() for p in SEEDS if os.path.exists(p)]
     failures = 0
+    pil_compared = 0
+    pil_entropy_diverged = 0
+
+    def first_sos_data(seed_bytes: bytes) -> int:
+        """Offset where the first scan's entropy data begins in the seed."""
+        i = seed_bytes.find(b"\xff\xda")
+        if i < 0:
+            return len(seed_bytes)
+        seg_len = int.from_bytes(seed_bytes[i + 2:i + 4], "big")
+        return i + 2 + seg_len
 
     def decode(data: bytes, disable_native: bool):
         import jpeg_decoder_tpu.entropy.native as native_mod
@@ -67,17 +146,31 @@ def run(iterations: int = 500, seed: int = 0, timeout_s: int = 20) -> int:
         else:
             os.environ.pop("JPEG_TPU_DISABLE_NATIVE", None)
         native_mod.reset_native_cache()
+        d = Decoder(data)
         try:
-            return Decoder(data).decode()
+            return d.decode(), d
         except JpegError as e:
-            return f"ERR:{type(e).__name__}"
+            return f"ERR:{type(e).__name__}", d
 
     for i in range(iterations):
-        data = mutate(rng.choice(seeds), rng)
+        seed_bytes = rng.choice(seeds)
+        if rng.random() < 0.3:
+            # Header-only point mutations: keeps the PIL oracle authoritative
+            # (parser/table semantics, not entropy-recovery policy).
+            buf = bytearray(seed_bytes)
+            sos = first_sos_data(seed_bytes)
+            for _ in range(rng.randint(1, 4)):
+                buf[rng.randrange(2, max(3, sos))] = rng.randrange(256)
+            data = bytes(buf)
+        else:
+            data = mutate(seed_bytes, rng)
         signal.alarm(timeout_s)
         try:
-            a = decode(data, disable_native=False)
-            b = decode(data, disable_native=True)
+            a, da = decode(data, disable_native=False)
+            b, _ = decode(data, disable_native=True)
+            verdict = None
+            if isinstance(a, bytes):
+                verdict = compare_with_pil(a, da, data)
         except Exception as e:  # noqa: BLE001 — any non-JpegError is a bug
             failures += 1
             path = f"/tmp/fuzz_crash_{i}.jpg"
@@ -91,10 +184,26 @@ def run(iterations: int = 500, seed: int = 0, timeout_s: int = 20) -> int:
             path = f"/tmp/fuzz_diff_{i}.jpg"
             open(path, "wb").write(data)
             print(f"[{i}] NATIVE/ORACLE DIVERGENCE -> {path}")
+        if verdict is not None:
+            pil_compared += 1
+            if verdict is not True:
+                if isinstance(verdict, str) and verdict.startswith("shape"):
+                    failures += 1
+                    path = f"/tmp/fuzz_pil_{i}.jpg"
+                    open(path, "wb").write(data)
+                    print(f"[{i}] PIL SHAPE DIVERGENCE ({verdict}) -> {path}")
+                else:
+                    pil_entropy_diverged += 1
+                    path = f"/tmp/fuzz_pilnote_{i}.jpg"
+                    open(path, "wb").write(data)
         if (i + 1) % 100 == 0:
-            print(f"{i + 1}/{iterations} done, {failures} failures")
+            print(f"{i + 1}/{iterations} done, {failures} failures, "
+                  f"{pil_compared} PIL-compared "
+                  f"({pil_entropy_diverged} invalid-stream diffs, expected)")
 
-    print(f"fuzz complete: {iterations} mutants, {failures} failures")
+    print(f"fuzz complete: {iterations} mutants, {failures} failures, "
+          f"{pil_compared} PIL-compared, "
+          f"{pil_entropy_diverged} invalid-stream diffs (informational)")
     return failures
 
 
