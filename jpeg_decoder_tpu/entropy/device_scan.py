@@ -1,0 +1,595 @@
+"""Device-side baseline entropy decode: anchored parallel Huffman on TPU.
+
+The round-1 interchange shipped decoded coefficients (~0.9 B/px) to the chip;
+the link, not the chip, set the sustained ceiling. This engine ships the
+*entropy-coded bytes themselves* (~0.15-0.3 B/px) plus a sparse set of
+bitstream anchors, and runs Huffman decode on the device:
+
+- Host: unstuff the scan (0xFF00 removal, RST segment split — byte-parallel),
+  then a cheap *prescan* that walks symbol lengths only (no coefficient
+  emission, no stores) and records an anchor (bit offset, stream block index)
+  every ~S symbols at a block boundary. Restart boundaries force anchors, so
+  DRI segments and intra-image chunks use one mechanism (SURVEY.md §2a's
+  entropy-segment parallelism, generalized to DRI-less streams).
+- Device: thousands of chunks decode in parallel from exact entry states —
+  bit-exact by construction, no speculation to verify. A `lax.scan` over
+  symbol steps drives a 16-bit-window Huffman LUT (one gather per symbol),
+  emitting (position, value) pairs; assembly is one scatter + static gathers
+  + segmented prefix sums for the DC predictor chains
+  (`/root/reference/src/decoder.rs:1102-1118` semantics — wrapping i16).
+
+Scans whose streams exercise decoder quirks that only malformed/progressive
+content hits (EOB runs in a sequential scan, DC category > 11, run overshoot,
+invalid codes) are detected by the prescan and fall back to the host engines,
+which reproduce the reference bit-for-bit. Valid baseline content — the
+entirety of the production path — decodes on device.
+
+Semantics mirrored from `/root/reference/src/decoder.rs:863-1172` and
+`src/huffman.rs:14-160` via this repo's oracle (entropy/scan_python.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+
+from ..errors import FormatError, IoError, JpegError
+from ..parser import CodingProcess
+from .. import markers as M
+from .scan_python import UNZIGZAG, _finish_scan
+
+# Chunking policy: anchor every ~S_TARGET symbols (or K_CAP blocks) at a block
+# boundary. S_MAX bounds the device scan length: one block may overshoot the
+# symbol budget by up to 64 coefficients + EOB.
+S_TARGET = 96
+K_CAP = 24
+S_MAX = S_TARGET + 66
+
+_LUT_CACHE: dict = {}
+
+
+def build_decode_lut16(table) -> np.ndarray:
+    """16-bit-window decode LUT for one Huffman table: entry = value | len<<8.
+
+    Reproduces the oracle's decode exactly (8-bit LUT + F.16 canonical walk,
+    `entropy/bitreader.py:101-120`): for every 16-bit window the shortest
+    matching code wins. Windows matching no code get len=0 (only reachable on
+    malformed streams, which the prescan routes to the host path).
+    """
+    key = (table.values.tobytes(), table.maxcode.tobytes(), table.delta.tobytes())
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    lut = np.zeros(1 << 16, np.uint32)
+    # Reconstruct canonical (code, length) spans from maxcode/delta
+    # (Annex C: mincode_L = huffcode[j_start] = j_start - delta[L-1]).
+    j = 0
+    for L in range(1, 17):
+        if table.maxcode[L - 1] < 0:
+            continue
+        mincode = j - int(table.delta[L - 1])
+        maxcode = int(table.maxcode[L - 1])
+        count = maxcode - mincode + 1
+        vals = table.values[j:j + count].astype(np.uint32)
+        j += count
+        shift = 16 - L
+        starts = (np.arange(mincode, maxcode + 1, dtype=np.uint32) << shift)
+        span = 1 << shift
+        entry = vals | np.uint32(L << 8)
+        # Each code c owns windows [c<<shift, (c+1)<<shift). Canonical codes
+        # are prefix-free, so spans never overlap across lengths.
+        lut.reshape(-1, span)[starts >> shift] = entry[:, None]
+    if len(_LUT_CACHE) > 64:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = lut
+    return lut
+
+
+class PrescanFallback(Exception):
+    """Stream exercises semantics the device engine defers to the host for."""
+
+
+@dataclasses.dataclass
+class AnchoredScan:
+    """One baseline scan staged for device decode."""
+    words: np.ndarray         # uint32 [n_words] big-endian packed unstuffed bits
+    anchor_bits: np.ndarray   # uint32 [n_items] chunk entry bit offsets
+    anchor_block: np.ndarray  # int32 [n_items + 1] stream block index (sentinel-terminated)
+    anchor_slot: np.ndarray   # int32 [n_items] MCU-pattern slot at chunk entry
+    luts: np.ndarray          # uint32 [2 * n_pairs, 65536]
+    n_blocks: int
+    plan: "ScanPlan"
+
+
+def unstuff_scan(data, pos: int):
+    """Split the entropy-coded span at `pos` into unstuffed RST segments.
+
+    Mirrors the oracle bit reader's byte layer (`entropy/bitreader.py:40-90`):
+    0xFF00 emits 0xFF; fill 0xFFs before a marker are skipped; RSTn ends a
+    segment; any other marker ends the scan. Returns
+    (segments: list[bytes], rst_nums: list[int], end_pos, pending_marker).
+    Raises IoError/FormatError exactly where the oracle would (EOF while
+    scanning, FF00 after fill bytes).
+    """
+    n = len(data)
+    segments = []
+    rst_nums = []
+    seg = bytearray()
+    i = pos
+    while True:
+        if i >= n:
+            # The oracle raises IoError only when the *reader* consumes past
+            # EOF; a scan whose symbols completed earlier never reads here.
+            # We conservatively treat EOF-without-marker as "segment ends at
+            # EOF, no pending marker"; the prescan raises IoError if the
+            # symbol walk actually needs bytes past this point.
+            segments.append(bytes(seg))
+            return segments, rst_nums, i, None, True
+        b = data[i]
+        if b != 0xFF:
+            seg.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            segments.append(bytes(seg))
+            return segments, rst_nums, i + 1, None, True
+        nxt = data[i + 1]
+        if nxt == 0x00:
+            seg.append(0xFF)
+            i += 2
+            continue
+        j = i + 1
+        while data[j] == 0xFF:
+            j += 1
+            if j >= n:
+                segments.append(bytes(seg))
+                return segments, rst_nums, j, None, True
+        nxt = data[j]
+        if nxt == 0x00:
+            raise FormatError("FF 00 found where marker was expected")
+        marker = nxt
+        i = j + 1
+        if M.is_rst(marker):
+            segments.append(bytes(seg))
+            rst_nums.append(M.rst_index(marker))
+            seg = bytearray()
+            continue
+        segments.append(bytes(seg))
+        return segments, rst_nums, i, marker, False
+
+
+def _stream_blocks(frame, scan):
+    """Enumerate scan blocks in bitstream order, mirroring the MCU loop incl.
+    the `mcu*8 >= image` clip quirk (`/root/reference/src/decoder.rs:910-917`
+    / scan_python.py:277-303). Yields (comp_pos, block_y, block_x, mcu_index,
+    slot) where slot cycles through the per-MCU block pattern."""
+    components = [frame.components[i] for i in scan.component_indices]
+    interleaved = len(components) > 1
+    if interleaved:
+        hs = [c.horizontal_sampling_factor for c in components]
+        vs = [c.vertical_sampling_factor for c in components]
+        max_x, max_y = frame.mcu_size.width, frame.mcu_size.height
+    else:
+        hs = [1]
+        vs = [1]
+        max_x = components[0].block_size.width
+        max_y = components[0].block_size.height
+    w, h = frame.image_size.width, frame.image_size.height
+    mcu = 0
+    for my in range(max_y):
+        if my * 8 >= h:
+            break
+        for mx in range(max_x):
+            if mx * 8 >= w:
+                break
+            slot = 0
+            for i in range(len(components)):
+                for v in range(vs[i]):
+                    for hh in range(hs[i]):
+                        yield i, my * vs[i] + v, mx * hs[i] + hh, mcu, slot
+                        slot += 1
+            mcu += 1
+
+
+class ScanPlan:
+    """Static (trace-time) layout for one (frame geometry, scan) shape:
+    stream-order block maps, per-MCU table-pair pattern, DC segmentation.
+    Hashable by geometry key so jitted decoders are shared across images."""
+
+    def __init__(self, frame, scan, restart_interval: int,
+                 items_bucket: int, words_bucket: int):
+        components = [frame.components[i] for i in scan.component_indices]
+        self.ncomp = len(components)
+        self.restart_interval = restart_interval
+        self.items_bucket = items_bucket
+        self.words_bucket = words_bucket
+
+        blocks = list(_stream_blocks(frame, scan))
+        self.n_blocks = len(blocks)
+        self.pattern = []
+        if blocks:
+            first_mcu_len = sum(1 for b in blocks if b[3] == 0)
+            self.pattern = [blocks[s][0] for s in range(first_mcu_len)]
+        self.block_widths = [c.block_size.width for c in components]
+        self.store_shapes = [
+            (c.block_size.height * c.block_size.width) for c in components]
+
+        # Per component: stream-appearance order -> raster block index, and
+        # the inverse gather (raster -> stream position, sentinel = zeros row).
+        self.stream_idx = []      # [ncomp] arrays: global stream index of comp blocks
+        self.raster_src = []      # [ncomp] arrays: raster -> row in comp stream list
+        self.seg_first = []       # [ncomp] arrays: per comp-block, index of first
+                                  # comp-block in its restart segment
+        for i, comp in enumerate(components):
+            s_idx = np.array([k for k, b in enumerate(blocks) if b[0] == i],
+                             np.int32)
+            self.stream_idx.append(s_idx)
+            raster = np.array(
+                [b[1] * self.block_widths[i] + b[2]
+                 for b in blocks if b[0] == i], np.int64)
+            src = np.full(self.store_shapes[i], len(s_idx), np.int64)
+            src[raster] = np.arange(len(s_idx))
+            self.raster_src.append(src)
+            if restart_interval > 0:
+                seg = np.array([b[3] // restart_interval
+                                for b in blocks if b[0] == i], np.int64)
+            else:
+                seg = np.zeros(len(s_idx), np.int64)
+            first = np.zeros(len(s_idx), np.int64)
+            if len(seg):
+                starts = np.flatnonzero(np.diff(seg, prepend=-1))
+                first = starts[np.searchsorted(starts, np.arange(len(seg)),
+                                               side="right") - 1]
+            self.seg_first.append(first)
+
+        self._key = (
+            frame.image_size.width, frame.image_size.height,
+            tuple(scan.component_indices),
+            tuple((c.horizontal_sampling_factor, c.vertical_sampling_factor,
+                   c.block_size.width, c.block_size.height)
+                  for c in components),
+            restart_interval, items_bucket, words_bucket,
+        )
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, ScanPlan) and self._key == other._key
+
+
+def _bucket_up(n: int, floor: int = 256) -> int:
+    size = floor
+    while size < n:
+        size *= 2
+    return size
+
+
+_PLAN_CACHE: dict = {}
+
+
+def _plan_key(frame, scan, restart_interval, items_bucket, words_bucket):
+    components = [frame.components[i] for i in scan.component_indices]
+    return (
+        frame.image_size.width, frame.image_size.height,
+        tuple(scan.component_indices),
+        tuple((c.horizontal_sampling_factor, c.vertical_sampling_factor,
+               c.block_size.width, c.block_size.height) for c in components),
+        restart_interval, items_bucket, words_bucket,
+    )
+
+
+def _plan_for(frame, scan, restart_interval, items_bucket, words_bucket):
+    key = _plan_key(frame, scan, restart_interval, items_bucket, words_bucket)
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        plan = ScanPlan(frame, scan, restart_interval, items_bucket, words_bucket)
+        if len(_PLAN_CACHE) > 128:
+            _PLAN_CACHE.clear()
+        _PLAN_CACHE[key] = plan
+    return plan
+
+
+def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
+                     restart_interval: int) -> "tuple[Optional[int], AnchoredScan]":
+    """Host prescan: symbol-length walk producing device anchors.
+
+    Mirrors `decode_scan_dct` (scan_python.py:228-314) without emitting
+    coefficients. Raises PrescanFallback for streams whose decode exercises
+    host-only semantics; raises the oracle's own typed errors for malformed
+    streams the oracle would reject at the same point.
+    """
+    if frame.coding_process == CodingProcess.DCT_PROGRESSIVE:
+        raise PrescanFallback("progressive")
+    if scan.spectral_selection_start != 0 or scan.spectral_selection_end != 64 \
+            or scan.successive_approximation_low != 0:
+        raise PrescanFallback("non-baseline spectral parameters")
+
+    components = [frame.components[i] for i in scan.component_indices]
+    npairs = len(components)
+    dc_luts = []
+    ac_luts = []
+    for i in range(npairs):
+        dct = dc_tables[scan.dc_table_indices[i]]
+        act = ac_tables[scan.ac_table_indices[i]]
+        if dct is None or act is None:
+            raise PrescanFallback("missing table")
+        dc_luts.append(build_decode_lut16(dct))
+        ac_luts.append(build_decode_lut16(act))
+
+    try:
+        segments, rst_nums, end_pos, pending, hit_eof = unstuff_scan(
+            cursor.data, cursor.pos)
+    except JpegError as e:
+        raise PrescanFallback(f"unstuff: {e}")
+    if hit_eof:
+        # The oracle always errors on scans not terminated by a marker
+        # (take_marker's refill hits EOF); reproduce via the host path.
+        raise PrescanFallback("EOF inside scan")
+
+    def seg_words(seg: bytes) -> "tuple[np.ndarray, int]":
+        pad = seg + b"\x00" * ((-len(seg)) % 4 + 8)
+        w = np.frombuffer(pad, np.uint8).reshape(-1, 4).astype(np.uint32)
+        return (w[:, 0] << 24) | (w[:, 1] << 16) | (w[:, 2] << 8) | w[:, 3], \
+            len(seg) * 8
+
+    blocks = _stream_blocks(frame, scan)
+    mcus_left = restart_interval
+    expected_rst = 0
+    seg_i = 0
+    cur_words, seg_nbits = seg_words(segments[0])
+    cur_words_l = cur_words.tolist()
+    p = 0
+    overruns = [0] * len(segments)
+
+    anchors = []          # (local_bit_in_segment, seg_index, stream_block, slot)
+    syms_since = 0
+    blocks_since = 0
+    max_chunk_syms = 0
+    MASK32 = 0xFFFFFFFF
+
+    def decode_sym(pos: int, lut) -> "tuple[int, int]":
+        wi = pos >> 5
+        if wi + 1 >= len(cur_words_l):
+            # Deep into zero-fill territory (only degenerate streams decode
+            # this far past a segment) — host path reproduces the oracle.
+            raise PrescanFallback("prescan overran segment padding")
+        b = pos & 31
+        if b:
+            win = ((cur_words_l[wi] << b) & MASK32) | (cur_words_l[wi + 1] >> (32 - b))
+        else:
+            win = cur_words_l[wi]
+        ent = int(lut[win >> 16])
+        length = (ent >> 8) & 0x1F
+        if length == 0:
+            raise PrescanFallback("unresolvable code")
+        return ent & 0xFF, length
+
+    stream_block = 0
+    last_mcu = -1
+    for (ci, by, bx, mcu, slot) in blocks:
+        if mcu != last_mcu:
+            last_mcu = mcu
+            if restart_interval > 0:
+                if mcus_left == 0:
+                    # Oracle: take_marker must find RST(expected); mismatches
+                    # go through the host path for exact error parity.
+                    if seg_i >= len(rst_nums) or rst_nums[seg_i] != expected_rst:
+                        raise PrescanFallback("restart protocol violation")
+                    overruns[seg_i] = max(overruns[seg_i],
+                                          max(0, p - seg_nbits))
+                    seg_i += 1
+                    cur_words, seg_nbits = seg_words(segments[seg_i])
+                    cur_words_l = cur_words.tolist()
+                    p = 0
+                    expected_rst = (expected_rst + 1) % 8
+                    mcus_left = restart_interval
+                    syms_since = S_TARGET  # force an anchor at segment start
+                mcus_left -= 1
+
+        # Anchor policy: block boundary + budget exhausted.
+        if (not anchors or syms_since >= S_TARGET or blocks_since >= K_CAP):
+            if anchors:
+                max_chunk_syms = max(max_chunk_syms, syms_since)
+            anchors.append((p, seg_i, stream_block, slot))
+            syms_since = 0
+            blocks_since = 0
+
+        dc_lut = dc_luts[ci]
+        ac_lut = ac_luts[ci]
+        # DC
+        cat, length = decode_sym(p, dc_lut)
+        if cat > 11:
+            raise PrescanFallback("invalid DC magnitude category")
+        p += length + cat
+        syms_since += 1
+        # AC run
+        k = 1
+        while k < 64:
+            val, length = decode_sym(p, ac_lut)
+            s = val & 0x0F
+            if s == 0:
+                if val == 0xF0:
+                    p += length
+                    k += 16
+                    syms_since += 1
+                    continue
+                if val != 0:
+                    raise PrescanFallback("EOB run in sequential scan")
+                p += length
+                syms_since += 1
+                break
+            k += val >> 4
+            if k >= 64:
+                raise PrescanFallback("coefficient run overshoot")
+            p += length + s
+            k += 1
+            syms_since += 1
+        stream_block += 1
+        blocks_since += 1
+
+    max_chunk_syms = max(max_chunk_syms, syms_since)
+    overruns[seg_i] = max(overruns[seg_i], max(0, p - seg_nbits))
+    if max_chunk_syms > S_MAX:
+        raise PrescanFallback("chunk symbol budget exceeded")
+
+    # Layout: segments padded per observed overrun (zero bits = the oracle's
+    # post-marker fill), concatenated byte-aligned.
+    seg_bases = []
+    out = bytearray()
+    for si, seg in enumerate(segments[:seg_i + 1]):
+        seg_bases.append(len(out) * 8)
+        out.extend(seg)
+        pad = (overruns[si] + 7) // 8 + 4
+        out.extend(b"\x00" * pad)
+    out.extend(b"\x00" * ((-len(out)) % 4 + 8))
+    wb = np.frombuffer(bytes(out), np.uint8).reshape(-1, 4).astype(np.uint32)
+    words = (wb[:, 0] << 24) | (wb[:, 1] << 16) | (wb[:, 2] << 8) | wb[:, 3]
+
+    n_items = len(anchors)
+    items_bucket = _bucket_up(n_items)
+    words_bucket = _bucket_up(len(words), 1024)
+    wpad = np.zeros(words_bucket, np.uint32)
+    wpad[:len(words)] = words
+
+    anchor_bits = np.zeros(items_bucket, np.uint32)
+    anchor_block = np.full(items_bucket + 1, stream_block, np.int32)
+    anchor_slot = np.zeros(items_bucket, np.int32)
+    for i, (local_p, si, blk, slot) in enumerate(anchors):
+        anchor_bits[i] = seg_bases[si] + local_p
+        anchor_block[i] = blk
+        anchor_slot[i] = slot
+
+    luts = np.concatenate(
+        [np.stack([dc_luts[i], ac_luts[i]]) for i in range(npairs)])
+
+    plan = _plan_for(frame, scan, restart_interval, items_bucket, words_bucket)
+    staged = AnchoredScan(words=wpad, anchor_bits=anchor_bits,
+                          anchor_block=anchor_block, anchor_slot=anchor_slot,
+                          luts=luts, n_blocks=stream_block, plan=plan)
+
+    # Advance the cursor and resolve the trailing marker like _finish_scan.
+    cursor.pos = end_pos
+    marker = pending
+
+    class _Shim:
+        pass
+
+    shim = _Shim()
+    shim.marker = marker
+    shim.take_marker = lambda: marker
+    return _finish_scan(shim, cursor), staged
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_anchored_decoder(plan: ScanPlan):
+    """jit'd device decoder for one scan shape: words + anchors -> stores."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+
+    unzig = jnp.asarray(np.asarray(UNZIGZAG, np.int32))
+    pattern = np.asarray(plan.pattern or [0], np.int32)
+    slot_to_pair = jnp.asarray(pattern)
+    plen = len(pattern)
+    n_blocks = plan.n_blocks
+    I = plan.items_bucket
+
+    stream_idx = [jnp.asarray(a) for a in plan.stream_idx]
+    raster_src = [jnp.asarray(a) for a in plan.raster_src]
+    seg_first = [jnp.asarray(a) for a in plan.seg_first]
+
+    def run(words, anchor_bits, anchor_block, anchor_slot, luts):
+        luts_flat = luts.reshape(-1)
+
+        budget = anchor_block[1:] - anchor_block[:-1]          # [I]
+        base_block = anchor_block[:-1]
+
+        def step(carry, _):
+            p, k, blk, slot = carry
+            active = blk < budget
+
+            widx = (p >> 5).astype(jnp.int32)
+            b = (p & 31).astype(jnp.uint32)
+            w0 = words[widx]
+            w1 = words[widx + 1]
+            win = jnp.where(b == 0, w0,
+                            (w0 << b) | (w1 >> (jnp.uint32(32) - jnp.maximum(b, 1))))
+
+            pair = slot_to_pair[slot]
+            is_dc = k == 0
+            row = pair * 2 + jnp.where(is_dc, 0, 1)
+            ent = luts_flat[row * 65536 + (win >> 16).astype(jnp.int32)]
+            val8 = (ent & 0xFF).astype(jnp.int32)
+            length = ((ent >> 8) & 0x1F).astype(jnp.uint32)
+
+            r = val8 >> 4
+            s = val8 & 0x0F
+            mag = jnp.where(is_dc, val8, s).astype(jnp.uint32)
+
+            magm = jnp.maximum(mag, 1)
+            mbits = ((win >> (jnp.uint32(32) - length - magm))
+                     & ((jnp.uint32(1) << magm) - 1)).astype(jnp.int32)
+            half = (jnp.int32(1) << (magm.astype(jnp.int32) - 1))
+            full = (jnp.int32(1) << magm.astype(jnp.int32))
+            ext = jnp.where(mbits < half, mbits - full + 1, mbits)
+            ext = jnp.where(mag == 0, 0, ext)
+
+            is_zrl = (~is_dc) & (s == 0) & (r == 15)
+            is_eob = (~is_dc) & (s == 0) & (r != 15)
+            k_coeff = jnp.where(is_dc, 0, jnp.minimum(k + r, 63))
+            emits = active & (is_dc | ((~is_zrl) & (~is_eob)))
+            pos_nat = unzig[k_coeff]
+
+            code = jnp.where(
+                emits, (base_block + blk) * 64 + pos_nat, n_blocks * 64)
+
+            consumed = jnp.where(active, length + mag, 0)
+            k_next = jnp.where(
+                is_dc, 1,
+                jnp.where(is_zrl, k + 16,
+                          jnp.where(is_eob, 64, k + r + 1)))
+            done = active & (is_eob | (k_next >= 64))
+            p = p + consumed
+            k = jnp.where(active, jnp.where(done, 0, k_next), k)
+            blk = blk + done.astype(jnp.int32)
+            slot_next = slot + done.astype(jnp.int32)
+            slot = jnp.where(slot_next >= plen, 0, slot_next)
+            return (p, k, blk, slot), (code, ext)
+
+        init = (anchor_bits, jnp.zeros(I, jnp.int32),
+                jnp.zeros(I, jnp.int32), anchor_slot)
+        _, (codes, vals) = jax.lax.scan(step, init, None, length=S_MAX)
+
+        flat = jnp.zeros(n_blocks * 64, jnp.int32)
+        flat = flat.at[codes.reshape(-1)].set(vals.reshape(-1), mode="drop")
+        nat = flat.reshape(n_blocks, 64)
+
+        stores = []
+        for c in range(plan.ncomp):
+            rows = nat[stream_idx[c]]                     # stream order
+            cum = jnp.cumsum(rows[:, 0])
+            prev = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
+            dc = cum - prev[seg_first[c]]
+            rows = rows.at[:, 0].set(dc)
+            rows16 = rows.astype(jnp.int16)               # wrap16 semantics
+            ext_rows = jnp.concatenate(
+                [rows16, jnp.zeros((1, 64), jnp.int16)])
+            stores.append(ext_rows[raster_src[c]].reshape(-1))
+        return stores
+
+    return jax.jit(run)
+
+
+def decode_anchored_device(staged: AnchoredScan):
+    """Run the device decoder; returns per-scan-component int16 stores
+    (flat [block_h*block_w*64], natural coefficient order) as jax arrays."""
+    fn = _compiled_anchored_decoder(staged.plan)
+    return fn(staged.words, staged.anchor_bits, staged.anchor_block,
+              staged.anchor_slot, staged.luts)

@@ -1,0 +1,124 @@
+"""Device-side anchored entropy decode vs the host oracle — bit-exact stores.
+
+The anchored engine (entropy/device_scan.py) must produce coefficient stores
+byte-identical to `decode_scan_dct` (the oracle mirroring
+`/root/reference/src/decoder.rs:863-1172`) for every baseline scan it accepts.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import REFTEST_IMAGES, reftest_files
+
+from jpeg_decoder_tpu import CodingProcess, Decoder
+from jpeg_decoder_tpu.entropy.device_scan import (
+    PrescanFallback,
+    decode_anchored_device,
+    prescan_baseline,
+)
+
+
+class AnchorCapture:
+    """Decoder hook staging every baseline scan for the device engine."""
+
+    def __init__(self):
+        self.scans = []   # (AnchoredScan, component_indices)
+        self.used = False
+
+    def wants(self, frame) -> bool:
+        return True
+
+    def decode_scan(self, decoder, frame, scan, finished):
+        marker, staged = prescan_baseline(
+            decoder._cursor, frame, scan,
+            decoder._dc_huffman_tables, decoder._ac_huffman_tables,
+            decoder._restart_interval)
+        self.used = True
+        self.scans.append((staged, list(scan.component_indices)))
+        for pos, comp_i in enumerate(scan.component_indices):
+            if finished[pos]:
+                qt = decoder._quantization_tables[
+                    frame.components[comp_i].quantization_table_index]
+                decoder._pending_render[comp_i] = (None, qt.copy())
+        return marker
+
+
+def oracle_stores(path):
+    d = Decoder(str(path))
+    d._decode_entropy_only()
+    n = len(d.frame.components)
+    return [np.asarray(d._pending_render[i][0]) for i in range(n)], d
+
+
+def device_stores(path):
+    d = Decoder(str(path))
+    cap = AnchorCapture()
+    d._prefix_capture = cap
+    d._decode_entropy_only()
+    n = len(d.frame.components)
+    out = [None] * n
+    for staged, comp_indices in cap.scans:
+        stores = decode_anchored_device(staged)
+        for pos, comp_i in enumerate(comp_indices):
+            out[comp_i] = np.asarray(stores[pos])
+    return out, d
+
+
+BASELINE_IMAGES = [
+    "rgb.jpg",                            # 4:4:4-ish color
+    "grayscale_square.jpg",
+    "grayscale_16x24_sampling2x2.jpg",    # 2x2-sampled odd geometry
+    "grayscale_24x16_sampling2x2.jpg",
+    "restarts.jpg",                       # DRI segments
+    "mjpeg.jpg",                          # AVI1 default tables
+    "16bit-qtables.jpg",
+    "extraneous-data.jpg",
+    "mozilla/jpg-size-1x1.jpg",
+    "mozilla/jpg-size-33x33.jpg",
+    "mozilla/jpg-gray.jpg",
+    "mozilla/jpg-cmyk-1.jpg",             # 4 components
+    "ycck.jpg",
+]
+
+
+@pytest.mark.parametrize("name", BASELINE_IMAGES)
+def test_device_stores_bit_exact(name):
+    path = REFTEST_IMAGES / name
+    if not path.exists():
+        pytest.skip(f"{name} not in corpus")
+    try:
+        dev, _ = device_stores(path)
+    except PrescanFallback as e:
+        pytest.fail(f"prescan fell back on valid baseline image: {e}")
+    gold, _ = oracle_stores(path)
+    assert len(dev) == len(gold)
+    for c, (a, b) in enumerate(zip(dev, gold)):
+        assert a is not None, f"component {c} missing"
+        assert a.dtype == np.int16
+        bad = np.flatnonzero(a != b)
+        assert bad.size == 0, (
+            f"component {c}: {bad.size} coefficient mismatches, "
+            f"first at {bad[:5]} dev={a[bad[:5]]} gold={b[bad[:5]]}")
+
+
+def test_full_corpus_baseline_sweep():
+    """Every sequential-DCT reftest image: anchored stores == oracle stores."""
+    ran = 0
+    for jpg in reftest_files():
+        probe = Decoder(str(jpg))
+        try:
+            probe.read_info()
+        except Exception:  # noqa: BLE001
+            continue
+        info = probe.info()
+        if info is None or info.coding_process != CodingProcess.DCT_SEQUENTIAL:
+            continue
+        try:
+            dev, _ = device_stores(jpg)
+        except PrescanFallback:
+            continue
+        gold, _ = oracle_stores(jpg)
+        for c, (a, b) in enumerate(zip(dev, gold)):
+            assert a is not None and (a == b).all(), f"{jpg.name} comp {c}"
+        ran += 1
+    assert ran >= 25, f"only {ran} baseline images exercised the device engine"
