@@ -941,7 +941,7 @@ void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
 
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 6; }
+int64_t jt_abi_version() { return 7; }
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.
@@ -1451,6 +1451,284 @@ int64_t jt_pack_prefix(const int16_t* store, int64_t nblocks, int32_t K,
     }
   }
   return r;
+}
+
+// ---------------------------------------------------------------------------
+// Baseline prescan for the device entropy engine (entropy/device_scan.py):
+// unstuff + symbol-length walk emitting bitstream anchors. Port of the Python
+// prescan (same 16-bit-window LUTs, same fallback policy); must stay
+// byte/anchor-identical to it — tests compare both.
+// ---------------------------------------------------------------------------
+
+struct PrescanParams {
+  int64_t pos;              // in: scan start; out: cursor after scan
+  int32_t ncomp;
+  int32_t max_mcu_x, max_mcu_y;
+  int32_t image_w, image_h;
+  int32_t restart_interval;
+  int32_t s_target, k_cap, s_max;
+  int32_t pattern_len;
+  int32_t pattern[16];      // slot -> scan component index
+  // outputs
+  int64_t out_len;          // bytes written to out (padded layout)
+  int64_t n_anchors;
+  int32_t n_blocks;
+  int32_t pending_marker;   // terminating marker byte or -1
+};
+
+enum PrescanStatus { PRESCAN_OK = 0, PRESCAN_FALLBACK = 1 };
+
+namespace {
+
+// Unstuff one segment starting at `pos`: copy until a marker (removing
+// stuffed 0x00, skipping fill 0xFFs). Returns false on EOF (fallback).
+// On return: *seg_len = bytes written, *pos = after the marker, *marker set.
+bool unstuff_segment(const uint8_t* data, int64_t n, int64_t* pos,
+                     uint8_t* out, int64_t out_cap, int64_t* seg_len,
+                     int32_t* marker) {
+  int64_t i = *pos;
+  int64_t w = 0;
+  for (;;) {
+    if (i >= n) return false;  // EOF without marker: host path errors
+    uint8_t b = data[i];
+    if (b != 0xFF) {
+      if (w >= out_cap) return false;
+      out[w++] = b;
+      i++;
+      continue;
+    }
+    if (i + 1 >= n) return false;
+    int64_t j = i + 1;
+    while (j < n && data[j] == 0xFF) j++;
+    if (j >= n) return false;
+    uint8_t nxt = data[j];
+    if (nxt == 0x00) {
+      if (j == i + 1) {  // plain stuffing FF 00 -> 0xFF
+        if (w >= out_cap) return false;
+        out[w++] = 0xFF;
+        i += 2;
+        continue;
+      }
+      return false;  // fill FFs then 00: oracle raises FormatError
+    }
+    *marker = nxt;
+    *pos = j + 1;
+    *seg_len = w;
+    return true;
+  }
+}
+
+inline uint32_t win32_at(const uint8_t* seg, int64_t bitpos) {
+  // Unaligned 8-byte load (reads up to 7 bytes past the bit position's byte;
+  // callers guarantee >= 8 bytes of zero guard after every segment).
+  uint64_t v;
+  std::memcpy(&v, seg + (bitpos >> 3), 8);
+  v = __builtin_bswap64(v);
+  return static_cast<uint32_t>(v >> (32 - (bitpos & 7)));
+}
+
+}  // namespace
+
+// luts: [ncomp][2][65536] uint32 (value | len<<8), DC row then AC row.
+// out capacity must be >= input span + 24 bytes per segment + 32.
+int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
+                        const uint32_t* luts, uint8_t* out, int64_t out_cap,
+                        uint32_t* anchor_bits, int32_t* anchor_block,
+                        int32_t* anchor_slot, int64_t anchors_cap) {
+  const int GUARD = 24;  // provisional zero guard per segment (bytes)
+
+  // Hot-path micro-LUTs over 10-bit windows (2KB/table, L1-resident; the
+  // full 16-bit LUTs are 256KB each and thrash the cache). Entry encodes
+  // everything the length-only walk needs; codes longer than 10 bits (rare)
+  // take the 16-bit cold path. Built per call — 1K entries/table is noise.
+  enum : uint16_t { P_MISS = 1 << 15, P_FB = 1 << 14, P_END = 1 << 13,
+                    P_COEFF = 1 << 12 };
+  // kadv in bits 11..6, consumed bits in 5..0.
+  static thread_local std::vector<uint16_t> micro;  // [ncomp][2][1024]
+  micro.assign(static_cast<size_t>(pp->ncomp) * 2 * 1024, 0);
+  for (int32_t c = 0; c < pp->ncomp; c++) {
+    const uint32_t* dc16 = luts + (static_cast<int64_t>(c) * 2) * 65536;
+    const uint32_t* ac16 = dc16 + 65536;
+    uint16_t* dcp = micro.data() + (static_cast<size_t>(c) * 2) * 1024;
+    uint16_t* acp = dcp + 1024;
+    for (int w = 0; w < 1024; w++) {
+      uint32_t e = dc16[w << 6];
+      int len = (e >> 8) & 0x1F;
+      if (len == 0 || len > 10) {
+        dcp[w] = P_MISS;
+      } else {
+        int cat = e & 0xFF;
+        dcp[w] = cat > 11 ? P_FB : static_cast<uint16_t>(len + cat);
+      }
+      e = ac16[w << 6];
+      len = (e >> 8) & 0x1F;
+      if (len == 0 || len > 10) {
+        acp[w] = P_MISS;
+      } else {
+        int val = e & 0xFF;
+        int s = val & 0x0F;
+        if (s == 0) {
+          if (val == 0xF0) acp[w] = static_cast<uint16_t>((16 << 6) | len);
+          else if (val == 0) acp[w] = static_cast<uint16_t>(P_END | len);
+          else acp[w] = P_FB;  // EOB run in a sequential scan
+        } else {
+          int r = val >> 4;
+          acp[w] = static_cast<uint16_t>(
+              P_COEFF | ((r + 1) << 6) | (len + s));
+        }
+      }
+    }
+  }
+  int64_t pos = pp->pos;
+  int64_t write_off = 0;
+
+  int64_t seg_base = 0, seg_len = 0;
+  int32_t marker = -1;
+  auto next_segment = [&]() -> bool {
+    seg_base = write_off;
+    if (!unstuff_segment(data, n, &pos, out + seg_base,
+                         out_cap - seg_base - GUARD, &seg_len, &marker))
+      return false;
+    std::memset(out + seg_base + seg_len, 0, GUARD);
+    return true;
+  };
+  if (!next_segment()) return PRESCAN_FALLBACK;
+
+  int64_t p = 0;
+  int64_t syms_since = 0, blocks_since = 0, max_chunk_syms = 0;
+  int64_t n_anchors = 0;
+  int32_t n_blocks = 0;
+  int64_t mcus_left = pp->restart_interval;
+  int32_t expected_rst = 0;
+
+  auto close_segment = [&]() {
+    // Final layout padding: observed overrun + 4 bytes (already zeroed).
+    int64_t overrun_bits = p > seg_len * 8 ? p - seg_len * 8 : 0;
+    write_off = seg_base + seg_len + (overrun_bits + 7) / 8 + 4;
+  };
+
+  const uint8_t* seg = out;  // reads via out + seg_base
+  bool fallback = false;
+
+  for (int32_t my = 0; my < pp->max_mcu_y && !fallback; my++) {
+    if (static_cast<int64_t>(my) * 8 >= pp->image_h) break;
+    for (int32_t mx = 0; mx < pp->max_mcu_x && !fallback; mx++) {
+      if (static_cast<int64_t>(mx) * 8 >= pp->image_w) break;
+
+      if (pp->restart_interval > 0) {
+        if (mcus_left == 0) {
+          if (!(marker >= 0xD0 && marker <= 0xD7) ||
+              (marker - 0xD0) != expected_rst) {
+            fallback = true;
+            break;
+          }
+          close_segment();
+          if (!next_segment()) { fallback = true; break; }
+          p = 0;
+          expected_rst = (expected_rst + 1) % 8;
+          mcus_left = pp->restart_interval;
+          syms_since = pp->s_target;  // force an anchor at segment start
+        }
+        mcus_left--;
+      }
+
+      for (int32_t slot = 0; slot < pp->pattern_len && !fallback; slot++) {
+        int32_t ci = pp->pattern[slot];
+        const uint32_t* dc_lut = luts + (static_cast<int64_t>(ci) * 2) * 65536;
+        const uint32_t* ac_lut = dc_lut + 65536;
+        const uint16_t* dcp = micro.data() + (static_cast<size_t>(ci) * 2) * 1024;
+        const uint16_t* acp = dcp + 1024;
+
+        if (n_anchors == 0 || syms_since >= pp->s_target ||
+            blocks_since >= pp->k_cap) {
+          if (n_anchors > 0 && syms_since > max_chunk_syms)
+            max_chunk_syms = syms_since;
+          if (n_anchors >= anchors_cap) { fallback = true; break; }
+          anchor_bits[n_anchors] = static_cast<uint32_t>(seg_base * 8 + p);
+          anchor_block[n_anchors] = n_blocks;
+          anchor_slot[n_anchors] = slot;
+          n_anchors++;
+          syms_since = 0;
+          blocks_since = 0;
+        }
+
+        // Cold path for codes longer than 10 bits: resolve via the 16-bit
+        // LUT and re-encode as a micro entry.
+        auto slow = [&](const uint32_t* lut16, bool is_dc,
+                        uint32_t win) -> uint16_t {
+          uint32_t e = lut16[win >> 16];
+          int len = (e >> 8) & 0x1F;
+          if (len == 0) return P_FB;
+          int val = e & 0xFF;
+          if (is_dc)
+            return val > 11 ? P_FB : static_cast<uint16_t>(len + val);
+          int s = val & 0x0F;
+          if (s == 0) {
+            if (val == 0xF0) return static_cast<uint16_t>((16 << 6) | len);
+            if (val == 0) return static_cast<uint16_t>(P_END | len);
+            return P_FB;
+          }
+          return static_cast<uint16_t>(
+              P_COEFF | (((val >> 4) + 1) << 6) | (len + s));
+        };
+
+        const int64_t bit_limit = seg_len * 8 + 128;
+        const uint8_t* sb = seg + seg_base;
+
+        // Overrun bound shared with the Python prescan: reads may extend at
+        // most 128 bits into a segment's zero-fill, else the host path
+        // reproduces the oracle exactly.
+        if (p > bit_limit) { fallback = true; break; }
+        uint32_t win = win32_at(sb, p);
+        uint16_t e = dcp[win >> 22];
+        if (e & P_MISS) e = slow(dc_lut, true, win);
+        if (e & P_FB) { fallback = true; break; }
+        p += e & 63;
+        syms_since++;
+
+        int32_t k = 1;
+        while (k < 64) {
+          if (p > bit_limit) { fallback = true; break; }
+          win = win32_at(sb, p);
+          e = acp[win >> 22];
+          if (e & P_MISS) e = slow(ac_lut, false, win);
+          if (e & P_FB) { fallback = true; break; }
+          p += e & 63;
+          syms_since++;
+          if (e & P_END) break;
+          int32_t kadv = (e >> 6) & 0x3F;
+          if (e & P_COEFF) {
+            if (k + kadv - 1 >= 64) { fallback = true; break; }  // overshoot
+            k += kadv;
+          } else {
+            k += 16;  // ZRL
+          }
+        }
+        n_blocks++;
+        blocks_since++;
+      }
+    }
+  }
+  if (fallback) return PRESCAN_FALLBACK;
+  if (syms_since > max_chunk_syms) max_chunk_syms = syms_since;
+  if (max_chunk_syms > pp->s_max) return PRESCAN_FALLBACK;
+  if (p > seg_len * 8 + 128) return PRESCAN_FALLBACK;
+  close_segment();
+
+  // Trailing-RST tolerance (_finish_scan): skip RST markers after the scan.
+  while (marker >= 0xD0 && marker <= 0xD7) {
+    size_t sp = static_cast<size_t>(pos);
+    marker = read_marker(data, static_cast<size_t>(n), &sp);
+    pos = static_cast<int64_t>(sp);
+    if (marker < 0) { marker = -1; break; }
+  }
+
+  pp->pos = pos;
+  pp->out_len = write_off;
+  pp->n_anchors = n_anchors;
+  pp->n_blocks = n_blocks;
+  pp->pending_marker = marker;
+  return PRESCAN_OK;
 }
 
 }  // extern "C"

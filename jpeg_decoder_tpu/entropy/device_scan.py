@@ -263,10 +263,70 @@ class ScanPlan:
 
 
 def _bucket_up(n: int, floor: int = 256) -> int:
+    """Compile-friendly size bucket: 1.3x geometric steps, 256-aligned
+    (tight enough that padded H2D bytes stay within ~30% of the payload)."""
     size = floor
     while size < n:
-        size *= 2
+        size = int(size * 1.3) + (-int(size * 1.3) % 256)
     return size
+
+
+def _prescan_geometry(frame, scan, restart_interval: int) -> dict:
+    """Scalar geometry for the C++ prescan, mirroring _stream_blocks incl.
+    the mcu*8 clip quirk."""
+    components = [frame.components[i] for i in scan.component_indices]
+    interleaved = len(components) > 1
+    if interleaved:
+        max_x, max_y = frame.mcu_size.width, frame.mcu_size.height
+        pattern = []
+        for i, c in enumerate(components):
+            pattern.extend([i] * (c.horizontal_sampling_factor
+                                  * c.vertical_sampling_factor))
+    else:
+        max_x = components[0].block_size.width
+        max_y = components[0].block_size.height
+        pattern = [0]
+    w, h = frame.image_size.width, frame.image_size.height
+    rows = min(max_y, (h + 7) // 8)
+    cols = min(max_x, (w + 7) // 8)
+    n_mcus = rows * cols
+    nseg = ((n_mcus + restart_interval - 1) // restart_interval
+            if restart_interval else 1)
+    return {
+        "ncomp": len(components), "max_mcu_x": max_x, "max_mcu_y": max_y,
+        "image_w": w, "image_h": h, "restart_interval": restart_interval,
+        "pattern": pattern, "est_segments": nseg,
+        "est_blocks": n_mcus * len(pattern),
+    }
+
+
+def _staged_from_layout(frame, scan, restart_interval, luts, out_bytes,
+                        a_bits, a_block, a_slot, n_blocks) -> "AnchoredScan":
+    """Common tail: pack the padded byte layout into u32 words, bucket the
+    shapes, and attach the (cached) static plan."""
+    pad = (-len(out_bytes)) % 4 + 8
+    padded = np.concatenate([np.asarray(out_bytes, np.uint8),
+                             np.zeros(pad, np.uint8)])
+    wb = padded.reshape(-1, 4).astype(np.uint32)
+    words = (wb[:, 0] << 24) | (wb[:, 1] << 16) | (wb[:, 2] << 8) | wb[:, 3]
+
+    n_items = len(a_bits)
+    items_bucket = _bucket_up(n_items)
+    words_bucket = _bucket_up(len(words), 1024)
+    wpad = np.zeros(words_bucket, np.uint32)
+    wpad[:len(words)] = words
+
+    anchor_bits = np.zeros(items_bucket, np.uint32)
+    anchor_bits[:n_items] = a_bits
+    anchor_block = np.full(items_bucket + 1, n_blocks, np.int32)
+    anchor_block[:n_items] = a_block
+    anchor_slot = np.zeros(items_bucket, np.int32)
+    anchor_slot[:n_items] = a_slot
+
+    plan = _plan_for(frame, scan, restart_interval, items_bucket, words_bucket)
+    return AnchoredScan(words=wpad, anchor_bits=anchor_bits,
+                        anchor_block=anchor_block, anchor_slot=anchor_slot,
+                        luts=luts, n_blocks=n_blocks, plan=plan)
 
 
 _PLAN_CACHE: dict = {}
@@ -320,6 +380,24 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
             raise PrescanFallback("missing table")
         dc_luts.append(build_decode_lut16(dct))
         ac_luts.append(build_decode_lut16(act))
+    luts = np.concatenate(
+        [np.stack([dc_luts[i], ac_luts[i]]) for i in range(npairs)])
+
+    from .native import get_native
+    native = get_native()
+    if native is not None and hasattr(native, "prescan_baseline"):
+        geometry = _prescan_geometry(frame, scan, restart_interval)
+        res = native.prescan_baseline(cursor, luts, geometry,
+                                      S_TARGET, K_CAP, S_MAX)
+        if res is None:
+            # The C++ and Python walks share bounds and fallback policy;
+            # don't re-walk in Python, go straight to the host engines.
+            raise PrescanFallback("native prescan fallback")
+        out_bytes, a_bits, a_block, a_slot, n_blocks, pending = res
+        staged = _staged_from_layout(
+            frame, scan, restart_interval, luts,
+            np.asarray(out_bytes), a_bits, a_block, a_slot, n_blocks)
+        return pending, staged
 
     try:
         segments, rst_nums, end_pos, pending, hit_eof = unstuff_scan(
@@ -332,7 +410,7 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
         raise PrescanFallback("EOF inside scan")
 
     def seg_words(seg: bytes) -> "tuple[np.ndarray, int]":
-        pad = seg + b"\x00" * ((-len(seg)) % 4 + 8)
+        pad = seg + b"\x00" * ((-len(seg)) % 4 + 24)
         w = np.frombuffer(pad, np.uint8).reshape(-1, 4).astype(np.uint32)
         return (w[:, 0] << 24) | (w[:, 1] << 16) | (w[:, 2] << 8) | w[:, 3], \
             len(seg) * 8
@@ -353,11 +431,11 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
     MASK32 = 0xFFFFFFFF
 
     def decode_sym(pos: int, lut) -> "tuple[int, int]":
-        wi = pos >> 5
-        if wi + 1 >= len(cur_words_l):
-            # Deep into zero-fill territory (only degenerate streams decode
-            # this far past a segment) — host path reproduces the oracle.
+        # Overrun bound shared with the C++ prescan: at most 128 bits into a
+        # segment's zero-fill; degenerate streams go through the host path.
+        if pos > seg_nbits + 128:
             raise PrescanFallback("prescan overran segment padding")
+        wi = pos >> 5
         b = pos & 31
         if b:
             win = ((cur_words_l[wi] << b) & MASK32) | (cur_words_l[wi + 1] >> (32 - b))
@@ -446,31 +524,15 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
         out.extend(seg)
         pad = (overruns[si] + 7) // 8 + 4
         out.extend(b"\x00" * pad)
-    out.extend(b"\x00" * ((-len(out)) % 4 + 8))
-    wb = np.frombuffer(bytes(out), np.uint8).reshape(-1, 4).astype(np.uint32)
-    words = (wb[:, 0] << 24) | (wb[:, 1] << 16) | (wb[:, 2] << 8) | wb[:, 3]
 
-    n_items = len(anchors)
-    items_bucket = _bucket_up(n_items)
-    words_bucket = _bucket_up(len(words), 1024)
-    wpad = np.zeros(words_bucket, np.uint32)
-    wpad[:len(words)] = words
-
-    anchor_bits = np.zeros(items_bucket, np.uint32)
-    anchor_block = np.full(items_bucket + 1, stream_block, np.int32)
-    anchor_slot = np.zeros(items_bucket, np.int32)
-    for i, (local_p, si, blk, slot) in enumerate(anchors):
-        anchor_bits[i] = seg_bases[si] + local_p
-        anchor_block[i] = blk
-        anchor_slot[i] = slot
-
-    luts = np.concatenate(
-        [np.stack([dc_luts[i], ac_luts[i]]) for i in range(npairs)])
-
-    plan = _plan_for(frame, scan, restart_interval, items_bucket, words_bucket)
-    staged = AnchoredScan(words=wpad, anchor_bits=anchor_bits,
-                          anchor_block=anchor_block, anchor_slot=anchor_slot,
-                          luts=luts, n_blocks=stream_block, plan=plan)
+    a_bits = np.array([seg_bases[si] + local_p
+                       for (local_p, si, _b, _s) in anchors], np.uint32)
+    a_block = np.array([blk for (_p, _si, blk, _s) in anchors], np.int32)
+    a_slot = np.array([slot for (_p, _si, _b, slot) in anchors], np.int32)
+    staged = _staged_from_layout(
+        frame, scan, restart_interval, luts,
+        np.frombuffer(bytes(out), np.uint8), a_bits, a_block, a_slot,
+        stream_block)
 
     # Advance the cursor and resolve the trailing marker like _finish_scan.
     cursor.pos = end_pos
@@ -485,14 +547,14 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
     return _finish_scan(shim, cursor), staged
 
 
-@functools.lru_cache(maxsize=64)
-def _compiled_anchored_decoder(plan: ScanPlan):
-    """jit'd device decoder for one scan shape: words + anchors -> stores."""
+def build_anchored_decoder(plan: ScanPlan, flat_stores: bool = True):
+    """Traceable device decoder for one scan shape:
+    (words, anchor_bits, anchor_block, anchor_slot, luts) -> per-scan-component
+    int16 stores ([nb*64] flat, or [nb, 64] when flat_stores=False).
+    Composable under an outer jit (the streaming path fuses this with the
+    reconstruction pipeline in one dispatch)."""
     import jax
     import jax.numpy as jnp
-
-    from ..ops.pipeline import _enable_compile_cache
-    _enable_compile_cache(jax)
 
     unzig = jnp.asarray(np.asarray(UNZIGZAG, np.int32))
     pattern = np.asarray(plan.pattern or [0], np.int32)
@@ -581,10 +643,21 @@ def _compiled_anchored_decoder(plan: ScanPlan):
             rows16 = rows.astype(jnp.int16)               # wrap16 semantics
             ext_rows = jnp.concatenate(
                 [rows16, jnp.zeros((1, 64), jnp.int16)])
-            stores.append(ext_rows[raster_src[c]].reshape(-1))
+            grid = ext_rows[raster_src[c]]
+            stores.append(grid.reshape(-1) if flat_stores else grid)
         return stores
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_anchored_decoder(plan: ScanPlan):
+    """jit'd standalone decoder for one scan shape."""
+    import jax
+
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+    return jax.jit(build_anchored_decoder(plan))
 
 
 def decode_anchored_device(staged: AnchoredScan):

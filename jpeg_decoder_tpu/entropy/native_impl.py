@@ -26,7 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 6  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 7  # bump together with jt_abi_version() in entropy.cc
 
 
 class _CHuffTable(C.Structure):
@@ -75,6 +75,27 @@ class _CUpsampleSpec(C.Structure):
         ("mode", C.c_int32),
         ("h_scale", C.c_int32),
         ("v_scale", C.c_int32),
+    ]
+
+
+class _CPrescanParams(C.Structure):
+    _fields_ = [
+        ("pos", C.c_int64),
+        ("ncomp", C.c_int32),
+        ("max_mcu_x", C.c_int32),
+        ("max_mcu_y", C.c_int32),
+        ("image_w", C.c_int32),
+        ("image_h", C.c_int32),
+        ("restart_interval", C.c_int32),
+        ("s_target", C.c_int32),
+        ("k_cap", C.c_int32),
+        ("s_max", C.c_int32),
+        ("pattern_len", C.c_int32),
+        ("pattern", C.c_int32 * 16),
+        ("out_len", C.c_int64),
+        ("n_anchors", C.c_int64),
+        ("n_blocks", C.c_int32),
+        ("pending_marker", C.c_int32),
     ]
 
 
@@ -162,6 +183,10 @@ def _load():
         C.c_char_p, C.c_uint64, C.POINTER(_CScanParams), C.POINTER(_CScanComp),
         C.POINTER(_CPrefixComp), C.c_int32, C.c_void_p, C.c_void_p, C.c_int64,
         C.POINTER(C.c_int64), C.c_char_p]
+    lib.jt_prescan_baseline.restype = C.c_int
+    lib.jt_prescan_baseline.argtypes = [
+        C.c_char_p, C.c_int64, C.POINTER(_CPrescanParams), C.c_void_p,
+        C.c_void_p, C.c_int64, C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64]
     lib.jt_idct_component.restype = None
     lib.jt_idct_component.argtypes = [
         C.c_void_p, C.c_void_p, C.c_int64, C.c_int64, C.c_int32, C.c_void_p,
@@ -333,6 +358,52 @@ def decode_scan_lossless(cursor, frame, scan, dc_tables, restart_interval: int):
         _raise(code, err.value)
     cursor.pos = pos.value
     return (marker.value if marker.value >= 0 else None), diffs, leftover.value
+
+
+def prescan_baseline(cursor, luts: np.ndarray, geometry: dict,
+                     s_target: int, k_cap: int, s_max: int):
+    """Run the C++ prescan (entropy.cc jt_prescan_baseline). Returns
+    (out_bytes: np.uint8 array, anchor_bits, anchor_block, anchor_slot,
+    n_blocks, pending_marker) or None when the stream needs the host path.
+    Advances cursor.pos past the scan on success."""
+    lib = _load()
+    assert lib is not None
+    pp = _CPrescanParams()
+    pp.pos = cursor.pos
+    pp.ncomp = geometry["ncomp"]
+    pp.max_mcu_x = geometry["max_mcu_x"]
+    pp.max_mcu_y = geometry["max_mcu_y"]
+    pp.image_w = geometry["image_w"]
+    pp.image_h = geometry["image_h"]
+    pp.restart_interval = geometry["restart_interval"]
+    pp.s_target = s_target
+    pp.k_cap = k_cap
+    pp.s_max = s_max
+    pattern = geometry["pattern"]
+    pp.pattern_len = len(pattern)
+    for i, ci in enumerate(pattern):
+        pp.pattern[i] = ci
+
+    span = len(cursor.data) - cursor.pos
+    nseg = geometry["est_segments"]
+    out = np.zeros(span + 24 * (nseg + 2) + 64, np.uint8)
+    cap = geometry["est_blocks"] + 2
+    a_bits = np.zeros(cap, np.uint32)
+    a_block = np.zeros(cap, np.int32)
+    a_slot = np.zeros(cap, np.int32)
+    luts = np.ascontiguousarray(luts, np.uint32)
+    status = lib.jt_prescan_baseline(
+        cursor.data, len(cursor.data), C.byref(pp),
+        luts.ctypes.data_as(C.c_void_p),
+        out.ctypes.data, len(out),
+        a_bits.ctypes.data, a_block.ctypes.data, a_slot.ctypes.data, cap)
+    if status != 0:
+        return None
+    cursor.pos = pp.pos
+    n = pp.n_anchors
+    pending = pp.pending_marker if pp.pending_marker >= 0 else None
+    return (out[:pp.out_len], a_bits[:n], a_block[:n], a_slot[:n],
+            pp.n_blocks, pending)
 
 
 def pack_coo(store: np.ndarray, base: int, idx_out: np.ndarray,

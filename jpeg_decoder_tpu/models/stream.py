@@ -433,25 +433,145 @@ def stage_host(source, scale_to=None, precision: str = "fast",
                        info.width * info.height / 1e6)
 
 
+@dataclasses.dataclass
+class StagedBits:
+    """One image staged in the compressed-bits interchange: the entropy-coded
+    bytes themselves plus anchors; Huffman decode runs on device
+    (entropy/device_scan.py). ~0.2 B/px of H2D traffic vs ~0.9 for the
+    prefix interchange — the sustained-throughput lever."""
+    geometry: ImageGeometry
+    scans: tuple      # ((AnchoredScan, kept_comp_indices), ...)
+    qts: tuple
+    mpix: float
+
+
+class BitstreamCapture:
+    """Decoder hook staging baseline scans as anchored bitstreams. Raises
+    PrescanFallback (caught by stage_host) when any scan needs host
+    semantics — the whole image then restages through the prefix path."""
+
+    def __init__(self):
+        self.scans: list = []
+        self.used = False
+
+    def wants(self, frame) -> bool:
+        return True
+
+    def decode_scan(self, decoder, frame, scan, finished):
+        from ..entropy.device_scan import prescan_baseline
+
+        marker, staged = prescan_baseline(
+            decoder._cursor, frame, scan,
+            decoder._dc_huffman_tables, decoder._ac_huffman_tables,
+            decoder._restart_interval)
+        self.used = True
+        kept = []
+        for pos, comp_i in enumerate(scan.component_indices):
+            if finished[pos]:
+                kept.append((pos, comp_i))
+                qt = decoder._quantization_tables[
+                    frame.components[comp_i].quantization_table_index]
+                decoder._pending_render[comp_i] = (None, qt.copy())
+        self.scans.append((staged, tuple(kept)))
+        return marker
+
+
+def stage_host_bits(source, scale_to=None, precision: str = "fast",
+                    timer=None):
+    """Stage one image in the compressed-bits interchange; falls back to the
+    prefix interchange (stage_host) when the stream needs host entropy
+    semantics (progressive, lossless, malformed, quirk paths)."""
+    from ..entropy.device_scan import PrescanFallback
+    from ..errors import FormatError
+
+    if timer is not None:
+        with timer.stage("host_stage"):
+            return stage_host_bits(source, scale_to, precision, None)
+
+    d = Decoder(source, backend="numpy")
+    capture = BitstreamCapture()
+    d._prefix_capture = capture
+    try:
+        if scale_to is not None:
+            d.scale(*scale_to)
+        d._decode_entropy_only()
+    except PrescanFallback:
+        return stage_host(source, scale_to, precision)
+    if not capture.used:
+        # Progressive/lossless image: host path already decoded it.
+        return stage_host(source, scale_to, precision)
+
+    frame = d.frame
+    n = len(frame.components)
+    if any(i not in d._pending_render for i in range(n)):
+        raise FormatError("not all components have data")
+    transform = None if n == 1 else d._determine_color_transform()
+    geometry = geometry_from_frame(frame, transform, precision=precision)
+    qts = tuple(d._pending_render[i][1] for i in range(n))
+    info = d.info()
+    return StagedBits(geometry, tuple(capture.scans), qts,
+                      info.width * info.height / 1e6)
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
+                            geometry: ImageGeometry, layout: str):
+    """Fused device dispatch: anchored entropy decode for every scan +
+    dequant/IDCT/upsample/color — one jit, pixels stay in HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..entropy.device_scan import build_anchored_decoder
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+
+    decoders = [build_anchored_decoder(plan, flat_stores=False)
+                for plan, _kept in plans_with_comps]
+
+    def run(scan_args, qts):
+        stores = [None] * ncomp
+        for decoder_fn, (plan, kept), args in zip(
+                decoders, plans_with_comps, scan_args):
+            scan_stores = decoder_fn(*args)
+            for pos, comp_i in kept:
+                stores[comp_i] = scan_stores[pos]
+        out = _reconstruct(geometry, stores, qts, jnp)
+        if layout == "planar" and out.ndim == 3:
+            return jnp.transpose(out, (2, 0, 1))
+        return out
+
+    return jax.jit(run)
+
+
 class DeviceStreamDecoder:
     """Streaming decode-to-device: returns device arrays, never reads back."""
 
     def __init__(self, host_threads: int = 4, precision: str = "fast",
-                 layout: str = "interleaved", timer=None):
+                 layout: str = "interleaved", timer=None,
+                 interchange: str = "prefix"):
         """layout: "interleaved" ([H, W, C]); "planar" ([C, H, W], device
         transpose); "planar-pallas" ([C, H, W] via the fully-Pallas 4:2:0
         tail — MXU IDCT + fused upsample/color kernels — falling back to
         "planar" for unsupported geometries).
 
+        `interchange`: "prefix" ships decoded coefficients (~0.9 B/px,
+        round-1 format); "bits" ships the entropy-coded bytes themselves
+        (~0.2 B/px) and runs Huffman decode on the device — the sustained-
+        throughput path. Images the device engine can't take (progressive,
+        lossless, quirk streams) transparently restage through "prefix".
+
         `timer`: optional `utils.timing.StageTimer`; records "host_stage"
-        (parse + entropy + pack, per image), "h2d_submit" (device_put
-        submission) and "device_dispatch" (async jit dispatch). Device
-        execution itself is asynchronous — end-to-end wall time is the
-        caller's to measure after block_until_ready."""
+        (parse + entropy/prescan + pack, per image), "h2d_submit"
+        (device_put submission) and "device_dispatch" (async jit dispatch).
+        Device execution itself is asynchronous — end-to-end wall time is
+        the caller's to measure after block_until_ready."""
+        if interchange not in ("prefix", "bits"):
+            raise ValueError(f"unknown interchange {interchange!r}")
         self.pool = cf.ThreadPoolExecutor(max_workers=host_threads)
         self.precision = precision
         self.layout = layout
         self.timer = timer
+        self.interchange = interchange
 
     @contextlib.contextmanager
     def _stage(self, name: str):
@@ -461,7 +581,9 @@ class DeviceStreamDecoder:
             with self.timer.stage(name):
                 yield
 
-    def decode_one(self, staged: StagedImage):
+    def decode_one(self, staged):
+        if isinstance(staged, StagedBits):
+            return self._decode_one_bits(staged)
         import jax
         layout = self.layout
         if layout == "planar-pallas":
@@ -478,6 +600,40 @@ class DeviceStreamDecoder:
         with self._stage("device_dispatch"):
             return fn(*args, staged.qts)
 
+    # Device-resident LUT cache: Huffman tables repeat across images from the
+    # same encoder; keyed by content so the 1MB-class LUT array ships once.
+    _lut_cache: dict = {}
+
+    def _put_luts(self, luts):
+        import jax
+        key = (luts.shape, hash(luts.tobytes()))
+        dev = self._lut_cache.get(key)
+        if dev is None:
+            dev = jax.device_put(luts)
+            if len(self._lut_cache) > 32:
+                self._lut_cache.clear()
+            self._lut_cache[key] = dev
+        return dev
+
+    def _decode_one_bits(self, staged: StagedBits):
+        import jax
+
+        layout = "planar" if self.layout == "planar-pallas" else self.layout
+        plans_with_comps = tuple(
+            (scan.plan, kept) for scan, kept in staged.scans)
+        fn = _compiled_bits_pipeline(
+            plans_with_comps, len(staged.qts), staged.geometry, layout)
+        with self._stage("h2d_submit"):
+            scan_args = tuple(
+                (jax.device_put(scan.words),
+                 jax.device_put(scan.anchor_bits),
+                 jax.device_put(scan.anchor_block),
+                 jax.device_put(scan.anchor_slot),
+                 self._put_luts(scan.luts))
+                for scan, _kept in staged.scans)
+        with self._stage("device_dispatch"):
+            return fn(scan_args, staged.qts)
+
     def decode_stream(self, sources: Iterable, scale_to=None,
                       batch_size: int = 1, on_error: str = "raise") -> list:
         """Decode all sources; returns a list of device uint8 arrays.
@@ -492,7 +648,8 @@ class DeviceStreamDecoder:
         """
         from ..errors import JpegError
 
-        staged_futures = [self.pool.submit(stage_host, s, scale_to,
+        stage_fn = stage_host_bits if self.interchange == "bits" else stage_host
+        staged_futures = [self.pool.submit(stage_fn, s, scale_to,
                                            self.precision, self.timer)
                           for s in sources]
 
@@ -522,6 +679,12 @@ class DeviceStreamDecoder:
             if st is None:
                 flush()
                 outputs.append(None)
+                continue
+            if isinstance(st, StagedBits):
+                # Bits interchange dispatches per image (scan shapes are
+                # image-specific); no vmap grouping.
+                flush()
+                outputs.append(self.decode_one(st))
                 continue
             if group and (st.geometry != group[0].geometry
                           or len(group) >= batch_size):

@@ -1,0 +1,100 @@
+"""Compressed-bits interchange through the streaming decoder.
+
+`DeviceStreamDecoder(interchange="bits")` ships entropy-coded bytes + anchors
+and Huffman-decodes on device (entropy/device_scan.py); output must be
+bit-identical to the prefix interchange (which ships host-decoded
+coefficients) for every image, with transparent prefix fallback for
+progressive/lossless/quirk streams.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import REFTEST_IMAGES, reftest_files
+
+from jpeg_decoder_tpu import CodingProcess, Decoder
+from jpeg_decoder_tpu.models.stream import (
+    DeviceStreamDecoder,
+    StagedBits,
+    stage_host_bits,
+)
+
+NAMES = [
+    "rgb.jpg",
+    "restarts.jpg",
+    "grayscale_16x24_sampling2x2.jpg",
+    "mjpeg.jpg",
+    "ycck.jpg",
+    "16bit-qtables.jpg",
+    "mozilla/jpg-progressive.jpg",     # falls back to prefix staging
+    "mozilla/jpg-cmyk-1.jpg",
+]
+
+
+@pytest.fixture(scope="module")
+def decoders():
+    return (DeviceStreamDecoder(host_threads=2, interchange="prefix"),
+            DeviceStreamDecoder(host_threads=2, interchange="bits"))
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_bits_matches_prefix(decoders, name):
+    path = REFTEST_IMAGES / name
+    if not path.exists():
+        pytest.skip()
+    prefix, bits = decoders
+    data = path.read_bytes()
+    a = np.asarray(prefix.decode_stream([data])[0])
+    b = np.asarray(bits.decode_stream([data])[0])
+    assert a.shape == b.shape
+    assert (a == b).all()
+
+
+def test_baseline_images_actually_stage_as_bits():
+    staged = stage_host_bits(str(REFTEST_IMAGES / "rgb.jpg"))
+    assert isinstance(staged, StagedBits)
+    # H2D payload tracks the *compressed* size (bucketing + anchors within
+    # ~45%), not the pixel count — that is the entire point.
+    nbytes = sum(s.words.nbytes + s.anchor_bits.nbytes + s.anchor_block.nbytes
+                 + s.anchor_slot.nbytes for s, _ in staged.scans)
+    compressed = (REFTEST_IMAGES / "rgb.jpg").stat().st_size
+    assert nbytes < 1.45 * compressed, f"{nbytes} vs {compressed}"
+
+
+def test_large_image_bytes_per_pixel():
+    staged = stage_host_bits("/root/reference/benches/large_image.jpg")
+    assert isinstance(staged, StagedBits)
+    nbytes = sum(s.words.nbytes + s.anchor_bits.nbytes + s.anchor_block.nbytes
+                 + s.anchor_slot.nbytes for s, _ in staged.scans)
+    px = staged.mpix * 1e6
+    # vs ~0.9 B/px for the prefix interchange on the same content.
+    assert nbytes / px < 0.3, f"{nbytes / px:.3f} B/px"
+
+
+def test_progressive_falls_back():
+    staged = stage_host_bits(str(REFTEST_IMAGES / "mozilla" / "jpg-progressive.jpg"))
+    assert not isinstance(staged, StagedBits)
+
+
+def test_corpus_stream_bits_sweep(decoders):
+    """Every reftest image through the bits stream == prefix stream."""
+    prefix, bits = decoders
+    checked = 0
+    for jpg in reftest_files():
+        probe = Decoder(str(jpg))
+        try:
+            probe.read_info()
+        except Exception:  # noqa: BLE001
+            continue
+        info = probe.info()
+        if info is None or info.coding_process == CodingProcess.LOSSLESS:
+            continue  # lossless renders host-side, not via the DCT stream
+        data = jpg.read_bytes()
+        try:
+            a = prefix.decode_stream([data])[0]
+        except Exception:  # noqa: BLE001 — stream-ineligible image
+            continue
+        b = bits.decode_stream([data])[0]
+        assert (np.asarray(a) == np.asarray(b)).all(), jpg.name
+        checked += 1
+    assert checked >= 30
