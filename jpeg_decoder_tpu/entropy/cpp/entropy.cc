@@ -941,7 +941,7 @@ void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
 
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 7; }
+int64_t jt_abi_version() { return 8; }
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.
@@ -1534,7 +1534,8 @@ inline uint32_t win32_at(const uint8_t* seg, int64_t bitpos) {
 int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
                         const uint32_t* luts, uint8_t* out, int64_t out_cap,
                         uint32_t* anchor_bits, int32_t* anchor_block,
-                        int32_t* anchor_slot, int64_t anchors_cap) {
+                        int32_t* anchor_slot, uint32_t* chunk_end,
+                        int32_t* chunk_syms, int64_t anchors_cap) {
   const int GUARD = 24;  // provisional zero guard per segment (bytes)
 
   // Hot-path micro-LUTs over 10-bit windows (2KB/table, L1-resident; the
@@ -1597,6 +1598,15 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
   int64_t p = 0;
   int64_t syms_since = 0, blocks_since = 0, max_chunk_syms = 0;
   int64_t n_anchors = 0;
+  int64_t n_closed = 0;
+  auto close_chunk = [&]() {
+    if (n_anchors > 0 && n_closed < n_anchors) {
+      if (syms_since > max_chunk_syms) max_chunk_syms = syms_since;
+      chunk_end[n_closed] = static_cast<uint32_t>(seg_base * 8 + p);
+      chunk_syms[n_closed] = static_cast<int32_t>(syms_since);
+      n_closed++;
+    }
+  };
   int32_t n_blocks = 0;
   int64_t mcus_left = pp->restart_interval;
   int32_t expected_rst = 0;
@@ -1622,6 +1632,7 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
             fallback = true;
             break;
           }
+          close_chunk();
           close_segment();
           if (!next_segment()) { fallback = true; break; }
           p = 0;
@@ -1641,8 +1652,7 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
 
         if (n_anchors == 0 || syms_since >= pp->s_target ||
             blocks_since >= pp->k_cap) {
-          if (n_anchors > 0 && syms_since > max_chunk_syms)
-            max_chunk_syms = syms_since;
+          close_chunk();
           if (n_anchors >= anchors_cap) { fallback = true; break; }
           anchor_bits[n_anchors] = static_cast<uint32_t>(seg_base * 8 + p);
           anchor_block[n_anchors] = n_blocks;
@@ -1710,7 +1720,7 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
     }
   }
   if (fallback) return PRESCAN_FALLBACK;
-  if (syms_since > max_chunk_syms) max_chunk_syms = syms_since;
+  close_chunk();
   if (max_chunk_syms > pp->s_max) return PRESCAN_FALLBACK;
   if (p > seg_len * 8 + 128) return PRESCAN_FALLBACK;
   close_segment();

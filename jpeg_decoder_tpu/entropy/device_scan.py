@@ -103,6 +103,9 @@ class AnchoredScan:
     luts: np.ndarray          # uint32 [2 * n_pairs, 65536]
     n_blocks: int
     plan: "ScanPlan"
+    chunk_end: np.ndarray = None    # uint32 [n_items] bit offset after last symbol
+    chunk_syms: np.ndarray = None   # int32 [n_items] symbols in chunk
+    n_items: int = 0
 
 
 def unstuff_scan(data, pos: int):
@@ -201,7 +204,8 @@ class ScanPlan:
     Hashable by geometry key so jitted decoders are shared across images."""
 
     def __init__(self, frame, scan, restart_interval: int,
-                 items_bucket: int, words_bucket: int):
+                 items_bucket: int, words_bucket: int, s_max: int = S_MAX):
+        self.s_max = s_max
         components = [frame.components[i] for i in scan.component_indices]
         self.ncomp = len(components)
         self.restart_interval = restart_interval
@@ -252,7 +256,7 @@ class ScanPlan:
             tuple((c.horizontal_sampling_factor, c.vertical_sampling_factor,
                    c.block_size.width, c.block_size.height)
                   for c in components),
-            restart_interval, items_bucket, words_bucket,
+            restart_interval, items_bucket, words_bucket, s_max,
         )
 
     def __hash__(self):
@@ -300,8 +304,16 @@ def _prescan_geometry(frame, scan, restart_interval: int) -> dict:
     }
 
 
+def _s_max_bucket(n: int) -> int:
+    for b in (32, 64, 96, 128, S_MAX):
+        if n <= b:
+            return b
+    return S_MAX
+
+
 def _staged_from_layout(frame, scan, restart_interval, luts, out_bytes,
-                        a_bits, a_block, a_slot, n_blocks) -> "AnchoredScan":
+                        a_bits, a_block, a_slot, n_blocks,
+                        a_end=None, a_syms=None) -> "AnchoredScan":
     """Common tail: pack the padded byte layout into u32 words, bucket the
     shapes, and attach the (cached) static plan."""
     pad = (-len(out_bytes)) % 4 + 8
@@ -323,31 +335,47 @@ def _staged_from_layout(frame, scan, restart_interval, luts, out_bytes,
     anchor_slot = np.zeros(items_bucket, np.int32)
     anchor_slot[:n_items] = a_slot
 
-    plan = _plan_for(frame, scan, restart_interval, items_bucket, words_bucket)
+    s_max = S_MAX
+    chunk_end = chunk_syms = None
+    if a_syms is not None and len(a_syms) == n_items:
+        s_max = _s_max_bucket(int(a_syms.max()) if n_items else 1)
+        chunk_end = np.zeros(items_bucket, np.uint32)
+        chunk_end[:n_items] = a_end
+        chunk_syms = np.zeros(items_bucket, np.int32)
+        chunk_syms[:n_items] = a_syms
+
+    plan = _plan_for(frame, scan, restart_interval, items_bucket, words_bucket,
+                     s_max)
     return AnchoredScan(words=wpad, anchor_bits=anchor_bits,
                         anchor_block=anchor_block, anchor_slot=anchor_slot,
-                        luts=luts, n_blocks=n_blocks, plan=plan)
+                        luts=luts, n_blocks=n_blocks, plan=plan,
+                        chunk_end=chunk_end, chunk_syms=chunk_syms,
+                        n_items=n_items)
 
 
 _PLAN_CACHE: dict = {}
 
 
-def _plan_key(frame, scan, restart_interval, items_bucket, words_bucket):
+def _plan_key(frame, scan, restart_interval, items_bucket, words_bucket,
+              s_max):
     components = [frame.components[i] for i in scan.component_indices]
     return (
         frame.image_size.width, frame.image_size.height,
         tuple(scan.component_indices),
         tuple((c.horizontal_sampling_factor, c.vertical_sampling_factor,
                c.block_size.width, c.block_size.height) for c in components),
-        restart_interval, items_bucket, words_bucket,
+        restart_interval, items_bucket, words_bucket, s_max,
     )
 
 
-def _plan_for(frame, scan, restart_interval, items_bucket, words_bucket):
-    key = _plan_key(frame, scan, restart_interval, items_bucket, words_bucket)
+def _plan_for(frame, scan, restart_interval, items_bucket, words_bucket,
+              s_max=S_MAX):
+    key = _plan_key(frame, scan, restart_interval, items_bucket, words_bucket,
+                    s_max)
     plan = _PLAN_CACHE.get(key)
     if plan is None:
-        plan = ScanPlan(frame, scan, restart_interval, items_bucket, words_bucket)
+        plan = ScanPlan(frame, scan, restart_interval, items_bucket,
+                        words_bucket, s_max)
         if len(_PLAN_CACHE) > 128:
             _PLAN_CACHE.clear()
         _PLAN_CACHE[key] = plan
@@ -393,10 +421,11 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
             # The C++ and Python walks share bounds and fallback policy;
             # don't re-walk in Python, go straight to the host engines.
             raise PrescanFallback("native prescan fallback")
-        out_bytes, a_bits, a_block, a_slot, n_blocks, pending = res
+        out_bytes, a_bits, a_block, a_slot, n_blocks, pending, a_end, a_syms = res
         staged = _staged_from_layout(
             frame, scan, restart_interval, luts,
-            np.asarray(out_bytes), a_bits, a_block, a_slot, n_blocks)
+            np.asarray(out_bytes), a_bits, a_block, a_slot, n_blocks,
+            a_end, a_syms)
         return pending, staged
 
     try:
@@ -425,6 +454,8 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
     overruns = [0] * len(segments)
 
     anchors = []          # (local_bit_in_segment, seg_index, stream_block, slot)
+    chunk_ends = []       # (local_bit, seg_index) at chunk close
+    chunk_syms = []
     syms_since = 0
     blocks_since = 0
     max_chunk_syms = 0
@@ -460,6 +491,9 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
                         raise PrescanFallback("restart protocol violation")
                     overruns[seg_i] = max(overruns[seg_i],
                                           max(0, p - seg_nbits))
+                    if anchors and len(chunk_ends) < len(anchors):
+                        chunk_ends.append((p, seg_i))
+                        chunk_syms.append(syms_since)
                     seg_i += 1
                     cur_words, seg_nbits = seg_words(segments[seg_i])
                     cur_words_l = cur_words.tolist()
@@ -471,8 +505,10 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
 
         # Anchor policy: block boundary + budget exhausted.
         if (not anchors or syms_since >= S_TARGET or blocks_since >= K_CAP):
-            if anchors:
+            if anchors and len(chunk_ends) < len(anchors):
                 max_chunk_syms = max(max_chunk_syms, syms_since)
+                chunk_ends.append((p, seg_i))
+                chunk_syms.append(syms_since)
             anchors.append((p, seg_i, stream_block, slot))
             syms_since = 0
             blocks_since = 0
@@ -510,7 +546,10 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
         stream_block += 1
         blocks_since += 1
 
-    max_chunk_syms = max(max_chunk_syms, syms_since)
+    if anchors and len(chunk_ends) < len(anchors):
+        max_chunk_syms = max(max_chunk_syms, syms_since)
+        chunk_ends.append((p, seg_i))
+        chunk_syms.append(syms_since)
     overruns[seg_i] = max(overruns[seg_i], max(0, p - seg_nbits))
     if max_chunk_syms > S_MAX:
         raise PrescanFallback("chunk symbol budget exceeded")
@@ -529,10 +568,12 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
                        for (local_p, si, _b, _s) in anchors], np.uint32)
     a_block = np.array([blk for (_p, _si, blk, _s) in anchors], np.int32)
     a_slot = np.array([slot for (_p, _si, _b, slot) in anchors], np.int32)
+    a_end = np.array([seg_bases[si] + pe for (pe, si) in chunk_ends], np.uint32)
+    a_syms = np.array(chunk_syms, np.int32)
     staged = _staged_from_layout(
         frame, scan, restart_interval, luts,
         np.frombuffer(bytes(out), np.uint8), a_bits, a_block, a_slot,
-        stream_block)
+        stream_block, a_end, a_syms)
 
     # Advance the cursor and resolve the trailing marker like _finish_scan.
     cursor.pos = end_pos
@@ -627,7 +668,7 @@ def build_anchored_decoder(plan: ScanPlan, flat_stores: bool = True):
 
         init = (anchor_bits, jnp.zeros(I, jnp.int32),
                 jnp.zeros(I, jnp.int32), anchor_slot)
-        _, (codes, vals) = jax.lax.scan(step, init, None, length=S_MAX)
+        _, (codes, vals) = jax.lax.scan(step, init, None, length=plan.s_max)
 
         flat = jnp.zeros(n_blocks * 64, jnp.int32)
         flat = flat.at[codes.reshape(-1)].set(vals.reshape(-1), mode="drop")

@@ -26,7 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 7  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 8  # bump together with jt_abi_version() in entropy.cc
 
 
 class _CHuffTable(C.Structure):
@@ -186,7 +186,8 @@ def _load():
     lib.jt_prescan_baseline.restype = C.c_int
     lib.jt_prescan_baseline.argtypes = [
         C.c_char_p, C.c_int64, C.POINTER(_CPrescanParams), C.c_void_p,
-        C.c_void_p, C.c_int64, C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64]
+        C.c_void_p, C.c_int64, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_void_p, C.c_void_p, C.c_int64]
     lib.jt_idct_component.restype = None
     lib.jt_idct_component.argtypes = [
         C.c_void_p, C.c_void_p, C.c_int64, C.c_int64, C.c_int32, C.c_void_p,
@@ -391,19 +392,22 @@ def prescan_baseline(cursor, luts: np.ndarray, geometry: dict,
     a_bits = np.zeros(cap, np.uint32)
     a_block = np.zeros(cap, np.int32)
     a_slot = np.zeros(cap, np.int32)
+    a_end = np.zeros(cap, np.uint32)
+    a_syms = np.zeros(cap, np.int32)
     luts = np.ascontiguousarray(luts, np.uint32)
     status = lib.jt_prescan_baseline(
         cursor.data, len(cursor.data), C.byref(pp),
         luts.ctypes.data_as(C.c_void_p),
         out.ctypes.data, len(out),
-        a_bits.ctypes.data, a_block.ctypes.data, a_slot.ctypes.data, cap)
+        a_bits.ctypes.data, a_block.ctypes.data, a_slot.ctypes.data,
+        a_end.ctypes.data, a_syms.ctypes.data, cap)
     if status != 0:
         return None
     cursor.pos = pp.pos
     n = pp.n_anchors
     pending = pp.pending_marker if pp.pending_marker >= 0 else None
     return (out[:pp.out_len], a_bits[:n], a_block[:n], a_slot[:n],
-            pp.n_blocks, pending)
+            pp.n_blocks, pending, a_end[:n], a_syms[:n])
 
 
 def pack_coo(store: np.ndarray, base: int, idx_out: np.ndarray,
