@@ -63,14 +63,17 @@ class ImageInfo:
     coding_process: CodingProcess
 
 
-def _as_bytes(source) -> bytes:
+def _make_cursor(source, max_input_bytes=None) -> "P.ByteCursor":
     if isinstance(source, (bytes, bytearray, memoryview)):
-        return bytes(source)
+        return P.ByteCursor(bytes(source), max_bytes=max_input_bytes)
     if hasattr(source, "read"):
-        return source.read()
+        # Reader contract (reference analog: `Decoder<R: io::Read>`,
+        # `/root/reference/src/lib.rs:56-66`): headers parse incrementally
+        # from the reader; scan decode drains the remainder into memory.
+        return P.ByteCursor(b"", source=source, max_bytes=max_input_bytes)
     if isinstance(source, str):
         with open(source, "rb") as f:
-            return f.read()
+            return P.ByteCursor(f.read(), max_bytes=max_input_bytes)
     raise TypeError(f"unsupported source type {type(source)}")
 
 
@@ -81,7 +84,8 @@ class Decoder:
     (`/root/reference/src/decoder.rs:101-154`).
     """
 
-    def __init__(self, source, backend: str = "numpy", precision: str = "exact"):
+    def __init__(self, source, backend: str = "numpy", precision: str = "exact",
+                 max_input_bytes: Optional[int] = None):
         """`backend` selects the reconstruction engine: "numpy" (host oracle)
         or "jax" (jitted, fused device pipeline — the TPU path). The entropy
         stage always runs on the host.
@@ -103,7 +107,7 @@ class Decoder:
             raise ValueError(f"unknown precision {precision!r}")
         self._backend = backend
         self._precision = precision
-        self._cursor = ByteCursor(_as_bytes(source))
+        self._cursor = _make_cursor(source, max_input_bytes)
         self.frame: Optional[P.FrameInfo] = None
         self._dc_huffman_tables: list = [None, None, None, None]
         self._ac_huffman_tables: list = [None, None, None, None]
@@ -410,6 +414,7 @@ class Decoder:
 
     def _process_scan(self) -> Optional[int]:
         """Handle one SOS (`/root/reference/src/decoder.rs:392-481,794-1082`)."""
+        self._cursor.drain()
         frame = self.frame
         scan = P.parse_sos(self._cursor, frame)
 

@@ -106,6 +106,12 @@ class AnchoredScan:
     chunk_end: np.ndarray = None    # uint32 [n_items] bit offset after last symbol
     chunk_syms: np.ndarray = None   # int32 [n_items] symbols in chunk
     n_items: int = 0
+    # Canonical-table metadata for the Pallas kernel: rows ordered
+    # (pair0_dc, pair0_ac, pair1_dc, ...) like `luts`.
+    tab_maxcode: np.ndarray = None  # int32 [n_tab, 16] (unique pairs only)
+    tab_delta: np.ndarray = None    # int32 [n_tab, 16]
+    tab_values: np.ndarray = None   # uint32 [n_tab, 64] (256 bytes LE-packed)
+    comp_to_upair: tuple = None     # scan component pos -> unique pair index
 
 
 def unstuff_scan(data, pos: int):
@@ -411,6 +417,37 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
     luts = np.concatenate(
         [np.stack([dc_luts[i], ac_luts[i]]) for i in range(npairs)])
 
+    def _pack_values(tab) -> np.ndarray:
+        v = np.zeros(256, np.uint8)
+        v[:len(tab.values)] = tab.values
+        w = v.reshape(64, 4).astype(np.uint32)
+        return w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+
+    # Unique (dc, ac) pairs: chroma components typically share one pair, so
+    # color scans need only 2 unique pairs (the Pallas kernel's limit is 2).
+    unique_pairs = []
+    comp_to_upair = []
+    for i in range(npairs):
+        key = (scan.dc_table_indices[i], scan.ac_table_indices[i])
+        if key not in unique_pairs:
+            unique_pairs.append(key)
+        comp_to_upair.append(unique_pairs.index(key))
+    tabs = []
+    for (dci, aci) in unique_pairs:
+        tabs.append(dc_tables[dci])
+        tabs.append(ac_tables[aci])
+    tab_maxcode = np.stack([t.maxcode.astype(np.int32) for t in tabs])
+    tab_delta = np.stack([t.delta.astype(np.int32) for t in tabs])
+    tab_values = np.stack([_pack_values(t) for t in tabs])
+    comp_to_upair = tuple(comp_to_upair)
+
+    def _attach_meta(st):
+        st.tab_maxcode = tab_maxcode
+        st.tab_delta = tab_delta
+        st.tab_values = tab_values
+        st.comp_to_upair = comp_to_upair
+        return st
+
     from .native import get_native
     native = get_native()
     if native is not None and hasattr(native, "prescan_baseline"):
@@ -426,7 +463,7 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
             frame, scan, restart_interval, luts,
             np.asarray(out_bytes), a_bits, a_block, a_slot, n_blocks,
             a_end, a_syms)
-        return pending, staged
+        return pending, _attach_meta(staged)
 
     try:
         segments, rst_nums, end_pos, pending, hit_eof = unstuff_scan(
@@ -570,10 +607,10 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
     a_slot = np.array([slot for (_p, _si, _b, slot) in anchors], np.int32)
     a_end = np.array([seg_bases[si] + pe for (pe, si) in chunk_ends], np.uint32)
     a_syms = np.array(chunk_syms, np.int32)
-    staged = _staged_from_layout(
+    staged = _attach_meta(_staged_from_layout(
         frame, scan, restart_interval, luts,
         np.frombuffer(bytes(out), np.uint8), a_bits, a_block, a_slot,
-        stream_block, a_end, a_syms)
+        stream_block, a_end, a_syms))
 
     # Advance the cursor and resolve the trailing marker like _finish_scan.
     cursor.pos = end_pos
@@ -669,9 +706,26 @@ def build_anchored_decoder(plan: ScanPlan, flat_stores: bool = True):
         init = (anchor_bits, jnp.zeros(I, jnp.int32),
                 jnp.zeros(I, jnp.int32), anchor_slot)
         _, (codes, vals) = jax.lax.scan(step, init, None, length=plan.s_max)
+        return assemble(codes.reshape(-1), vals.reshape(-1))
 
+    assemble = build_assembler(plan, flat_stores)
+    return run
+
+
+def build_assembler(plan: ScanPlan, flat_stores: bool = True):
+    """Traceable assembly: flat (code, value) emission pairs -> per-component
+    int16 stores. One scatter + static gathers + segmented DC prefix sums
+    (wrapping-i16 predictor semantics, `/root/reference/src/decoder.rs:1102-1118`)."""
+    import jax.numpy as jnp
+
+    n_blocks = plan.n_blocks
+    stream_idx = [jnp.asarray(a) for a in plan.stream_idx]
+    raster_src = [jnp.asarray(a) for a in plan.raster_src]
+    seg_first = [jnp.asarray(a) for a in plan.seg_first]
+
+    def assemble(codes, vals):
         flat = jnp.zeros(n_blocks * 64, jnp.int32)
-        flat = flat.at[codes.reshape(-1)].set(vals.reshape(-1), mode="drop")
+        flat = flat.at[codes].set(vals, mode="drop")
         nat = flat.reshape(n_blocks, 64)
 
         stores = []
@@ -688,7 +742,7 @@ def build_anchored_decoder(plan: ScanPlan, flat_stores: bool = True):
             stores.append(grid.reshape(-1) if flat_stores else grid)
         return stores
 
-    return run
+    return assemble
 
 
 @functools.lru_cache(maxsize=64)

@@ -1,0 +1,365 @@
+"""Pallas TPU kernel for the anchored Huffman decode (the fast device path).
+
+The XLA `lax.scan` formulation (device_scan.build_anchored_decoder) is
+gather-rate-bound (~100M XLA gathers/s on v5e ⇒ >100ms per megapixel-class
+image). This kernel keeps every per-symbol operation inside one Mosaic
+program using only constructs the VPU executes natively:
+
+- bit-window fetch: each chunk's bytes live in a per-item *slot*; a slot tile
+  is held as `slot_w` (8,128) vregs and the per-lane word select is a
+  compare/select chain over those vregs (no gather).
+- code length: canonical F.16 maxcode comparison chain, fully unrolled over
+  the 16 code lengths (`/root/reference/src/huffman.rs:31-58` semantics via
+  this repo's oracle).
+- symbol value and VALPTR/MINCODE deltas: `tpu.dynamic_gather` — the
+  hardware sublane gather, reached through `jnp.take_along_axis` on (8,128)
+  vregs — over broadcast table chunks (8 entries per vreg).
+
+Chunks are packed by the host into size classes (64..512-byte slots) so H2D
+bytes track the compressed stream (~1.3x) rather than the worst-case span.
+Scans that exceed the class limits or use more than two distinct Huffman
+table pairs fall back to the XLA decoder — output is bit-identical either
+way (both feed the shared assembler in device_scan.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from .device_scan import AnchoredScan, ScanPlan, UNZIGZAG, build_assembler
+
+SLOT_CLASSES = (64, 128, 256, 512)   # slot bytes
+SYM_BUCKETS = (32, 64, 96, 128, 176)
+MAX_TABS = 4                          # <= 2 distinct (dc, ac) pairs
+SENTINEL = 1 << 30
+
+
+@dataclasses.dataclass
+class ClassPack:
+    """One slot-size class of chunks, padded to the kernel grid."""
+    slot_words: int
+    s_max: int
+    n_items: int            # real items
+    slots_t: np.ndarray     # uint32 [slot_words, n_bucket] (transposed slots)
+    bit0: np.ndarray        # int32 [n_bucket] entry bit offset within slot
+    block_base: np.ndarray  # int32 [n_bucket]
+    budget: np.ndarray      # int32 [n_bucket] blocks to decode (0 = idle)
+    slot0: np.ndarray       # int32 [n_bucket] MCU-pattern slot at entry
+
+
+def _bucket_items(n: int) -> int:
+    size = 1024
+    while size < n:
+        size *= 2
+    return size
+
+
+def pack_classes(staged: AnchoredScan):
+    """Partition chunks into slot-size classes; None if Pallas-ineligible."""
+    if staged.chunk_end is None or staged.tab_maxcode is None:
+        return None
+    if len(staged.tab_maxcode) > MAX_TABS:
+        return None
+    n = staged.n_items
+    if n == 0:
+        return None
+    a = staged.anchor_bits[:n].astype(np.int64)
+    end = staged.chunk_end[:n].astype(np.int64)
+    syms = staged.chunk_syms[:n]
+    start_byte = a >> 3
+    # Window reads reach 8 bytes past the final symbol's start (64-bit loads
+    # in spirit; the kernel reads words widx and widx+1 of a 32-bit window).
+    span = (end >> 3) - start_byte + 9
+    if int(span.max()) > SLOT_CLASSES[-1]:
+        return None
+
+    sbytes = np.asarray(staged.words, dtype=">u4").tobytes()
+    bytes_arr = np.frombuffer(sbytes, np.uint8)
+    budgets = (staged.anchor_block[1:n + 1] - staged.anchor_block[:n])
+
+    packs = []
+    for cls in SLOT_CLASSES:
+        lo = 0 if cls == SLOT_CLASSES[0] else SLOT_CLASSES[
+            SLOT_CLASSES.index(cls) - 1]
+        sel = np.flatnonzero((span > lo) & (span <= cls))
+        if len(sel) == 0:
+            continue
+        nb = _bucket_items(len(sel))
+        idx = start_byte[sel][:, None] + np.arange(cls)[None, :]
+        sl = np.zeros((nb, cls), np.uint8)
+        valid = idx < len(bytes_arr)
+        sl[:len(sel)] = np.where(valid, bytes_arr[np.minimum(
+            idx, len(bytes_arr) - 1)], 0)
+        w = sl.reshape(nb, cls // 4, 4).astype(np.uint32)
+        slots = (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3]
+        s_max = next(b for b in SYM_BUCKETS if int(syms[sel].max()) <= b)
+
+        def pad(arr, fill=0):
+            out = np.full(nb, fill, arr.dtype)
+            out[:len(sel)] = arr[sel]
+            return out
+
+        packs.append(ClassPack(
+            slot_words=cls // 4, s_max=s_max, n_items=len(sel),
+            slots_t=np.ascontiguousarray(slots.T),
+            bit0=pad((a & 7).astype(np.int32)),
+            block_base=pad(staged.anchor_block[:n].astype(np.int32)),
+            budget=pad(budgets.astype(np.int32)),
+            slot0=pad(staged.anchor_slot[:n].astype(np.int32)),
+        ))
+    return packs
+
+
+def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
+                         pattern: tuple, interpret: bool):
+    """pallas_call-able decode kernel for one class shape."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    plen = max(len(pattern), 1)
+    pat = list(pattern) if pattern else [0]
+    unzig = [int(x) for x in UNZIGZAG]
+
+    def kernel(slots_ref, bit0_ref, base_ref, budget_ref, slot0_ref,
+               mc_ref, dl_ref, vv_ref, codes_ref, vals_ref):
+        shp = (8, 128)
+
+        def vec(ref):
+            return ref[:].reshape(shp).astype(jnp.int32)
+
+        bit0 = vec(bit0_ref)
+        base = vec(base_ref)
+        budget = vec(budget_ref)
+        slot0 = vec(slot0_ref)
+
+        # Hoisted scalar tables (loop-invariant).
+        mc = [[mc_ref[t, l] for l in range(16)] for t in range(n_tab)]
+
+        # Broadcast vreg chunks for delta (16 entries -> 2 chunks) and packed
+        # values (64 words -> 8 chunks), per table.
+        def chunks(ref, t, n_entries):
+            out = []
+            row = ref[t, :].reshape(1, n_entries).astype(jnp.int32)
+            rowb = jnp.broadcast_to(row.T[:, :1], (n_entries, 128))
+            for c in range(n_entries // 8):
+                out.append(rowb[c * 8:(c + 1) * 8, :])
+            return out
+
+        dl_chunks = [chunks(dl_ref, t, 16) for t in range(n_tab)]
+        vv_chunks = [chunks(vv_ref, t, 64) for t in range(n_tab)]
+
+        def gather8(chunk, sub):
+            return jnp.take_along_axis(chunk, sub, axis=0)
+
+        def table_lookup(chunk_list, idx):
+            """idx in [0, 8*len(chunk_list)): compose sublane gathers."""
+            sub = idx & 7
+            hi = idx >> 3
+            acc = gather8(chunk_list[0], sub)
+            for c in range(1, len(chunk_list)):
+                acc = jnp.where(hi == c, gather8(chunk_list[c], sub), acc)
+            return acc
+
+        def tab_select(per_tab, tab):
+            acc = per_tab[0]
+            for t in range(1, n_tab):
+                acc = jnp.where(tab == t, per_tab[t], acc)
+            return acc
+
+        zero = jnp.zeros(shp, jnp.int32)
+
+        def body(t, carry):
+            p, k, blk, slot = carry
+            active = blk < budget
+
+            # --- bit window: select the two words covering position p ---
+            widx = jax.lax.shift_right_logical(p, 5)
+            b = p & 31
+            w0 = zero
+            w1 = zero
+            for w in range(slot_w):
+                row = slots_ref[w, :].reshape(shp).astype(jnp.int32)
+                w0 = jnp.where(widx == w, row, w0)
+                if w > 0:
+                    w1 = jnp.where(widx == w - 1, row, w1)
+            win = jnp.where(
+                b == 0, w0,
+                jax.lax.shift_left(w0, b)
+                | jax.lax.shift_right_logical(w1, 32 - jnp.maximum(b, 1)))
+            win16 = jax.lax.shift_right_logical(win, 16)
+
+            # --- table id: (pair of current slot) * 2 + is_ac ---
+            is_dc = k == 0
+            pair = zero
+            for s_i in range(plen):
+                if pat[s_i]:
+                    pair = jnp.where(slot == s_i, pat[s_i], pair)
+            tab = pair * 2 + jnp.where(is_dc, 0, 1)
+
+            # --- code length: F.16 maxcode chain ---
+            run_fail = None
+            length = jnp.ones(shp, jnp.int32)
+            for L in range(1, 17):
+                code_L = jax.lax.shift_right_logical(win16, 16 - L)
+                mcv = tab_select([mc[t][L - 1] + zero for t in range(n_tab)],
+                                 tab)
+                fail = code_L > mcv
+                run_fail = fail if run_fail is None else (run_fail & fail)
+                length = length + run_fail.astype(jnp.int32)
+            length = jnp.minimum(length, 16)
+
+            # --- symbol value: values[code + delta[len]] ---
+            code = jax.lax.shift_right_logical(win16, 16 - length)
+            delta = tab_select(
+                [table_lookup(dl_chunks[t], length - 1) for t in range(n_tab)],
+                tab)
+            vidx = jnp.clip(code + delta, 0, 255)
+            word = tab_select(
+                [table_lookup(vv_chunks[t],
+                              jax.lax.shift_right_logical(vidx, 2))
+                 for t in range(n_tab)], tab)
+            value = jax.lax.shift_right_logical(
+                word, 8 * (vidx & 3)) & 0xFF
+
+            # --- receive/extend ---
+            r = jax.lax.shift_right_logical(value, 4)
+            s = value & 0x0F
+            mag = jnp.where(is_dc, value, s)
+            magm = jnp.maximum(mag, 1)
+            mshift = jnp.maximum(32 - length - magm, 0)
+            mbits = jax.lax.shift_right_logical(win, mshift) \
+                & ((1 << magm) - 1)
+            half = jax.lax.shift_left(jnp.ones(shp, jnp.int32), magm - 1)
+            ext = jnp.where(mbits < half, mbits - 2 * half + 1, mbits)
+            ext = jnp.where(mag == 0, 0, ext)
+
+            # --- classify / emit ---
+            is_zrl = (~is_dc) & (s == 0) & (r == 15)
+            is_eob = (~is_dc) & (s == 0) & (r != 15)
+            k_coeff = jnp.where(is_dc, 0, jnp.minimum(k + r, 63))
+            emits = active & (is_dc | ((~is_zrl) & (~is_eob)))
+            pos_nat = zero
+            for kk in range(64):
+                pos_nat = jnp.where(k_coeff == kk, unzig[kk], pos_nat)
+            codeo = jnp.where(emits, (base + blk) * 64 + pos_nat, SENTINEL)
+
+            codes_ref[t, :] = codeo.reshape(1024)
+            vals_ref[t, :] = ext.reshape(1024)
+
+            # --- state update ---
+            consumed = jnp.where(active, length + mag, 0)
+            k_next = jnp.where(
+                is_dc, 1,
+                jnp.where(is_zrl, k + 16,
+                          jnp.where(is_eob, 64, k + r + 1)))
+            done = active & (is_eob | (k_next >= 64))
+            p = p + consumed
+            k = jnp.where(active, jnp.where(done, 0, k_next), k)
+            blk = blk + done.astype(jnp.int32)
+            slot_next = slot + done.astype(jnp.int32)
+            slot = jnp.where(slot_next >= plen, 0, slot_next)
+            return (p, k, blk, slot)
+
+        jax.lax.fori_loop(0, s_max, body,
+                          (bit0, zero, zero, slot0))
+
+    def call(slots_t, bit0, base, budget, slot0, mc, dl, vv):
+        nb = slots_t.shape[1]
+        grid = nb // 1024
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((slot_w, 1024), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1024,), lambda g: (g,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1024,), lambda g: (g,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1024,), lambda g: (g,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1024,), lambda g: (g,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((s_max, 1024), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s_max, 1024), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((s_max, nb), jnp.int32),
+                jax.ShapeDtypeStruct((s_max, nb), jnp.int32),
+            ],
+            interpret=interpret,
+        )(slots_t, bit0, base, budget, slot0, mc, dl, vv)
+
+    return call
+
+
+def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
+                         n_tab: int, flat_stores: bool = True,
+                         interpret: bool = False,
+                         comp_to_upair: tuple = None):
+    """Traceable decoder using per-class Pallas kernels + shared assembly.
+
+    class_shapes: tuple of (slot_words, s_max, n_bucket) per class present.
+    Returns fn(class_inputs, tab_mc, tab_dl, tab_vv) -> stores where
+    class_inputs is a tuple of (slots_t, bit0, base, budget, slot0).
+    """
+    import jax.numpy as jnp
+
+    # Map the per-MCU slot pattern (component positions) to unique pairs.
+    if comp_to_upair is None:
+        comp_to_upair = tuple(range(max(plan.pattern or [0]) + 1))
+    pattern = tuple(comp_to_upair[c] for c in plan.pattern)
+    kernels = [
+        _build_decode_kernel(sw, sm, n_tab, pattern, interpret)
+        for (sw, sm, _nb) in class_shapes]
+    assemble = build_assembler(plan, flat_stores)
+
+    def run(class_inputs, mc, dl, vv):
+        codes = []
+        vals = []
+        for kern, args in zip(kernels, class_inputs):
+            c, v = kern(*args, mc, dl, vv)
+            codes.append(c.reshape(-1))
+            vals.append(v.reshape(-1))
+        return assemble(jnp.concatenate(codes), jnp.concatenate(vals))
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_pallas_decoder(plan: ScanPlan, class_shapes: tuple, n_tab: int,
+                             interpret: bool, comp_to_upair: tuple):
+    import jax
+
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+    return jax.jit(build_pallas_decoder(plan, class_shapes, n_tab,
+                                        interpret=interpret,
+                                        comp_to_upair=comp_to_upair))
+
+
+def decode_anchored_pallas(staged: AnchoredScan, interpret: bool = False):
+    """Standalone: stores via the Pallas kernels; None if ineligible."""
+    packs = pack_classes(staged)
+    if packs is None:
+        return None
+    shapes = tuple((p.slot_words, p.s_max, p.slots_t.shape[1]) for p in packs)
+    fn = _compiled_pallas_decoder(
+        staged.plan, shapes, len(staged.tab_maxcode), interpret,
+        staged.comp_to_upair)
+    inputs = tuple(
+        (p.slots_t, p.bit0, p.block_base, p.budget, p.slot0) for p in packs)
+    return fn(inputs, staged.tab_maxcode, staged.tab_delta,
+              staged.tab_values.astype(np.int64).astype(np.uint32))

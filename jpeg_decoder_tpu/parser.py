@@ -22,41 +22,84 @@ from .huffman import HuffmanTable
 
 
 class ByteCursor:
-    """Forward-only cursor over an in-memory JPEG byte buffer.
+    """Forward-only cursor over a JPEG byte buffer, optionally fed
+    incrementally from a reader.
 
-    Replaces the reference's `io::Read` plumbing (`/root/reference/src/lib.rs:56-66`):
-    the whole compressed image lives in host memory so the entropy pre-scan and
-    restart-segment splitter can index it randomly.
+    Replaces the reference's `io::Read` plumbing (`/root/reference/src/lib.rs:56-66`)
+    with an explicit contract: header parsing (`read_info`) consumes a reader
+    incrementally in small chunks, while entropy decode requires the full
+    remaining stream in memory (`drain()`), because the entropy pre-scan and
+    restart-segment splitter index it randomly — that random access is what
+    buys the segment/anchor parallelism. `max_bytes` bounds how much a feeder
+    may buffer (DoS guard for untrusted readers); exceeding it raises
+    FormatError.
     """
 
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "_source", "_max")
 
-    def __init__(self, data: bytes, pos: int = 0):
+    def __init__(self, data: bytes = b"", pos: int = 0, source=None,
+                 max_bytes: "Optional[int]" = None):
         self.data = data
         self.pos = pos
+        self._source = source
+        self._max = max_bytes
+        if max_bytes is not None and len(data) > max_bytes:
+            raise FormatError("input exceeds max_input_bytes")
+
+    def _ensure(self, end: int) -> None:
+        while self._source is not None and len(self.data) < end:
+            want = max(65536, end - len(self.data))
+            chunk = self._source.read(want)
+            if not chunk:
+                self._source = None
+                break
+            self.data = self.data + chunk
+            if self._max is not None and len(self.data) > self._max:
+                self._source = None
+                raise FormatError("input exceeds max_input_bytes")
+
+    def drain(self) -> None:
+        """Buffer the entire remaining stream (required before scan decode)."""
+        while self._source is not None:
+            chunk = self._source.read(1 << 20)
+            if not chunk:
+                self._source = None
+                break
+            self.data = self.data + chunk
+            if self._max is not None and len(self.data) > self._max:
+                self._source = None
+                raise FormatError("input exceeds max_input_bytes")
 
     def u8(self) -> int:
         pos = self.pos
         if pos >= len(self.data):
-            raise IoError()
+            self._ensure(pos + 1)
+            if pos >= len(self.data):
+                raise IoError()
         self.pos = pos + 1
         return self.data[pos]
 
     def u16_be(self) -> int:
         pos = self.pos
         if pos + 2 > len(self.data):
-            raise IoError()
+            self._ensure(pos + 2)
+            if pos + 2 > len(self.data):
+                raise IoError()
         self.pos = pos + 2
         return (self.data[pos] << 8) | self.data[pos + 1]
 
     def take(self, n: int) -> bytes:
         pos = self.pos
         if pos + n > len(self.data):
-            raise IoError()
+            self._ensure(pos + n)
+            if pos + n > len(self.data):
+                raise IoError()
         self.pos = pos + n
         return self.data[pos:pos + n]
 
     def skip(self, n: int) -> None:
+        if self.pos + n > len(self.data):
+            self._ensure(self.pos + n)
         if self.pos + n > len(self.data):
             self.pos = len(self.data)
             raise IoError()

@@ -126,3 +126,47 @@ def test_oracle_fallback_matches_native():
         os.environ.pop("JPEG_TPU_DISABLE_NATIVE")
         nm.reset_native_cache()
     assert native == oracle
+
+
+class _ChunkReader:
+    """File-like that serves tiny chunks and counts bytes read."""
+
+    def __init__(self, data, chunk=512):
+        self.data = data
+        self.off = 0
+        self.chunk = chunk
+        self.read_calls = 0
+
+    def read(self, n=-1):
+        self.read_calls += 1
+        n = self.chunk if n is None or n < 0 else min(n, self.chunk)
+        out = self.data[self.off:self.off + n]
+        self.off += len(out)
+        return out
+
+
+def test_incremental_reader_read_info():
+    """read_info from a reader consumes only a prefix (socket-probe use)."""
+    data = open(RGB, "rb").read()
+    r = _ChunkReader(data)
+    d = Decoder(r)
+    d.read_info()
+    info = d.info()
+    assert (info.width, info.height) == (500, 333)
+    assert r.off < len(data) // 2, f"read {r.off} of {len(data)}"
+
+
+def test_incremental_reader_full_decode_matches():
+    data = open(RGB, "rb").read()
+    assert Decoder(_ChunkReader(data)).decode() == Decoder(data).decode()
+
+
+def test_max_input_bytes_guard():
+    data = open(RGB, "rb").read()
+    with pytest.raises(FormatError):
+        Decoder(_ChunkReader(data), max_input_bytes=1000).decode()
+    # In-memory sources are checked up front.
+    with pytest.raises(FormatError):
+        Decoder(data, max_input_bytes=1000)
+    # Generous limit passes.
+    Decoder(_ChunkReader(data), max_input_bytes=10 << 20).decode()
