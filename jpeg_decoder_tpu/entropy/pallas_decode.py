@@ -43,11 +43,11 @@ class ClassPack:
     slot_words: int
     s_max: int
     n_items: int            # real items
-    slots_t: np.ndarray     # uint32 [slot_words, n_bucket] (transposed slots)
-    bit0: np.ndarray        # int32 [n_bucket] entry bit offset within slot
-    block_base: np.ndarray  # int32 [n_bucket]
-    budget: np.ndarray      # int32 [n_bucket] blocks to decode (0 = idle)
-    slot0: np.ndarray       # int32 [n_bucket] MCU-pattern slot at entry
+    slots_t: np.ndarray     # int32 [slot_words, G, 8, 128] tile-aligned slots
+    bit0: np.ndarray        # int32 [G, 8, 128] entry bit offset within slot
+    block_base: np.ndarray  # int32 [G, 8, 128]
+    budget: np.ndarray      # int32 [G, 8, 128] blocks to decode (0 = idle)
+    slot0: np.ndarray       # int32 [G, 8, 128] MCU-pattern slot at entry
 
 
 def _bucket_items(n: int) -> int:
@@ -97,14 +97,22 @@ def pack_classes(staged: AnchoredScan):
         slots = (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3]
         s_max = next(b for b in SYM_BUCKETS if int(syms[sel].max()) <= b)
 
+        G = nb // 1024
+
         def pad(arr, fill=0):
-            out = np.full(nb, fill, arr.dtype)
+            out = np.full(nb, fill, np.int32)
             out[:len(sel)] = arr[sel]
-            return out
+            return out.reshape(G, 8, 128)
+
+        # Tile-aligned VMEM layout: loads inside the kernel must map to whole
+        # (8,128) vregs — a [1, n] row slice of a 2D array forces a Mosaic
+        # relayout (~microseconds per access, measured) and dominates runtime.
+        slots4 = np.ascontiguousarray(
+            slots.T.reshape(cls // 4, G, 8, 128).view(np.int32))
 
         packs.append(ClassPack(
             slot_words=cls // 4, s_max=s_max, n_items=len(sel),
-            slots_t=np.ascontiguousarray(slots.T),
+            slots_t=slots4,
             bit0=pad((a & 7).astype(np.int32)),
             block_base=pad(staged.anchor_block[:n].astype(np.int32)),
             budget=pad(budgets.astype(np.int32)),
@@ -130,7 +138,7 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
         shp = (8, 128)
 
         def vec(ref):
-            return ref[:].reshape(shp).astype(jnp.int32)
+            return ref[0]
 
         bit0 = vec(bit0_ref)
         base = vec(base_ref)
@@ -183,7 +191,7 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
             w0 = zero
             w1 = zero
             for w in range(slot_w):
-                row = slots_ref[w, :].reshape(shp).astype(jnp.int32)
+                row = slots_ref[w, 0]
                 w0 = jnp.where(widx == w, row, w0)
                 if w > 0:
                     w1 = jnp.where(widx == w - 1, row, w1)
@@ -248,8 +256,8 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
                 pos_nat = jnp.where(k_coeff == kk, unzig[kk], pos_nat)
             codeo = jnp.where(emits, (base + blk) * 64 + pos_nat, SENTINEL)
 
-            codes_ref[t, :] = codeo.reshape(1024)
-            vals_ref[t, :] = ext.reshape(1024)
+            codes_ref[t, 0] = codeo
+            vals_ref[t, 0] = ext
 
             # --- state update ---
             consumed = jnp.where(active, length + mag, 0)
@@ -269,35 +277,29 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
                           (bit0, zero, zero, slot0))
 
     def call(slots_t, bit0, base, budget, slot0, mc, dl, vv):
-        nb = slots_t.shape[1]
-        grid = nb // 1024
+        grid = slots_t.shape[1]
+        tile = pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec((slot_w, 1024), lambda g: (0, g),
+                pl.BlockSpec((slot_w, 1, 8, 128), lambda g: (0, g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1024,), lambda g: (g,),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1024,), lambda g: (g,),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1024,), lambda g: (g,),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1024,), lambda g: (g,),
-                             memory_space=pltpu.VMEM),
+                tile, tile, tile, tile,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((s_max, 1024), lambda g: (0, g),
+                pl.BlockSpec((s_max, 1, 8, 128), lambda g: (0, g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((s_max, 1024), lambda g: (0, g),
+                pl.BlockSpec((s_max, 1, 8, 128), lambda g: (0, g, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((s_max, nb), jnp.int32),
-                jax.ShapeDtypeStruct((s_max, nb), jnp.int32),
+                jax.ShapeDtypeStruct((s_max, grid, 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((s_max, grid, 8, 128), jnp.int32),
             ],
             interpret=interpret,
         )(slots_t, bit0, base, budget, slot0, mc, dl, vv)

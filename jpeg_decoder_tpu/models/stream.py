@@ -110,10 +110,16 @@ def _compiled_prefix_pipeline(geometry: ImageGeometry, resid_bucket: int,
 
 @functools.lru_cache(maxsize=128)
 def _compiled_prefix_pipeline_batched(geometry: ImageGeometry, resid_bucket: int,
-                                      batch: int):
+                                      batch: int, mesh=None,
+                                      data_axis: str = "data"):
     """vmapped variant of the prefix pipeline: one dispatch decodes `batch`
     same-geometry images (amortizes per-call RPC/dispatch overhead, which
-    dominates sub-megapixel images)."""
+    dominates sub-megapixel images).
+
+    With `mesh`, the batch axis is sharded over `data_axis` — the streaming
+    service's data-parallel scale-out path (SURVEY.md §2a DP): every input
+    and the output pixel batch carry NamedShardings, XLA inserts no
+    collectives, and each chip decodes its shard of the image batch."""
     import jax
     import jax.numpy as jnp
 
@@ -137,7 +143,17 @@ def _compiled_prefix_pipeline_batched(geometry: ImageGeometry, resid_bucket: int
                   for o, s in zip(offsets, sizes)]
         return _reconstruct(geometry, stores, qts, jnp)
 
-    return jax.jit(jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0)))
+    batched = jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0))
+    if mesh is None:
+        return jax.jit(batched)
+
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    sharded = NamedSharding(mesh, PS(data_axis))
+    ncomp = len(comps)
+    return jax.jit(
+        batched,
+        in_shardings=(sharded, sharded, sharded, sharded, (sharded,) * ncomp),
+        out_shardings=sharded)
 
 
 def _batch_bucket(n: int) -> int:
@@ -548,7 +564,8 @@ class DeviceStreamDecoder:
 
     def __init__(self, host_threads: int = 4, precision: str = "fast",
                  layout: str = "interleaved", timer=None,
-                 interchange: str = "prefix"):
+                 interchange: str = "prefix", mesh=None,
+                 data_axis: str = "data"):
         """layout: "interleaved" ([H, W, C]); "planar" ([C, H, W], device
         transpose); "planar-pallas" ([C, H, W] via the fully-Pallas 4:2:0
         tail — MXU IDCT + fused upsample/color kernels — falling back to
@@ -559,6 +576,11 @@ class DeviceStreamDecoder:
         (~0.2 B/px) and runs Huffman decode on the device — the sustained-
         throughput path. Images the device engine can't take (progressive,
         lossless, quirk streams) transparently restage through "prefix".
+
+        `mesh`: optional `jax.sharding.Mesh`; batched dispatches shard the
+        image-batch axis over `data_axis` (mesh data parallelism composed
+        with the streaming service — decoded batches live sharded in the
+        mesh's HBM). Use batch_size >= mesh data-axis size.
 
         `timer`: optional `utils.timing.StageTimer`; records "host_stage"
         (parse + entropy/prescan + pack, per image), "h2d_submit"
@@ -572,6 +594,8 @@ class DeviceStreamDecoder:
         self.layout = layout
         self.timer = timer
         self.interchange = interchange
+        self.mesh = mesh
+        self.data_axis = data_axis
 
     @contextlib.contextmanager
     def _stage(self, name: str):
@@ -697,10 +721,14 @@ class DeviceStreamDecoder:
         import jax
 
         n = len(group)
-        if n == 1:
+        if n == 1 and self.mesh is None:
             return [self.decode_one(group[0])]
         resid_bucket = _bucket(max(len(st.resid_idx) for st in group))
         batch = _batch_bucket(n)
+        if self.mesh is not None:
+            ndev = int(self.mesh.shape[self.data_axis])
+            while batch % ndev:
+                batch *= 2
 
         def pad_resid(st):
             idx = np.full(resid_bucket, st.total_coeffs, np.int32)
@@ -728,7 +756,7 @@ class DeviceStreamDecoder:
             for c in range(ncomp))
 
         fn = _compiled_prefix_pipeline_batched(
-            group[0].geometry, resid_bucket, batch)
+            group[0].geometry, resid_bucket, batch, self.mesh, self.data_axis)
         with self._stage("h2d_submit"):
             args = (jax.device_put(dc), jax.device_put(ac),
                     jax.device_put(ri), jax.device_put(rv))

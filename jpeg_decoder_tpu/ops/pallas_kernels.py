@@ -7,7 +7,7 @@ epilogue fused in VMEM — and (b) serve as the foundation for deeper fusions
 (plane assembly + upsample + color) in later rounds.
 
 Enabled via `use_pallas=True` on the fast-precision path (or the
-JPEG_TPU_USE_PALLAS=1 environment variable); bit-identical to the jnp fast
+default on TPU backends, JPEG_TPU_USE_PALLAS=0 opts out); bit-identical to the jnp fast
 path on TPU up to MXU f32 matmul accumulation (same contract).
 """
 

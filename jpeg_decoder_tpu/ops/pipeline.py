@@ -55,8 +55,21 @@ class ImageGeometry:
 
 import os
 
-# Opt-in Pallas kernel tier for the fast path (see ops/pallas_kernels.py).
-_USE_PALLAS = os.environ.get("JPEG_TPU_USE_PALLAS", "") == "1"
+# Pallas kernel tier for the fast path (see ops/pallas_kernels.py): DEFAULT ON
+# for TPU backends (bit-exact vs the jnp formulation, validated on v5e);
+# JPEG_TPU_USE_PALLAS=0 opts out. CPU runs always use the jnp/XLA kernels
+# (pallas_call is interpret-only there).
+_USE_PALLAS = os.environ.get("JPEG_TPU_USE_PALLAS", "1") != "0"
+
+
+def _pallas_tier_available(xp) -> bool:
+    if not _USE_PALLAS or xp is np:
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _reconstruct(geometry: ImageGeometry, stores, qts, xp):
@@ -67,7 +80,7 @@ def _reconstruct(geometry: ImageGeometry, stores, qts, xp):
     planes = []
     for comp, store, qt in zip(geometry.components, stores, qts):
         if geometry.precision == "fast" and comp.dct_scale == 8:
-            if _USE_PALLAS and xp is not np:
+            if _pallas_tier_available(xp):
                 from .pallas_kernels import dequantize_and_idct_blocks_pallas
                 pixels = dequantize_and_idct_blocks_pallas(
                     xp.asarray(store), xp.asarray(qt))
