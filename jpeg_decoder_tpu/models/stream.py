@@ -156,6 +156,19 @@ def _compiled_prefix_pipeline_batched(geometry: ImageGeometry, resid_bucket: int
         out_shardings=sharded)
 
 
+def _bits_pallas_enabled() -> bool:
+    """Pallas kernel path for the bits interchange: default on for TPU
+    backends; JPEG_TPU_BITS_PALLAS=0 opts out."""
+    import os
+    if os.environ.get("JPEG_TPU_BITS_PALLAS", "1") == "0":
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _batch_bucket(n: int) -> int:
     size = 1
     while size < n:
@@ -531,9 +544,14 @@ def stage_host_bits(source, scale_to=None, precision: str = "fast",
 
 @functools.lru_cache(maxsize=128)
 def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
-                            geometry: ImageGeometry, layout: str):
+                            geometry: ImageGeometry, layout: str,
+                            pallas_shapes: tuple = None):
     """Fused device dispatch: anchored entropy decode for every scan +
-    dequant/IDCT/upsample/color — one jit, pixels stay in HBM."""
+    dequant/IDCT/upsample/color — one jit, pixels stay in HBM.
+
+    `pallas_shapes`: per scan, either None (XLA lax.scan decoder) or
+    (class_shapes, n_tab, comp_to_upair) for the Pallas kernel path
+    (entropy/pallas_decode.py) — same assembler, bit-identical stores."""
     import jax
     import jax.numpy as jnp
 
@@ -541,12 +559,22 @@ def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
     from ..ops.pipeline import _enable_compile_cache
     _enable_compile_cache(jax)
 
-    decoders = [build_anchored_decoder(plan, flat_stores=False)
-                for plan, _kept in plans_with_comps]
+    decoders = []
+    for i, (plan, _kept) in enumerate(plans_with_comps):
+        pshape = pallas_shapes[i] if pallas_shapes else None
+        if pshape is not None:
+            from ..entropy.pallas_decode import build_pallas_decoder
+            class_shapes, n_tab, comp_to_upair = pshape
+            decoders.append(("pallas", build_pallas_decoder(
+                plan, class_shapes, n_tab, flat_stores=False,
+                comp_to_upair=comp_to_upair)))
+        else:
+            decoders.append(("xla", build_anchored_decoder(
+                plan, flat_stores=False)))
 
     def run(scan_args, qts):
         stores = [None] * ncomp
-        for decoder_fn, (plan, kept), args in zip(
+        for (kind, decoder_fn), (plan, kept), args in zip(
                 decoders, plans_with_comps, scan_args):
             scan_stores = decoder_fn(*args)
             for pos, comp_i in kept:
@@ -645,16 +673,52 @@ class DeviceStreamDecoder:
         layout = "planar" if self.layout == "planar-pallas" else self.layout
         plans_with_comps = tuple(
             (scan.plan, kept) for scan, kept in staged.scans)
+
+        use_pallas = _bits_pallas_enabled()
+        pallas_shapes = []
+        packed = []
+        if use_pallas:
+            from ..entropy.pallas_decode import pack_classes
+            for scan, _kept in staged.scans:
+                packs = pack_classes(scan)
+                if packs is None:
+                    pallas_shapes.append(None)
+                    packed.append(None)
+                else:
+                    pallas_shapes.append((
+                        tuple((p.slot_words, p.s_max, p.slots_t.shape[1])
+                              for p in packs),
+                        len(scan.tab_maxcode), scan.comp_to_upair))
+                    packed.append(packs)
+        else:
+            pallas_shapes = [None] * len(staged.scans)
+            packed = [None] * len(staged.scans)
+
         fn = _compiled_bits_pipeline(
-            plans_with_comps, len(staged.qts), staged.geometry, layout)
+            plans_with_comps, len(staged.qts), staged.geometry, layout,
+            tuple(pallas_shapes))
         with self._stage("h2d_submit"):
-            scan_args = tuple(
-                (jax.device_put(scan.words),
-                 jax.device_put(scan.anchor_bits),
-                 jax.device_put(scan.anchor_block),
-                 jax.device_put(scan.anchor_slot),
-                 self._put_luts(scan.luts))
-                for scan, _kept in staged.scans)
+            scan_args = []
+            for (scan, _kept), packs in zip(staged.scans, packed):
+                if packs is not None:
+                    scan_args.append((
+                        tuple((jax.device_put(p.slots_t),
+                               jax.device_put(p.bit0),
+                               jax.device_put(p.block_base),
+                               jax.device_put(p.budget),
+                               jax.device_put(p.slot0)) for p in packs),
+                        jax.device_put(scan.tab_maxcode),
+                        jax.device_put(scan.tab_delta),
+                        jax.device_put(scan.tab_values.view(np.int32)),
+                    ))
+                else:
+                    scan_args.append((
+                        jax.device_put(scan.words),
+                        jax.device_put(scan.anchor_bits),
+                        jax.device_put(scan.anchor_block),
+                        jax.device_put(scan.anchor_slot),
+                        self._put_luts(scan.luts)))
+            scan_args = tuple(scan_args)
         with self._stage("device_dispatch"):
             return fn(scan_args, staged.qts)
 
