@@ -118,6 +118,14 @@ def main() -> None:
         if not os.environ.get("JPEG_TPU_BENCH_SKIP_SUSTAINED"):
             extra["sustained_mpix_s"] = round(
                 _measure_sustained(dec, data, mpix), 3)
+            # Compressed-bits interchange (device-side entropy decode):
+            # ~4x fewer H2D bytes, the sustained-throughput path.
+            bits = DeviceStreamDecoder(host_threads=3, interchange="bits")
+            bits.decode_stream([data] * 2)  # warm: compile
+            extra["sustained_bits_mpix_s"] = round(
+                _measure_sustained(bits, data, mpix, budget_s=20.0), 3)
+            extra["burst_bits_mpix_s"] = round(
+                _measure_burst(bits, data, mpix), 3)
     else:
         from jpeg_decoder_tpu.models.service import BatchDecodeService
         service = BatchDecodeService(mesh=None, host_threads=4, backend="numpy")

@@ -43,9 +43,11 @@ from .scan_python import UNZIGZAG, _finish_scan
 
 # Chunking policy: anchor every ~S_TARGET symbols (or K_CAP blocks) at a block
 # boundary. S_MAX bounds the device scan length: one block may overshoot the
-# symbol budget by up to 64 coefficients + EOB.
+# symbol budget by up to 64 coefficients + EOB. K_CAP is small so the Pallas
+# kernel's dense per-chunk output region (K_CAP*64 coefficients) stays cheap
+# to accumulate one-hot and nearly padding-free.
 S_TARGET = 96
-K_CAP = 24
+K_CAP = 8
 S_MAX = S_TARGET + 66
 
 _LUT_CACHE: dict = {}
@@ -311,7 +313,7 @@ def _prescan_geometry(frame, scan, restart_interval: int) -> dict:
 
 
 def _s_max_bucket(n: int) -> int:
-    for b in (32, 64, 96, 128, S_MAX):
+    for b in (16, 32, 64, 96, 128, S_MAX):
         if n <= b:
             return b
     return S_MAX
@@ -723,11 +725,27 @@ def build_assembler(plan: ScanPlan, flat_stores: bool = True):
     raster_src = [jnp.asarray(a) for a in plan.raster_src]
     seg_first = [jnp.asarray(a) for a in plan.seg_first]
 
+    assemble_nat = build_assembler_nat(plan, flat_stores)
+
     def assemble(codes, vals):
         flat = jnp.zeros(n_blocks * 64, jnp.int32)
         flat = flat.at[codes].set(vals, mode="drop")
-        nat = flat.reshape(n_blocks, 64)
+        return assemble_nat(flat.reshape(n_blocks, 64))
 
+    return assemble
+
+
+def build_assembler_nat(plan: ScanPlan, flat_stores: bool = True):
+    """Assembly from a dense natural-order [n_blocks, 64] int32 tensor in
+    stream order (DC column holds diffs): segmented DC prefix sums + static
+    gathers into per-component stores."""
+    import jax.numpy as jnp
+
+    stream_idx = [jnp.asarray(a) for a in plan.stream_idx]
+    raster_src = [jnp.asarray(a) for a in plan.raster_src]
+    seg_first = [jnp.asarray(a) for a in plan.seg_first]
+
+    def assemble_nat(nat):
         stores = []
         for c in range(plan.ncomp):
             rows = nat[stream_idx[c]]                     # stream order
@@ -742,7 +760,7 @@ def build_assembler(plan: ScanPlan, flat_stores: bool = True):
             stores.append(grid.reshape(-1) if flat_stores else grid)
         return stores
 
-    return assemble
+    return assemble_nat
 
 
 @functools.lru_cache(maxsize=64)

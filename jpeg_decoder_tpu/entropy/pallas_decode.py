@@ -14,6 +14,12 @@ program using only constructs the VPU executes natively:
 - symbol value and VALPTR/MINCODE deltas: `tpu.dynamic_gather` — the
   hardware sublane gather, reached through `jnp.take_along_axis` on (8,128)
   vregs — over broadcast table chunks (8 entries per vreg).
+- emission: coefficients accumulate one-hot into a dense per-chunk
+  [K_CAP*64] output region in VMEM (K_CAP is small for exactly this
+  reason), so the XLA element scatter — measured at ~10ms per
+  megapixel-class image, dominating the pipeline — disappears. Assembly
+  compacts the padded regions with one i32 row gather (~19 GB/s measured)
+  driven by a device-computed row map (per-class cummax propagation).
 
 Chunks are packed by the host into size classes (64..512-byte slots) so H2D
 bytes track the compressed stream (~1.3x) rather than the worst-case span.
@@ -29,9 +35,10 @@ import functools
 
 import numpy as np
 
-from .device_scan import AnchoredScan, ScanPlan, UNZIGZAG, build_assembler
+from .device_scan import (AnchoredScan, ScanPlan, UNZIGZAG,
+                          build_assembler_nat)
 
-SLOT_CLASSES = (64, 128, 256, 512)   # slot bytes
+SLOT_CLASSES = (32, 48, 64, 96, 128, 256, 512)   # slot bytes
 SYM_BUCKETS = (32, 64, 96, 128, 176)
 MAX_TABS = 4                          # <= 2 distinct (dc, ac) pairs
 SENTINEL = 1 << 30
@@ -39,21 +46,25 @@ SENTINEL = 1 << 30
 
 @dataclasses.dataclass
 class ClassPack:
-    """One slot-size class of chunks, padded to the kernel grid."""
+    """One slot-size class of chunks, padded to the kernel grid.
+
+    H2D per item = slot bytes + 8 (meta + block base): meta packs the entry
+    bit offset (3b), MCU-pattern slot (4b) and block budget (4b) into one
+    int32; the block-base array doubles as the rowmap's `starts`."""
     slot_words: int
     s_max: int
     n_items: int            # real items
     slots_t: np.ndarray     # int32 [slot_words, G, 8, 128] tile-aligned slots
-    bit0: np.ndarray        # int32 [G, 8, 128] entry bit offset within slot
-    block_base: np.ndarray  # int32 [G, 8, 128]
-    budget: np.ndarray      # int32 [G, 8, 128] blocks to decode (0 = idle)
-    slot0: np.ndarray       # int32 [G, 8, 128] MCU-pattern slot at entry
+    meta: np.ndarray        # int32 [G, 8, 128] bit0 | slot0<<3 | budget<<7
+    block_base: np.ndarray  # int32 [G, 8, 128] (pad: n_blocks — rowmap drop)
 
 
 def _bucket_items(n: int) -> int:
+    """1024-granular bucket with 1.3x geometric steps (pow2 wastes up to 2x
+    in kernel lane-slots; tiles are 1024 items)."""
     size = 1024
     while size < n:
-        size *= 2
+        size = -(-int(size * 1.3) // 1024) * 1024
     return size
 
 
@@ -110,15 +121,25 @@ def pack_classes(staged: AnchoredScan):
         slots4 = np.ascontiguousarray(
             slots.T.reshape(cls // 4, G, 8, 128).view(np.int32))
 
+        meta = ((a & 7).astype(np.int32)
+                | (staged.anchor_slot[:n].astype(np.int32) << 3)
+                | (budgets.astype(np.int32) << 7))
         packs.append(ClassPack(
             slot_words=cls // 4, s_max=s_max, n_items=len(sel),
             slots_t=slots4,
-            bit0=pad((a & 7).astype(np.int32)),
-            block_base=pad(staged.anchor_block[:n].astype(np.int32)),
-            budget=pad(budgets.astype(np.int32)),
-            slot0=pad(staged.anchor_slot[:n].astype(np.int32)),
+            meta=pad(meta),
+            block_base=pad(staged.anchor_block[:n].astype(np.int32),
+                           fill=staged.n_blocks),
         ))
     return packs
+
+
+def combine_packs(packs):
+    """Flatten a class list into the three combined H2D arrays."""
+    slots_all = np.concatenate([p.slots_t.reshape(-1) for p in packs])
+    meta_all = np.concatenate([p.meta.reshape(-1) for p in packs])
+    base_all = np.concatenate([p.block_base.reshape(-1) for p in packs])
+    return slots_all, meta_all, base_all
 
 
 def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
@@ -132,18 +153,20 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
     plen = max(len(pattern), 1)
     pat = list(pattern) if pattern else [0]
     unzig = [int(x) for x in UNZIGZAG]
+    UNZ_INV = [0] * 64
+    for _z, _n in enumerate(UNZIGZAG):
+        UNZ_INV[_n] = _z
+    from .device_scan import K_CAP as KCAP
 
-    def kernel(slots_ref, bit0_ref, base_ref, budget_ref, slot0_ref,
-               mc_ref, dl_ref, vv_ref, codes_ref, vals_ref):
+    def kernel(slots_ref, meta_ref, base_ref, mc_ref, dl_ref, vv_ref,
+               dense_ref):
         shp = (8, 128)
 
-        def vec(ref):
-            return ref[0]
-
-        bit0 = vec(bit0_ref)
-        base = vec(base_ref)
-        budget = vec(budget_ref)
-        slot0 = vec(slot0_ref)
+        meta = meta_ref[0]
+        base = base_ref[0]
+        bit0 = meta & 7
+        slot0 = jax.lax.shift_right_logical(meta, 3) & 0x0F
+        budget = jax.lax.shift_right_logical(meta, 7) & 0x0F
 
         # Hoisted scalar tables (loop-invariant).
         mc = [[mc_ref[t, l] for l in range(16)] for t in range(n_tab)]
@@ -180,6 +203,8 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
             return acc
 
         zero = jnp.zeros(shp, jnp.int32)
+        for r0 in range(KCAP * 64):
+            dense_ref[r0, 0] = zero
 
         def body(t, carry):
             p, k, blk, slot = carry
@@ -251,13 +276,18 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
             is_eob = (~is_dc) & (s == 0) & (r != 15)
             k_coeff = jnp.where(is_dc, 0, jnp.minimum(k + r, 63))
             emits = active & (is_dc | ((~is_zrl) & (~is_eob)))
-            pos_nat = zero
-            for kk in range(64):
-                pos_nat = jnp.where(k_coeff == kk, unzig[kk], pos_nat)
-            codeo = jnp.where(emits, (base + blk) * 64 + pos_nat, SENTINEL)
+            extm = jnp.where(emits, ext, 0)
 
-            codes_ref[t, 0] = codeo
-            vals_ref[t, 0] = ext
+            # Dense one-hot accumulation into the chunk's [K_CAP, 64] output
+            # region (factored: 64 position selects + K_CAP row masks).
+            valc = [jnp.where(k_coeff == UNZ_INV[c], extm, 0)
+                    for c in range(64)]
+            for j in range(KCAP):
+                bj = blk == j
+                for c in range(64):
+                    dense_ref[j * 64 + c, 0] = (
+                        dense_ref[j * 64 + c, 0]
+                        + jnp.where(bj, valc[c], zero))
 
             # --- state update ---
             consumed = jnp.where(active, length + mag, 0)
@@ -276,7 +306,7 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
         jax.lax.fori_loop(0, s_max, body,
                           (bit0, zero, zero, slot0))
 
-    def call(slots_t, bit0, base, budget, slot0, mc, dl, vv):
+    def call(slots_t, meta, base, mc, dl, vv):
         grid = slots_t.shape[1]
         tile = pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -286,23 +316,18 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
             in_specs=[
                 pl.BlockSpec((slot_w, 1, 8, 128), lambda g: (0, g, 0, 0),
                              memory_space=pltpu.VMEM),
-                tile, tile, tile, tile,
+                tile, tile,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((s_max, 1, 8, 128), lambda g: (0, g, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((s_max, 1, 8, 128), lambda g: (0, g, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((s_max, grid, 8, 128), jnp.int32),
-                jax.ShapeDtypeStruct((s_max, grid, 8, 128), jnp.int32),
-            ],
+            out_specs=pl.BlockSpec((KCAP * 64, 1, 8, 128),
+                                   lambda g: (0, g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((KCAP * 64, grid, 8, 128),
+                                           jnp.int32),
             interpret=interpret,
-        )(slots_t, bit0, base, budget, slot0, mc, dl, vv)
+        )(slots_t, meta, base, mc, dl, vv)
 
     return call
 
@@ -315,9 +340,17 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
 
     class_shapes: tuple of (slot_words, s_max, n_bucket) per class present.
     Returns fn(class_inputs, tab_mc, tab_dl, tab_vv) -> stores where
-    class_inputs is a tuple of (slots_t, bit0, base, budget, slot0).
+    class_inputs is a tuple of (slots_t, bit0, base, budget, slot0, starts).
+
+    Each kernel emits dense [K_CAP*64] regions per chunk; the padded regions
+    compact into stream block order with one i32 row gather driven by a
+    rowmap built from per-class cummax propagation of (start block ->
+    padded row base) — no element scatter anywhere.
     """
+    import jax
     import jax.numpy as jnp
+
+    from .device_scan import K_CAP
 
     # Map the per-MCU slot pattern (component positions) to unique pairs.
     if comp_to_upair is None:
@@ -326,16 +359,73 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
     kernels = [
         _build_decode_kernel(sw, sm, n_tab, pattern, interpret)
         for (sw, sm, _nb) in class_shapes]
-    assemble = build_assembler(plan, flat_stores)
+    assemble_nat = build_assembler_nat(plan, flat_stores)
+    n_blocks = plan.n_blocks
 
-    def run(class_inputs, mc, dl, vv):
-        codes = []
-        vals = []
-        for kern, args in zip(kernels, class_inputs):
-            c, v = kern(*args, mc, dl, vv)
-            codes.append(c.reshape(-1))
-            vals.append(v.reshape(-1))
-        return assemble(jnp.concatenate(codes), jnp.concatenate(vals))
+    # Static padded-row base of each class's region in the concatenated rows.
+    class_row_base = []
+    base = 0
+    for (_sw, _sm, nb) in class_shapes:
+        class_row_base.append(base)
+        base += nb * K_CAP
+
+    # Static split offsets for the combined H2D buffers (one device_put for
+    # all classes' slots / meta / bases — per-call RPC overhead through the
+    # host link is ~1ms, so per-class arrays would dominate small images).
+    slot_off = []
+    item_off = []
+    so = io = 0
+    for (sw, _sm, nb) in class_shapes:
+        slot_off.append(so)
+        item_off.append(io)
+        so += sw * nb
+        io += nb
+
+    def run(combined, mc, dl, vv):
+        slots_all, meta_all, base_all = combined
+        rows = []
+        first_blks = []
+        base_rows_all = []
+        arange_b = jnp.arange(n_blocks, dtype=jnp.int32)
+        for kern, (sw, _sm, nb), row0, so, io in zip(
+                kernels, class_shapes, class_row_base, slot_off, item_off):
+            G = nb // 1024
+            slots_t = jax.lax.dynamic_slice(
+                slots_all, (so,), (sw * nb,)).reshape(sw, G, 8, 128)
+            meta = jax.lax.dynamic_slice(
+                meta_all, (io,), (nb,)).reshape(G, 8, 128)
+            base = jax.lax.dynamic_slice(
+                base_all, (io,), (nb,)).reshape(G, 8, 128)
+            starts = base.reshape(-1)
+            dense = kern(slots_t, meta, base, mc, dl, vv)  # [K_CAP*64, G, 8, 128]
+            rows.append(jnp.transpose(dense, (1, 2, 3, 0)).reshape(-1, 64))
+
+            # Per-class propagation: this class's items are stream-ordered,
+            # so (start block, padded base) both increase — cummax fills
+            # every block position with the class's latest start/base.
+            pb = jnp.arange(nb, dtype=jnp.int32) * K_CAP + row0
+            fb = jnp.full(n_blocks, -1, jnp.int32).at[starts].set(
+                starts, mode="drop")
+            br = jnp.zeros(n_blocks, jnp.int32).at[starts].set(
+                pb, mode="drop")
+            fb = jax.lax.cummax(fb)
+            br = jax.lax.cummax(br)
+            first_blks.append(fb)
+            base_rows_all.append(br)
+
+        # Combine classes: each block belongs to the class whose chunk
+        # started latest at or before it.
+        best_fb = first_blks[0]
+        best_br = base_rows_all[0]
+        for fb, br in zip(first_blks[1:], base_rows_all[1:]):
+            better = fb > best_fb
+            best_br = jnp.where(better, br, best_br)
+            best_fb = jnp.where(better, fb, best_fb)
+        rowmap = best_br + (arange_b - best_fb)
+
+        all_rows = jnp.concatenate(rows)
+        nat = jnp.take(all_rows, rowmap, axis=0)
+        return assemble_nat(nat)
 
     return run
 
@@ -357,11 +447,9 @@ def decode_anchored_pallas(staged: AnchoredScan, interpret: bool = False):
     packs = pack_classes(staged)
     if packs is None:
         return None
-    shapes = tuple((p.slot_words, p.s_max, p.slots_t.shape[1]) for p in packs)
+    shapes = tuple((p.slot_words, p.s_max, p.slots_t.shape[1] * 1024) for p in packs)
     fn = _compiled_pallas_decoder(
         staged.plan, shapes, len(staged.tab_maxcode), interpret,
         staged.comp_to_upair)
-    inputs = tuple(
-        (p.slots_t, p.bit0, p.block_base, p.budget, p.slot0) for p in packs)
-    return fn(inputs, staged.tab_maxcode, staged.tab_delta,
-              staged.tab_values.astype(np.int64).astype(np.uint32))
+    return fn(combine_packs(packs), staged.tab_maxcode, staged.tab_delta,
+              staged.tab_values.view(np.int32))

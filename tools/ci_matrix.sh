@@ -22,8 +22,10 @@ run() {
 # 1. Default: native engine, jax-CPU, 8-device virtual mesh (conftest pins CPU).
 run "native+cpu8" python -m pytest tests/ -x -q "$@"
 
-# 2. Native disabled: every path through the pure-Python entropy oracle.
-run "oracle+cpu8" env JPEG_TPU_DISABLE_NATIVE=1 python -m pytest tests/ -x -q "$@"
+# 2. Native disabled: every path through the pure-Python entropy oracle,
+#    plus the slow interpret-mode Pallas kernel walks.
+run "oracle+cpu8" env JPEG_TPU_DISABLE_NATIVE=1 JPEG_TPU_SLOW_TESTS=1 \
+    python -m pytest tests/ -x -q "$@"
 
 # 3. Multichip dryrun at two mesh sizes (clean env: no conftest, honours
 #    whatever platform the driver would use; forced to CPU here).

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Compiled-mode TPU validation of the device entropy engines.
+
+Runs on real TPU hardware (the test suite pins itself to CPU, where Pallas
+only interprets): for a corpus spot-check plus large_image, asserts
+
+  1. Pallas dense-kernel stores == XLA lax.scan decoder stores (bit-exact),
+  2. bits-interchange stream output == prefix-interchange output on device,
+
+and reports device-only decode times. Usage: python tools/tpu_validate.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CASES = [
+    "/root/reference/tests/reftest/images/rgb.jpg",
+    "/root/reference/tests/reftest/images/restarts.jpg",
+    "/root/reference/tests/reftest/images/mjpeg.jpg",
+    "/root/reference/tests/reftest/images/ycck.jpg",
+    "/root/reference/tests/reftest/images/grayscale_16x24_sampling2x2.jpg",
+    "/root/reference/benches/tower.jpg",
+    "/root/reference/benches/large_image.jpg",
+]
+
+
+def staged_scans(path):
+    from jpeg_decoder_tpu import Decoder
+    from jpeg_decoder_tpu.entropy.device_scan import prescan_baseline
+
+    scans = []
+
+    class Cap:
+        def wants(self, f):
+            return True
+
+        def decode_scan(self, dec, frame, scan, fin):
+            m, st = prescan_baseline(
+                dec._cursor, frame, scan, dec._dc_huffman_tables,
+                dec._ac_huffman_tables, dec._restart_interval)
+            scans.append(st)
+            for pos, ci in enumerate(scan.component_indices):
+                qt = dec._quantization_tables[
+                    frame.components[ci].quantization_table_index]
+                dec._pending_render[ci] = (None, qt.copy())
+            return m
+
+    d = Decoder(path)
+    d._prefix_capture = Cap()
+    d._decode_entropy_only()
+    return scans
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu.entropy.device_scan import decode_anchored_device
+    from jpeg_decoder_tpu.entropy.pallas_decode import decode_anchored_pallas
+    from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    failures = 0
+
+    for path in CASES:
+        if not os.path.exists(path):
+            continue
+        name = os.path.basename(path)
+        for i, st in enumerate(staged_scans(path)):
+            dev = decode_anchored_pallas(st)
+            if dev is None:
+                print(f"{name} scan {i}: pallas INELIGIBLE")
+                continue
+            gold = decode_anchored_device(st)
+            for c, (a, b) in enumerate(zip(dev, gold)):
+                bad = int((np.asarray(a) != np.asarray(b)).sum())
+                if bad:
+                    failures += 1
+                    print(f"{name} scan {i} comp {c}: {bad} MISMATCHES")
+        print(f"{name}: pallas==xla stores OK")
+
+    # Stream-level: bits(pallas) vs prefix, on device.
+    data = open(CASES[-1], "rb").read()
+    bits = DeviceStreamDecoder(host_threads=3, interchange="bits")
+    prefix = DeviceStreamDecoder(host_threads=3, interchange="prefix")
+    a = bits.decode_stream([data])[0]
+    b = prefix.decode_stream([data])[0]
+    diff = int(jax.device_get(
+        jnp.abs(a.astype(jnp.int16) - b.astype(jnp.int16)).max()))
+    print(f"large_image stream bits==prefix on TPU: max diff {diff}")
+    failures += diff != 0
+
+    # Device-only decode rate (dependency-chained).
+    st = staged_scans(CASES[-1])[0]
+    fnout = decode_anchored_pallas(st)
+    acc = None
+    t0 = time.perf_counter()
+    n = 15
+    for _ in range(n):
+        outs = decode_anchored_pallas(st)
+        s = outs[0].astype(jnp.int32).sum()
+        acc = s if acc is None else acc + s
+    int(jax.device_get(acc))
+    per = (time.perf_counter() - t0) / n
+    print(f"large_image pallas decode+assembly: {per * 1e3:.2f} ms "
+          f"({3.43 / per:.0f} Mpix/s)")
+
+    print("TPU VALIDATION:", "FAIL" if failures else "OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
