@@ -24,8 +24,10 @@ the relay-throttled number.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import signal
 import time
 
 LARGE_IMAGE = "/root/reference/benches/large_image.jpg"
@@ -89,6 +91,23 @@ def _measure_sustained(dec, data: bytes, mpix: float,
     return (dn * mpix / dt) if dt > 0 and dn > 0 else 0.0
 
 
+@contextlib.contextmanager
+def _deadline(seconds: int):
+    """Bound an optional measurement: the relay sporadically stalls for
+    minutes; auxiliary metrics must never wedge the headline output."""
+    def _raise(signum, frame):
+        raise TimeoutError()
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    except TimeoutError:
+        pass
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main() -> None:
     from jpeg_decoder_tpu import Decoder
     from jpeg_decoder_tpu.utils.timing import StageTimer
@@ -116,16 +135,18 @@ def main() -> None:
         throughput = _measure_burst(dec, data, mpix)
         extra["stage_ms_per_image"] = timer.per_call_ms()
         if not os.environ.get("JPEG_TPU_BENCH_SKIP_SUSTAINED"):
-            extra["sustained_mpix_s"] = round(
-                _measure_sustained(dec, data, mpix), 3)
+            with _deadline(180):
+                extra["sustained_mpix_s"] = round(
+                    _measure_sustained(dec, data, mpix), 3)
             # Compressed-bits interchange (device-side entropy decode):
-            # ~4x fewer H2D bytes, the sustained-throughput path.
-            bits = DeviceStreamDecoder(host_threads=3, interchange="bits")
-            bits.decode_stream([data] * 2)  # warm: compile
-            extra["sustained_bits_mpix_s"] = round(
-                _measure_sustained(bits, data, mpix, budget_s=20.0), 3)
-            extra["burst_bits_mpix_s"] = round(
-                _measure_burst(bits, data, mpix), 3)
+            # ~2.3x fewer H2D bytes, the sustained-throughput path.
+            with _deadline(420):
+                bits = DeviceStreamDecoder(host_threads=3, interchange="bits")
+                bits.decode_stream([data] * 2)  # warm: compile
+                extra["sustained_bits_mpix_s"] = round(
+                    _measure_sustained(bits, data, mpix, budget_s=20.0), 3)
+                extra["burst_bits_mpix_s"] = round(
+                    _measure_burst(bits, data, mpix), 3)
     else:
         from jpeg_decoder_tpu.models.service import BatchDecodeService
         service = BatchDecodeService(mesh=None, host_threads=4, backend="numpy")
