@@ -643,10 +643,6 @@ def build_anchored_decoder(plan: ScanPlan, flat_stores: bool = True):
     n_blocks = plan.n_blocks
     I = plan.items_bucket
 
-    stream_idx = [jnp.asarray(a) for a in plan.stream_idx]
-    raster_src = [jnp.asarray(a) for a in plan.raster_src]
-    seg_first = [jnp.asarray(a) for a in plan.seg_first]
-
     def run(words, anchor_bits, anchor_block, anchor_slot, luts):
         luts_flat = luts.reshape(-1)
 

@@ -98,3 +98,13 @@ def test_corpus_stream_bits_sweep(decoders):
         assert (np.asarray(a) == np.asarray(b)).all(), jpg.name
         checked += 1
     assert checked >= 30
+
+
+def test_scaled_decode_bits(decoders):
+    """IDCT-domain scaling through the bits interchange (dct_scale < 8)."""
+    prefix, bits = decoders
+    data = (REFTEST_IMAGES / "rgb.jpg").read_bytes()
+    a = prefix.decode_stream([data], scale_to=(125, 84))[0]
+    b = bits.decode_stream([data], scale_to=(125, 84))[0]
+    assert np.asarray(a).shape == (84, 125, 3)
+    assert (np.asarray(a) == np.asarray(b)).all()

@@ -57,7 +57,7 @@ def run_case(data: bytes, op: str, backend: str, samples: int = 10) -> float:
     return best
 
 
-def run_stream(samples: int, as_json: bool) -> None:
+def run_stream(samples: int, as_json: bool, interchange: str = "prefix") -> None:
     """Per-stage timing of the decode-to-device stream (StageTimer) — the
     command that regenerates BASELINE.md's stage table."""
     from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
@@ -65,7 +65,8 @@ def run_stream(samples: int, as_json: bool) -> None:
 
     data = open(f"{BENCHES}/large_image.jpg", "rb").read()
     timer = StageTimer()
-    dec = DeviceStreamDecoder(host_threads=3, timer=timer)
+    dec = DeviceStreamDecoder(host_threads=3, timer=timer,
+                              interchange=interchange)
     dec.decode_stream([data] * 2)  # warm: compile + pools
     timer.reset()
     t0 = time.perf_counter()
@@ -89,10 +90,12 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=10)
     ap.add_argument("--stream", action="store_true",
                     help="per-stage decode-to-device stream timing")
+    ap.add_argument("--interchange", default="prefix",
+                    choices=["prefix", "bits"])
     args = ap.parse_args()
 
     if args.stream:
-        run_stream(args.samples, args.json)
+        run_stream(args.samples, args.json, args.interchange)
         return
 
     backends = ["numpy", "jax"] if args.backend == "both" else [args.backend]
