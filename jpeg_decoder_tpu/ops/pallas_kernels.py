@@ -93,15 +93,18 @@ def _h2v2_color_kernel():
 
 def fused_h2v2_ycbcr_pallas(y_plane, cb_plane, cr_plane, out_h: int, out_w: int,
                             chroma_h: int, chroma_w: int, row_tile: int = 256,
-                            interpret: bool = False):
-    """Fused 4:2:0 tail: H2V2 chroma upsample + BT.601 color as one Pallas
-    kernel over output row tiles. Returns planar uint8 [3, out_h, out_w]
+                            interpret: bool = False, v_mode: str = "v2"):
+    """Fused 4:2:0 / 4:2:2 tail: H2Vx chroma upsample + BT.601 color as one
+    Pallas kernel over output row tiles. Returns planar uint8 [3, out_h, out_w]
     (the decode-to-device layout; models consume planar directly).
 
-    The V2 vertical near/far pairs are materialized by XLA with the
-    gather-free repeat/shift formulation; the kernel fuses the horizontal
-    triangle filter, fixed-point color conversion, and the planar write.
-    Bit-exact vs the reference taps (edge formulas included).
+    v_mode "v2": the V2 vertical near/far pairs are materialized by XLA with
+    the gather-free repeat/shift formulation. v_mode "v1" (4:2:2 H2V1): the
+    vertical pass is identity, and feeding near == far makes the kernel's
+    triangle taps collapse EXACTLY to the H2V1 formula —
+    t = 4c ⇒ (3t + t_prev + 8) >> 4 == (3c + c_prev + 2) >> 2, edges
+    included (`/root/reference/src/upsampler.rs:134-163` vs `:191-228`).
+    Bit-exact vs the reference taps either way.
     """
     import jax
     import jax.numpy as jnp
@@ -111,6 +114,9 @@ def fused_h2v2_ycbcr_pallas(y_plane, cb_plane, cr_plane, out_h: int, out_w: int,
 
     def near_far(p):
         p2 = p[:hc, :wc]
+        if v_mode == "v1":
+            near = p2[:out_h]
+            return near, near
         near = jnp.repeat(p2, 2, axis=0)[:out_h]
         down = jnp.concatenate([p2[:1], p2[:-1]], axis=0)
         up = jnp.concatenate([p2[1:], p2[-1:]], axis=0)
@@ -154,27 +160,41 @@ def fused_h2v2_ycbcr_pallas(y_plane, cb_plane, cr_plane, out_h: int, out_w: int,
     return jnp.stack(chans, axis=0)[:, :, :out_w]
 
 
-def is_420_ycbcr(geometry) -> bool:
-    """True for the geometry the fully-Pallas planar tail supports: 3-component
-    YCbCr, full-scale IDCT, luma h1v1 + chroma h2v2 (baseline 4:2:0)."""
+def pallas_tail_mode(geometry):
+    """Fully-Pallas planar tail support: "420" (H2V2 chroma), "422" (H2V1
+    chroma), "gray" (single component, crop only), or None."""
     from .color import ColorTransform
 
     comps = geometry.components
-    return (len(comps) == 3
+    if len(comps) == 1 and geometry.transform is None \
+            and comps[0].dct_scale == 8:
+        return "gray"
+    if (len(comps) == 3
             and geometry.transform == ColorTransform.YCBCR
             and all(c.dct_scale == 8 for c in comps)
             and comps[0].upsampler_mode == "h1v1"
-            and comps[1].upsampler_mode == "h2v2"
-            and comps[2].upsampler_mode == "h2v2")
+            and comps[1].upsampler_mode == comps[2].upsampler_mode):
+        if comps[1].upsampler_mode == "h2v2":
+            return "420"
+        if comps[1].upsampler_mode == "h2v1":
+            return "422"
+    return None
+
+
+def is_420_ycbcr(geometry) -> bool:
+    """Back-compat predicate: any geometry the Pallas planar tail covers."""
+    return pallas_tail_mode(geometry) is not None
 
 
 def reconstruct_planar_pallas(geometry, stores, qts, interpret=None):
-    """Planar [3, H, W] 4:2:0 reconstruction with the Pallas tail: MXU IDCT
-    kernel per component, then the fused H2V2-upsample + color kernel.
-    Traceable under jit; the decode-to-device layout for model consumers."""
+    """Planar reconstruction with the Pallas tail: MXU IDCT kernel per
+    component, then the fused H2Vx-upsample + color kernel (4:2:0 / 4:2:2) or
+    a plain crop (grayscale). Traceable under jit; the decode-to-device
+    layout for model consumers."""
     from .idct import blocks_to_plane
 
-    assert is_420_ycbcr(geometry)
+    mode = pallas_tail_mode(geometry)
+    assert mode is not None
     if interpret is None:
         import jax
         interpret = jax.default_backend() != "tpu"  # interpret off-TPU (tests)
@@ -185,11 +205,15 @@ def reconstruct_planar_pallas(geometry, stores, qts, interpret=None):
         import jax.numpy as jnp
         planes.append(blocks_to_plane(pixels, comp.blocks_wide,
                                       comp.blocks_high, xp=jnp))
+    if mode == "gray":
+        comp = comps[0]
+        return planes[0][:comp.size_height, :comp.size_width]
     chroma = comps[1]
     return fused_h2v2_ycbcr_pallas(
         planes[0], planes[1], planes[2],
         geometry.out_height, geometry.out_width,
-        chroma.size_height, chroma.size_width, interpret=interpret)
+        chroma.size_height, chroma.size_width, interpret=interpret,
+        v_mode="v1" if mode == "422" else "v2")
 
 
 def dequantize_and_idct_blocks_pallas(dense, qt, interpret: bool = False):

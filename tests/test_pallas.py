@@ -3,6 +3,8 @@ the perf harness since tests run on the CPU mesh)."""
 
 import numpy as np
 
+from conftest import REFTEST_IMAGES
+
 from jpeg_decoder_tpu.ops.idct import dequantize_and_idct_blocks_fast
 
 
@@ -76,3 +78,65 @@ def test_planar_pallas_stream_matches_fast_decode():
     out = np.asarray(dec.decode_stream([data])[0])           # [3, H, W]
     assert out.shape == (3,) + golden.shape[:2]
     assert (out == golden.transpose(2, 0, 1)).all()
+
+
+def test_fused_h2v1_tail_matches_oracle():
+    """4:2:2 planar-pallas tail (near==far collapses to the H2V1 taps):
+    interpret-mode output == the oracle pipeline, bit-exact."""
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu import Decoder
+    from jpeg_decoder_tpu.ops.pallas_kernels import (pallas_tail_mode,
+                                                     reconstruct_planar_pallas)
+    from jpeg_decoder_tpu.ops.pipeline import geometry_from_frame, _reconstruct
+
+    path = str(REFTEST_IMAGES / "mjpeg.jpg")   # 4:2:2 H2V1 chroma
+    d = Decoder(path)
+    d._decode_entropy_only()
+    n = len(d.frame.components)
+    stores = [jnp.asarray(d._pending_render[i][0].reshape(-1, 64))
+              for i in range(n)]
+    qts = [jnp.asarray(d._pending_render[i][1]) for i in range(n)]
+    geometry = geometry_from_frame(
+        d.frame, d._determine_color_transform(), precision="fast")
+    assert pallas_tail_mode(geometry) == "422"
+
+    got = np.asarray(reconstruct_planar_pallas(geometry, stores, qts,
+                                               interpret=True))
+    want = np.asarray(_reconstruct(geometry, stores, qts, jnp))
+    assert (got == np.transpose(want, (2, 0, 1))).all()
+
+
+def test_fused_gray_tail_matches_oracle():
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu import Decoder
+    from jpeg_decoder_tpu.ops.pallas_kernels import (pallas_tail_mode,
+                                                     reconstruct_planar_pallas)
+    from jpeg_decoder_tpu.ops.pipeline import geometry_from_frame, _reconstruct
+
+    path = str(REFTEST_IMAGES / "grayscale_square.jpg")
+    d = Decoder(path)
+    d._decode_entropy_only()
+    stores = [jnp.asarray(d._pending_render[0][0].reshape(-1, 64))]
+    qts = [jnp.asarray(d._pending_render[0][1])]
+    geometry = geometry_from_frame(d.frame, None, precision="fast")
+    assert pallas_tail_mode(geometry) == "gray"
+
+    got = np.asarray(reconstruct_planar_pallas(geometry, stores, qts,
+                                               interpret=True))
+    want = np.asarray(_reconstruct(geometry, stores, qts, jnp))
+    assert (got == want).all()
+
+
+def test_stream_planar_pallas_422_and_gray():
+    """The planar-pallas stream layout now reaches 4:2:2 and grayscale."""
+    from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+
+    pp = DeviceStreamDecoder(host_threads=1, layout="planar-pallas")
+    pl_ = DeviceStreamDecoder(host_threads=1, layout="planar")
+    for name in ("mjpeg.jpg", "grayscale_square.jpg"):
+        data = (REFTEST_IMAGES / name).read_bytes()
+        a = np.asarray(pp.decode_stream([data])[0])
+        b = np.asarray(pl_.decode_stream([data])[0])
+        assert a.shape == b.shape and (a == b).all(), name
