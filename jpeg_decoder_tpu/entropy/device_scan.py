@@ -47,7 +47,7 @@ from .scan_python import UNZIGZAG, _finish_scan
 # kernel's dense per-chunk output region (K_CAP*64 coefficients) stays cheap
 # to accumulate one-hot and nearly padding-free.
 S_TARGET = 96
-K_CAP = 8
+K_CAP = 16
 S_MAX = S_TARGET + 66
 
 _LUT_CACHE: dict = {}

@@ -121,6 +121,7 @@ def pack_classes(staged: AnchoredScan):
         slots4 = np.ascontiguousarray(
             slots.T.reshape(cls // 4, G, 8, 128).view(np.int32))
 
+        # bit0(3b) | slot0(4b) | budget(5b — K_CAP up to 31)
         meta = ((a & 7).astype(np.int32)
                 | (staged.anchor_slot[:n].astype(np.int32) << 3)
                 | (budgets.astype(np.int32) << 7))
@@ -166,7 +167,7 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
         base = base_ref[0]
         bit0 = meta & 7
         slot0 = jax.lax.shift_right_logical(meta, 3) & 0x0F
-        budget = jax.lax.shift_right_logical(meta, 7) & 0x0F
+        budget = jax.lax.shift_right_logical(meta, 7) & 0x1F
 
         # Hoisted scalar tables (loop-invariant).
         mc = [[mc_ref[t, l] for l in range(16)] for t in range(n_tab)]
