@@ -15,6 +15,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -std=c++17 -o libjtentropy.so entropy.cc -lpthread
 
+#include <array>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -96,8 +97,16 @@ inline int16_t wrap16(int32_t v) { return static_cast<int16_t>(v); }
 
 // ---------------------------------------------------------------------------
 // Bit reservoir (semantics of /root/reference/src/huffman.rs:14-160)
+//
+// Templated on the byte-feed policy: Stuffed reads the raw entropy stream
+// (FF00 unstuffing, marker capture, EOF errors); the !Stuffed (raw) variant
+// reads pre-unstuffed bytes produced by jt_prescan_baseline — no FF logic,
+// zero-fill past the end (the prescan's guard bytes bound every overrun) —
+// which is what lets anchored parallel decode start mid-stream at a bit
+// offset the prescan recorded.
 // ---------------------------------------------------------------------------
-struct BitReader {
+template <bool Stuffed>
+struct BitReaderT {
   const uint8_t* data;
   size_t len;
   size_t pos;
@@ -105,11 +114,38 @@ struct BitReader {
   int num_bits = 0;
   int marker = -1;  // captured marker byte, -1 none
 
-  BitReader(const uint8_t* d, size_t l, size_t p) : data(d), len(l), pos(p) {}
+  BitReaderT(const uint8_t* d, size_t l, size_t p) : data(d), len(l), pos(p) {}
 
   void reset() { bits = 0; num_bits = 0; }
 
+  // Exact consumed-bit offset from stream start (raw mode; every loaded bit
+  // is accounted for in num_bits, including zero fill past len).
+  int64_t bit_offset() const {
+    return static_cast<int64_t>(pos) * 8 - num_bits;
+  }
+
+  bool read_bits_raw() {
+    while (num_bits <= 56) {
+      if (pos + 8 <= len) {
+        uint64_t w;
+        std::memcpy(&w, data + pos, 8);
+        int take = (64 - num_bits) >> 3;
+        uint64_t be = __builtin_bswap64(w);
+        bits |= (be & (~0ULL << (8 * (8 - take)))) >> num_bits;
+        num_bits += 8 * take;
+        pos += take;
+        continue;
+      }
+      uint8_t byte = pos < len ? data[pos] : 0;
+      pos++;
+      bits |= static_cast<uint64_t>(byte) << (56 - num_bits);
+      num_bits += 8;
+    }
+    return true;
+  }
+
   bool read_bits(Error& err) {
+    if (!Stuffed) return read_bits_raw();
     while (num_bits <= 56) {
       uint8_t byte;
       if (marker >= 0) {
@@ -220,6 +256,9 @@ struct BitReader {
   }
 };
 
+using BitReader = BitReaderT<true>;      // stuffed entropy stream
+using RawBitReader = BitReaderT<false>;  // prescan-unstuffed bytes
+
 // Marker display names matching markers.py::name (for error-string parity
 // with the Python oracle).
 void marker_name(int m, char* out, size_t n) {
@@ -323,8 +362,8 @@ struct PrefixBlock {
 
 // F.2.2 sequential / first-pass progressive
 // (/root/reference/src/decoder.rs:1086-1172)
-template <class Blk>
-bool decode_block(BitReader& r, Blk blk, const HuffTable* dc,
+template <class Rdr, class Blk>
+bool decode_block(Rdr& r, Blk blk, const HuffTable* dc,
                   const HuffTable* ac, int ss, int se, int al,
                   uint32_t* eob_run, int16_t* dc_pred, Error& err) {
   if (ss == 0) {
@@ -422,8 +461,8 @@ bool decode_block(BitReader& r, Blk blk, const HuffTable* dc,
 }
 
 // G.1.2.3 correction-bit pass (/root/reference/src/decoder.rs:1260-1298)
-template <class Blk>
-int refine_non_zeroes(BitReader& r, Blk blk, int start, int end, int zrl,
+template <class Rdr, class Blk>
+int refine_non_zeroes(Rdr& r, Blk blk, int start, int end, int zrl,
                       int bit, Error& err) {
   int last = end - 1;
   int zero_run_length = zrl;
@@ -450,8 +489,8 @@ int refine_non_zeroes(BitReader& r, Blk blk, int start, int end, int zrl,
 }
 
 // G.1.2 refinement scan (/root/reference/src/decoder.rs:1174-1258)
-template <class Blk>
-bool decode_block_sa(BitReader& r, Blk blk, const HuffTable* ac, int ss,
+template <class Rdr, class Blk>
+bool decode_block_sa(Rdr& r, Blk blk, const HuffTable* ac, int ss,
                      int se, int al, uint32_t* eob_run, Error& err) {
   int bit = 1 << al;
   if (ss == 0) {
@@ -514,10 +553,10 @@ struct McuRange {          // [first, last) in decoded-MCU sequence order
 // fresh state. Restart markers are handled only when crossing interval
 // boundaries inside the range (serial mode); parallel mode passes ranges that
 // never cross a boundary.
-template <class MakeBlk>
-bool decode_mcu_range(BitReader& r, const ScanParams& sp, const ScanComp* comps,
+template <class Rdr, class MakeBlk>
+bool decode_mcu_range(Rdr& r, const ScanParams& sp, const ScanComp* comps,
                       McuRange range, bool handle_restarts, MakeBlk&& make_blk,
-                      Error& err) {
+                      Error& err, int16_t* dc_pred_out = nullptr) {
   const bool progressive = sp.is_progressive != 0;
   const bool interleaved = sp.ncomp > 1;
   int16_t dc_pred[4] = {0, 0, 0, 0};
@@ -597,6 +636,9 @@ bool decode_mcu_range(BitReader& r, const ScanParams& sp, const ScanComp* comps,
         }
       }
     }
+  }
+  if (dc_pred_out) {
+    for (int i = 0; i < 4; i++) dc_pred_out[i] = dc_pred[i];
   }
   return true;
 }
@@ -941,7 +983,7 @@ void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
 
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 8; }
+int64_t jt_abi_version() { return 9; }
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.
@@ -1212,6 +1254,229 @@ int jt_decode_scan_dct_prefix(const uint8_t* data, uint64_t len, ScanParams* sp,
   sp->out_marker = marker;
   sp->pos = static_cast<int64_t>(r.pos);
   *resid_count = resid.count;
+  return OK;
+}
+
+// ---------------------------------------------------------------------------
+// Anchored parallel decode (non-DRI intra-image entropy parallelism).
+//
+// jt_prescan_baseline's symbol-length walk records bitstream anchors at
+// block boundaries. Threads re-decode disjoint MCU spans of the unstuffed
+// stream starting at MCU-aligned anchors with DC predictors seeded to zero;
+// because the DC plane is a plain mod-2^16 running sum of diffs
+// (/root/reference/src/decoder.rs:1098-1101 + wrapping add), each span's
+// true values are its local values plus the sum of all earlier spans' diff
+// totals — applied afterwards as one constant per (span, component). AC
+// coefficients carry no cross-block state in sequential scans (EOB-run codes
+// make the prescan fall back), so spans are otherwise independent. Output is
+// byte-identical to the serial decode; any anomaly wipes and reports
+// fallback so the caller reruns serially.
+// ---------------------------------------------------------------------------
+}  // extern "C" — the span helpers below include a template (C++ linkage)
+
+namespace {
+
+struct AnchorSpan {
+  int64_t mcu0, mcu1;  // [mcu0, mcu1)
+  int64_t bit0;        // start bit offset into the unstuffed buffer
+  int64_t bit1;        // expected end bit (-1: unchecked, last span)
+};
+
+// Partition the anchor list into ~even MCU-aligned spans (anchors with
+// slot 0 at an MCU boundary). Empty result = not enough split points.
+std::vector<AnchorSpan> build_anchor_spans(
+    const uint32_t* anchor_bits, const int32_t* anchor_block,
+    const int32_t* anchor_slot, int64_t n_anchors, int64_t blocks_per_mcu,
+    int64_t total_mcus, int nt) {
+  std::vector<AnchorSpan> spans;
+  if (n_anchors == 0 || blocks_per_mcu <= 0) return spans;
+  if (anchor_block[0] != 0 || anchor_slot[0] != 0) return spans;
+
+  std::vector<std::pair<int64_t, int64_t>> cand;  // (mcu, bit)
+  cand.reserve(n_anchors / 4 + 1);
+  for (int64_t i = 0; i < n_anchors; i++) {
+    if (anchor_slot[i] == 0 && anchor_block[i] % blocks_per_mcu == 0) {
+      cand.emplace_back(anchor_block[i] / blocks_per_mcu,
+                        static_cast<int64_t>(anchor_bits[i]));
+    }
+  }
+  if (cand.size() < 2) return spans;
+
+  int64_t prev_mcu = 0, prev_bit = cand[0].second;
+  size_t ci = 0;
+  for (int t = 1; t < nt; t++) {
+    int64_t target = total_mcus * t / nt;
+    while (ci < cand.size() && cand[ci].first < target) ci++;
+    if (ci >= cand.size()) break;
+    if (cand[ci].first <= prev_mcu || cand[ci].first >= total_mcus) continue;
+    spans.push_back({prev_mcu, cand[ci].first, prev_bit, cand[ci].second});
+    prev_mcu = cand[ci].first;
+    prev_bit = cand[ci].second;
+  }
+  spans.push_back({prev_mcu, total_mcus, prev_bit, -1});
+  return spans;
+}
+
+// Iterate the block indices of MCUs [m0, m1) in decode order, invoking
+// fn(comp_index, block_index) — the same enumeration decode_mcu_range uses.
+template <class Fn>
+void walk_span_blocks(const ScanParams& sp, const ScanComp* comps,
+                      int64_t m0, int64_t m1, int64_t cols, Fn&& fn) {
+  for (int64_t seq = m0; seq < m1; seq++) {
+    const int32_t mcu_y = static_cast<int32_t>(seq / cols);
+    const int32_t mcu_x = static_cast<int32_t>(seq % cols);
+    for (int32_t i = 0; i < sp.ncomp; i++) {
+      const ScanComp& c = comps[i];
+      for (int32_t v = 0; v < c.v_samp; v++) {
+        for (int32_t h = 0; h < c.h_samp; h++) {
+          int64_t by = static_cast<int64_t>(mcu_y) * c.v_samp + v;
+          int64_t bx = static_cast<int64_t>(mcu_x) * c.h_samp + h;
+          fn(i, by * c.block_width + bx);
+        }
+      }
+    }
+  }
+}
+
+int64_t scan_cols(const ScanParams& sp) {
+  int64_t cols = 0;
+  for (int32_t x = 0; x < sp.max_mcu_x; x++) {
+    if (x * 8 >= sp.image_w) break;
+    cols++;
+  }
+  return cols;
+}
+
+}  // namespace
+
+// Anchored parallel prefix decode over prescan output. Returns OK, or
+// ANCHORED_FALLBACK (caller reruns the serial stuffed-stream path; outputs
+// are wiped). `ubytes` is the prescan's unstuffed+guarded buffer; anchors are
+// its outputs. Only baseline sequential non-DRI scans are eligible.
+enum { ANCHORED_FALLBACK = 3 };
+
+extern "C" {
+
+int jt_decode_scan_dct_prefix_anchored(
+    const uint8_t* ubytes, int64_t ulen, ScanParams* sp, const ScanComp* comps,
+    const PrefixComp* pcomps, int32_t prefix_k, const uint32_t* anchor_bits,
+    const int32_t* anchor_block, const int32_t* anchor_slot, int64_t n_anchors,
+    int32_t* resid_idx, int16_t* resid_vals, int64_t resid_cap,
+    int64_t* resid_count) {
+  if (sp->is_progressive || sp->restart_interval > 0 || sp->ss != 0 ||
+      sp->ah != 0 || sp->ncomp > 4) {
+    return ANCHORED_FALLBACK;
+  }
+  const int64_t total_mcus = count_decoded_mcus(*sp);
+  const int64_t cols = scan_cols(*sp);
+  if (cols == 0 || total_mcus == 0) return ANCHORED_FALLBACK;
+  int64_t blocks_per_mcu = 0;
+  for (int32_t i = 0; i < sp->ncomp; i++) {
+    blocks_per_mcu += static_cast<int64_t>(comps[i].h_samp) * comps[i].v_samp;
+  }
+  int nt = sp->nthreads < 8 ? sp->nthreads : 8;
+  if (nt < 2 || total_mcus < 8 * nt) return ANCHORED_FALLBACK;
+
+  auto spans = build_anchor_spans(anchor_bits, anchor_block, anchor_slot,
+                                  n_anchors, blocks_per_mcu, total_mcus, nt);
+  const int ns = static_cast<int>(spans.size());
+  if (ns < 2) return ANCHORED_FALLBACK;
+
+  const int64_t region = (resid_cap - *resid_count) / ns;
+  std::vector<ResidBuf> regions(ns);
+  std::vector<std::array<int16_t, 4>> dc_totals(ns, {0, 0, 0, 0});
+  for (int t = 0; t < ns; t++) {
+    regions[t] = ResidBuf{resid_idx + *resid_count + t * region,
+                          resid_vals + *resid_count + t * region, 0, region};
+  }
+
+  std::atomic<bool> irregular{false};
+  auto run_span = [&](int t) {
+    const AnchorSpan& s = spans[t];
+    auto blk = [&, t](int32_t i, int64_t block_index) {
+      const PrefixComp& pc = pcomps[i];
+      return PrefixBlock{
+          pc.dc ? pc.dc + block_index : nullptr,
+          pc.ac ? pc.ac + block_index * (prefix_k - 1) : nullptr,
+          prefix_k,
+          pc.base + block_index * 64,
+          &regions[t]};
+    };
+    RawBitReader r(ubytes, static_cast<size_t>(ulen),
+                   static_cast<size_t>(s.bit0 >> 3));
+    Error e;
+    r.read_bits(e);
+    r.consume(static_cast<int>(s.bit0 & 7));
+    if (!decode_mcu_range(r, *sp, comps, McuRange{s.mcu0, s.mcu1},
+                          /*handle_restarts=*/false, blk, e,
+                          dc_totals[t].data()) ||
+        regions[t].count >= regions[t].cap ||
+        (s.bit1 >= 0 && r.bit_offset() != s.bit1)) {
+      irregular.store(true);
+    }
+  };
+
+  {
+    std::vector<std::thread> threads;
+    for (int t = 1; t < ns; t++) threads.emplace_back(run_span, t);
+    run_span(0);
+    for (auto& th : threads) th.join();
+  }
+
+  if (irregular.load()) {
+    for (int32_t i = 0; i < sp->ncomp; i++) {
+      if (pcomps[i].dc) {
+        std::memset(pcomps[i].dc, 0,
+                    static_cast<size_t>(pcomps[i].nblocks) * sizeof(int16_t));
+      }
+      if (pcomps[i].ac) {
+        std::memset(pcomps[i].ac, 0,
+                    static_cast<size_t>(pcomps[i].nblocks) * (prefix_k - 1));
+      }
+    }
+    return ANCHORED_FALLBACK;
+  }
+
+  // Compact per-thread residual regions (order is irrelevant downstream).
+  int64_t k = *resid_count;
+  for (int t = 0; t < ns; t++) {
+    if (regions[t].idx != resid_idx + k && regions[t].count > 0) {
+      std::memmove(resid_idx + k, regions[t].idx,
+                   regions[t].count * sizeof(int32_t));
+      std::memmove(resid_vals + k, regions[t].vals,
+                   regions[t].count * sizeof(int16_t));
+    }
+    k += regions[t].count;
+  }
+  *resid_count = k;
+
+  // DC fixup: span t's plane values need the sum of earlier spans' diff
+  // totals added (mod 2^16). One constant per (span, component); applied
+  // in parallel with the same span partition (disjoint writes).
+  std::array<int32_t, 4> cum = {0, 0, 0, 0};
+  std::vector<std::array<int16_t, 4>> offs(ns);
+  for (int t = 0; t < ns; t++) {
+    for (int i = 0; i < 4; i++) {
+      offs[t][i] = wrap16(cum[i]);
+      cum[i] += dc_totals[t][i];
+    }
+  }
+  auto fix_span = [&](int t) {
+    const auto& off = offs[t];
+    walk_span_blocks(*sp, comps, spans[t].mcu0, spans[t].mcu1, cols,
+                     [&](int32_t i, int64_t bi) {
+                       if (pcomps[i].dc) {
+                         pcomps[i].dc[bi] = wrap16(
+                             static_cast<int32_t>(pcomps[i].dc[bi]) + off[i]);
+                       }
+                     });
+  };
+  {
+    std::vector<std::thread> threads;
+    for (int t = 2; t < ns; t++) threads.emplace_back(fix_span, t);
+    fix_span(1);  // span 0's offset is zero
+    for (auto& th : threads) th.join();
+  }
   return OK;
 }
 

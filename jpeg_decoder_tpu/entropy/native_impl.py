@@ -26,7 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 8  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 9  # bump together with jt_abi_version() in entropy.cc
 
 
 class _CHuffTable(C.Structure):
@@ -183,6 +183,11 @@ def _load():
         C.c_char_p, C.c_uint64, C.POINTER(_CScanParams), C.POINTER(_CScanComp),
         C.POINTER(_CPrefixComp), C.c_int32, C.c_void_p, C.c_void_p, C.c_int64,
         C.POINTER(C.c_int64), C.c_char_p]
+    lib.jt_decode_scan_dct_prefix_anchored.restype = C.c_int
+    lib.jt_decode_scan_dct_prefix_anchored.argtypes = [
+        C.c_void_p, C.c_int64, C.POINTER(_CScanParams), C.POINTER(_CScanComp),
+        C.POINTER(_CPrefixComp), C.c_int32, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_int64, C.c_void_p, C.c_void_p, C.c_int64, C.POINTER(C.c_int64)]
     lib.jt_prescan_baseline.restype = C.c_int
     lib.jt_prescan_baseline.argtypes = [
         C.c_char_p, C.c_int64, C.POINTER(_CPrescanParams), C.c_void_p,
@@ -328,6 +333,45 @@ def decode_scan_dct_prefix(cursor, frame, scan, dc_tables, ac_tables,
         _raise(code, err.value)
     cursor.pos = sp.pos
     return (sp.out_marker if sp.out_marker >= 0 else None), count.value
+
+
+def decode_scan_dct_prefix_anchored(cursor, frame, scan, dc_tables, ac_tables,
+                                    dc_arrays: list, ac_arrays: list,
+                                    bases: list, prefix_k: int,
+                                    resid_idx, resid_vals, resid_count: int,
+                                    ubytes: np.ndarray, anchor_bits,
+                                    anchor_block, anchor_slot):
+    """Multi-thread anchored decode of a prescanned baseline scan (entropy.cc
+    jt_decode_scan_dct_prefix_anchored). `ubytes`/anchors come from
+    prescan_baseline (which already advanced the cursor past the scan).
+    Returns the new residual count, or None when the kernel elects serial
+    fallback — outputs are wiped; the caller must restore the cursor and
+    rerun decode_scan_dct_prefix."""
+    lib = _load()
+    components, comps, sp, keepalive = _build_scan_args(
+        frame, scan, dc_tables, ac_tables, None, 0, cursor)
+
+    pcomps = (_CPrefixComp * len(components))()
+    for i in range(len(components)):
+        dc_arr, ac_arr = dc_arrays[i], ac_arrays[i]
+        pcomps[i].dc = dc_arr.ctypes.data if dc_arr is not None else None
+        pcomps[i].ac = ac_arr.ctypes.data if ac_arr is not None else None
+        pcomps[i].base = bases[i]
+        pcomps[i].nblocks = dc_arr.size if dc_arr is not None else 0
+
+    a_bits = np.ascontiguousarray(anchor_bits, np.uint32)
+    a_block = np.ascontiguousarray(anchor_block, np.int32)
+    a_slot = np.ascontiguousarray(anchor_slot, np.int32)
+    ubytes = np.ascontiguousarray(ubytes, np.uint8)
+    count = C.c_int64(resid_count)
+    code = lib.jt_decode_scan_dct_prefix_anchored(
+        ubytes.ctypes.data, ubytes.size, C.byref(sp), comps, pcomps, prefix_k,
+        a_bits.ctypes.data, a_block.ctypes.data, a_slot.ctypes.data,
+        a_bits.size, resid_idx.ctypes.data, resid_vals.ctypes.data,
+        resid_idx.size, C.byref(count))
+    if code != 0:
+        return None
+    return count.value
 
 
 def decode_scan_lossless(cursor, frame, scan, dc_tables, restart_interval: int):

@@ -169,6 +169,19 @@ def _bits_pallas_enabled() -> bool:
         return False
 
 
+def _anchored_enabled() -> bool:
+    """Host-parallel anchored entropy decode for non-DRI baseline scans
+    (entropy.cc jt_decode_scan_dct_prefix_anchored): prescan walk + N-thread
+    re-decode from MCU-aligned anchors. A net win only when threads outnumber
+    the ~2.5x prescan-vs-decode speed ratio, so default-on at >=6 cores;
+    JPEG_TPU_ANCHORED=1 forces it on (0 off) regardless."""
+    import os
+    v = os.environ.get("JPEG_TPU_ANCHORED")
+    if v is not None:
+        return v not in ("0", "", "off")
+    return (os.cpu_count() or 1) >= 6
+
+
 def _batch_bucket(n: int) -> int:
     size = 1
     while size < n:
@@ -297,12 +310,78 @@ class PrefixCapture:
                 acs.append(None)
             bases.append(self.bases[comp_i])
 
+        anchored = self._try_anchored(decoder, frame, scan, dcs, acs, bases)
+        if anchored is not None:
+            return anchored[0]
+
         marker, self.resid_count = self.native.decode_scan_dct_prefix(
             decoder._cursor, frame, scan,
             decoder._dc_huffman_tables, decoder._ac_huffman_tables,
             decoder._restart_interval, dcs, acs, bases, self.k,
             self.resid_idx, self.resid_vals, self.resid_count)
         return marker
+
+    def _try_anchored(self, decoder, frame, scan, dcs, acs, bases):
+        """Prescan + multi-thread anchored decode of one baseline scan.
+        Returns (marker,) on success (cursor already past the scan) or None
+        to run the serial path — on kernel fallback the cursor is restored
+        and the prefix outputs are re-zeroed by the kernel itself."""
+        import os
+
+        from ..parser import CodingProcess
+        if not _anchored_enabled():
+            return None
+        if frame.coding_process == CodingProcess.DCT_PROGRESSIVE:
+            return None
+        if (decoder._restart_interval > 0
+                or scan.spectral_selection_start != 0
+                or scan.spectral_selection_end != 64
+                or scan.successive_approximation_high != 0
+                or scan.successive_approximation_low != 0):
+            return None
+        if not hasattr(self.native, "decode_scan_dct_prefix_anchored"):
+            return None
+        for i in range(len(scan.component_indices)):
+            if (decoder._dc_huffman_tables[scan.dc_table_indices[i]] is None
+                    or decoder._ac_huffman_tables[scan.ac_table_indices[i]]
+                    is None):
+                return None
+
+        from ..entropy.device_scan import (K_CAP, S_MAX, S_TARGET,
+                                           _prescan_geometry,
+                                           build_decode_lut16)
+        geometry = _prescan_geometry(frame, scan, 0)
+        nt = min(os.cpu_count() or 1, 8)
+        n_mcus = geometry["est_blocks"] // len(geometry["pattern"])
+        if nt < 2 or n_mcus < 8 * nt:
+            return None
+
+        luts = np.concatenate([
+            np.stack([
+                build_decode_lut16(
+                    decoder._dc_huffman_tables[scan.dc_table_indices[i]]),
+                build_decode_lut16(
+                    decoder._ac_huffman_tables[scan.ac_table_indices[i]]),
+            ]) for i in range(len(scan.component_indices))])
+
+        cursor = decoder._cursor
+        pos0 = cursor.pos
+        res = self.native.prescan_baseline(cursor, luts, geometry,
+                                           S_TARGET, K_CAP, S_MAX)
+        if res is None:
+            cursor.pos = pos0
+            return None
+        out_bytes, a_bits, a_block, a_slot, _n_blocks, pending, _, _ = res
+        count = self.native.decode_scan_dct_prefix_anchored(
+            cursor, frame, scan, decoder._dc_huffman_tables,
+            decoder._ac_huffman_tables, dcs, acs, bases, self.k,
+            self.resid_idx, self.resid_vals, self.resid_count,
+            out_bytes, a_bits, a_block, a_slot)
+        if count is None:
+            cursor.pos = pos0
+            return None
+        self.resid_count = count
+        return (pending,)
 
     def release(self) -> None:
         for dc, ac in self.prefix_arrays.values():
