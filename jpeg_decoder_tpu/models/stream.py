@@ -111,7 +111,8 @@ def _compiled_prefix_pipeline(geometry: ImageGeometry, resid_bucket: int,
 @functools.lru_cache(maxsize=128)
 def _compiled_prefix_pipeline_batched(geometry: ImageGeometry, resid_bucket: int,
                                       batch: int, mesh=None,
-                                      data_axis: str = "data"):
+                                      data_axis: str = "data",
+                                      layout: str = "interleaved"):
     """vmapped variant of the prefix pipeline: one dispatch decodes `batch`
     same-geometry images (amortizes per-call RPC/dispatch overhead, which
     dominates sub-megapixel images).
@@ -141,7 +142,13 @@ def _compiled_prefix_pipeline_batched(geometry: ImageGeometry, resid_bucket: int
         dense = dense.at[resid_idx].add(resid_vals, mode="drop")
         stores = [dense[int(o):int(o) + int(s)].reshape(-1, 64)
                   for o, s in zip(offsets, sizes)]
-        return _reconstruct(geometry, stores, qts, jnp)
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import reconstruct_planar_pallas
+            return reconstruct_planar_pallas(geometry, stores, qts)
+        out = _reconstruct(geometry, stores, qts, jnp)
+        if layout == "planar" and out.ndim == 3:
+            return jnp.transpose(out, (2, 0, 1))
+        return out
 
     batched = jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0))
     if mesh is None:
@@ -678,6 +685,9 @@ def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
             scan_stores = decoder_fn(*args)
             for pos, comp_i in kept:
                 stores[comp_i] = scan_stores[pos]
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import reconstruct_planar_pallas
+            return reconstruct_planar_pallas(geometry, stores, qts)
         out = _reconstruct(geometry, stores, qts, jnp)
         if layout == "planar" and out.ndim == 3:
             return jnp.transpose(out, (2, 0, 1))
@@ -772,7 +782,11 @@ class DeviceStreamDecoder:
     def _decode_one_bits(self, staged: StagedBits):
         import jax
 
-        layout = "planar" if self.layout == "planar-pallas" else self.layout
+        layout = self.layout
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import is_420_ycbcr
+            if not is_420_ycbcr(staged.geometry):
+                layout = "planar"
         plans_with_comps = tuple(
             (scan.plan, kept) for scan, kept in staged.scans)
 
@@ -908,8 +922,14 @@ class DeviceStreamDecoder:
                      + [pad_with.qts[c]] * (batch - n))
             for c in range(ncomp))
 
+        layout = self.layout
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import is_420_ycbcr
+            if not is_420_ycbcr(group[0].geometry):
+                layout = "planar"
         fn = _compiled_prefix_pipeline_batched(
-            group[0].geometry, resid_bucket, batch, self.mesh, self.data_axis)
+            group[0].geometry, resid_bucket, batch, self.mesh, self.data_axis,
+            layout)
         with self._stage("h2d_submit"):
             args = (jax.device_put(dc), jax.device_put(ac),
                     jax.device_put(ri), jax.device_put(rv))

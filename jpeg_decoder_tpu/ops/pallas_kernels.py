@@ -47,74 +47,133 @@ def _kernel_fn():
     return dequant_idct_kernel
 
 
-@functools.lru_cache(maxsize=None)
-def _h2v2_color_kernel():
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _tail_color(jnp, transform: str, chans):
+    """Per-tile color math on int32 channel planes (0..255 range). Mirrors
+    ops/color.py::color_convert_image exactly (same x2^20 constants/rounding,
+    `/root/reference/src/decoder.rs:1391-1474`). Returns uint8 planes."""
+    def cl20(v):
+        return jnp.clip(v >> 20, 0, 255).astype(jnp.int32).astype(jnp.uint8)
 
-    def kernel(ye_ref, yo_ref, cbn_ref, cbf_ref, crn_ref, crf_ref, out_ref):
-        # ye/yo: uint8 [TR, Wc] luma at even/odd output columns
-        # c*n/c*f: uint8 [TR, Wc] chroma near/far rows (pre-gathered verticals)
-        # out: uint8 [6, TR, Wc] — (channel, parity) planar pairs; the caller
-        # interleaves columns in XLA (lane-dim shape casts don't lower in
-        # Mosaic, and the color math is per-pixel so parity split is free).
-        def h2(near, far):
-            # H2V2 horizontal taps (/root/reference/src/upsampler.rs:215-227)
-            t = 3 * near.astype(jnp.int32) + far.astype(jnp.int32)
-            t_prev = jnp.concatenate([t[:, :1], t[:, :-1]], axis=1)
-            t_next = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
-            even = (3 * t + t_prev + 8) >> 4
-            odd = (3 * t + t_next + 8) >> 4
-            # Edge samples use the quarter-weight formula.
-            first = (t[:, :1] + 2) >> 2
-            last = (t[:, -1:] + 2) >> 2
-            even = jnp.concatenate([first, even[:, 1:]], axis=1)
-            odd = jnp.concatenate([odd[:, :-1], last], axis=1)
-            return even - 128, odd - 128
+    def u8(v):
+        return v.astype(jnp.int32).astype(jnp.uint8)
 
-        cb_e, cb_o = h2(cbn_ref[:], cbf_ref[:])
-        cr_e, cr_o = h2(crn_ref[:], crf_ref[:])
+    if transform == "ycbcr" or transform == "ycck":
         c1402, c0344, c0714, c1772 = 1470104, 360857, 748830, 1858077
+        yy = chans[0] * (1 << 20) + (1 << 19)
+        cb = chans[1] - 128
+        cr = chans[2] - 128
+        rgb = [cl20(yy + c1402 * cr),
+               cl20(yy - c0344 * cb - c0714 * cr),
+               cl20(yy + c1772 * cb)]
+        if transform == "ycck":
+            # `/root/reference/src/decoder.rs:1439-1456`: YCbCr on the first
+            # three channels, K inverted.
+            rgb.append(u8(255 - chans[3]))
+        return rgb
+    if transform == "cmyk":
+        # Inverted Adobe (`/root/reference/src/decoder.rs:1458-1474`).
+        return [u8(255 - c) for c in chans]
+    raise AssertionError(transform)
 
-        def cl(v):
-            return jnp.clip(v >> 20, 0, 255).astype(jnp.int32).astype(jnp.uint8)
 
-        for p, (y_ref, cb, cr) in enumerate(
-                [(ye_ref, cb_e, cr_e), (yo_ref, cb_o, cr_o)]):
-            yy = y_ref[:].astype(jnp.int32) * (1 << 20) + (1 << 19)
-            out_ref[0 + p, :, :] = cl(yy + c1402 * cr)
-            out_ref[2 + p, :, :] = cl(yy - c0344 * cb - c0714 * cr)
-            out_ref[4 + p, :, :] = cl(yy + c1772 * cb)
+@functools.lru_cache(maxsize=None)
+def _fused_tail_kernel(kinds: tuple, transform: str, h2: bool):
+    """Kernel over one row tile: per-component upsample + color conversion.
+
+    kinds[i]: "full" (component already at output resolution) or "up"
+    (vertical near/far row pair supplied; triangle taps applied in-kernel).
+    h2=True: the horizontal resolution doubles for "up" components — the
+    kernel computes output-column parity pairs (lane-dim interleave is XLA's
+    job); "full" components then arrive pre-split by column parity.
+    h2=False: all components share one horizontal resolution.
+
+    Feeding near == far collapses the vertical taps to identity exactly
+    ((4c + 2) >> 2 == c), which is how V1 modes reuse the V2 kernel; the
+    same identity collapses the H2 triangle taps to the reference's H2V1
+    formula (t = 4c ⇒ (3t + t_prev + 8) >> 4 == (3c + c_prev + 2) >> 2,
+    edges included; `/root/reference/src/upsampler.rs:134-163` vs `:191-228`).
+    """
+    import jax.numpy as jnp
+
+    def h2taps(near, far):
+        # H2V2 horizontal taps (/root/reference/src/upsampler.rs:215-227),
+        # returning (even, odd) output-column planes, 0..255.
+        t = 3 * near.astype(jnp.int32) + far.astype(jnp.int32)
+        t_prev = jnp.concatenate([t[:, :1], t[:, :-1]], axis=1)
+        t_next = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+        even = (3 * t + t_prev + 8) >> 4
+        odd = (3 * t + t_next + 8) >> 4
+        # Edge samples use the quarter-weight formula.
+        first = (t[:, :1] + 2) >> 2
+        last = (t[:, -1:] + 2) >> 2
+        even = jnp.concatenate([first, even[:, 1:]], axis=1)
+        odd = jnp.concatenate([odd[:, :-1], last], axis=1)
+        return even, odd
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        idx = 0
+        if h2:
+            pairs = []
+            for kind in kinds:
+                a, b = refs[idx], refs[idx + 1]
+                idx += 2
+                if kind == "full":
+                    pairs.append((a[:].astype(jnp.int32),
+                                  b[:].astype(jnp.int32)))
+                else:
+                    pairs.append(h2taps(a[:], b[:]))
+            for p in (0, 1):
+                outs = _tail_color(jnp, transform, [pr[p] for pr in pairs])
+                for c, o in enumerate(outs):
+                    out_ref[2 * c + p, :, :] = o
+        else:
+            chans = []
+            for kind in kinds:
+                if kind == "full":
+                    chans.append(refs[idx][:].astype(jnp.int32))
+                    idx += 1
+                else:
+                    n, f = refs[idx], refs[idx + 1]
+                    idx += 2
+                    # V2 vertical triangle taps
+                    # (/root/reference/src/upsampler.rs:166-188).
+                    chans.append(
+                        (3 * n[:].astype(jnp.int32) + f[:].astype(jnp.int32)
+                         + 2) >> 2)
+            outs = _tail_color(jnp, transform, chans)
+            for c, o in enumerate(outs):
+                out_ref[c, :, :] = o
 
     return kernel
 
 
-def fused_h2v2_ycbcr_pallas(y_plane, cb_plane, cr_plane, out_h: int, out_w: int,
-                            chroma_h: int, chroma_w: int, row_tile: int = 256,
-                            interpret: bool = False, v_mode: str = "v2"):
-    """Fused 4:2:0 / 4:2:2 tail: H2Vx chroma upsample + BT.601 color as one
-    Pallas kernel over output row tiles. Returns planar uint8 [3, out_h, out_w]
-    (the decode-to-device layout; models consume planar directly).
+def fused_tail_pallas(planes, comp_modes, chroma_dims, transform: str,
+                      out_h: int, out_w: int, row_tile: int = 256,
+                      interpret: bool = False):
+    """Fused upsample + color tail over output row tiles. `planes` are the
+    assembled component planes; comp_modes[i] in {"h1v1","h1v2","h2v1",
+    "h2v2"}; chroma_dims = (hc, wc) shared by every subsampled component
+    (None when all are full-res). Returns planar uint8 [C_out, out_h, out_w].
 
-    v_mode "v2": the V2 vertical near/far pairs are materialized by XLA with
-    the gather-free repeat/shift formulation. v_mode "v1" (4:2:2 H2V1): the
-    vertical pass is identity, and feeding near == far makes the kernel's
-    triangle taps collapse EXACTLY to the H2V1 formula —
-    t = 4c ⇒ (3t + t_prev + 8) >> 4 == (3c + c_prev + 2) >> 2, edges
-    included (`/root/reference/src/upsampler.rs:134-163` vs `:191-228`).
-    Bit-exact vs the reference taps either way.
+    V2 vertical near/far pairs are materialized by XLA with the gather-free
+    repeat/shift formulation; V1/identity modes feed near == far (see
+    _fused_tail_kernel for the exactness argument). Bit-exact vs the
+    reference taps + ops/color.py math for every mode combination.
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    hc, wc = chroma_h, chroma_w
+    h2 = any(m in ("h2v1", "h2v2") for m in comp_modes)
+    kinds = tuple("up" if (h2 and m.startswith("h2")) or m == "h1v2" else "full"
+                  for m in comp_modes)
+    hc, wc = chroma_dims if chroma_dims is not None else (out_h, out_w)
+    full_w = 2 * wc if h2 else out_w
 
-    def near_far(p):
+    def near_far(p, v2: bool):
         p2 = p[:hc, :wc]
-        if v_mode == "v1":
+        if not v2:
             near = p2[:out_h]
             return near, near
         near = jnp.repeat(p2, 2, axis=0)[:out_h]
@@ -123,62 +182,107 @@ def fused_h2v2_ycbcr_pallas(y_plane, cb_plane, cr_plane, out_h: int, out_w: int,
         far = jnp.stack([down, up], axis=1).reshape(2 * hc, wc)[:out_h]
         return near, far
 
-    cbn, cbf = near_far(cb_plane)
-    crn, crf = near_far(cr_plane)
+    def full_res(p):
+        p = p[:out_h, :full_w]
+        if p.shape[1] < full_w:
+            p = jnp.concatenate(
+                [p, jnp.zeros((out_h, full_w - p.shape[1]), p.dtype)], axis=1)
+        if h2:
+            # Column-parity split (strided slices are XLA's job); pad the odd
+            # half when full_w is odd.
+            return p[:, 0::2], p[:, 1::2]
+        return (p,)
 
-    # Luma split by output-column parity (strided slices are XLA's job).
-    y = y_plane[:out_h, :2 * wc]
-    if y.shape[1] < 2 * wc:
-        y = jnp.concatenate(
-            [y, jnp.zeros((out_h, 2 * wc - y.shape[1]), y.dtype)], axis=1)
-    ye, yo = y[:, 0::2], y[:, 1::2]
+    inputs = []
+    for plane, mode, kind in zip(planes, comp_modes, kinds):
+        if kind == "full":
+            inputs.extend(full_res(plane))
+        else:
+            inputs.extend(near_far(plane, mode.endswith("v2")))
 
-    # Pad rows to the tile.
     h_pad = -(-out_h // row_tile) * row_tile
+
     def pad(a):
         return jnp.concatenate(
-            [a, jnp.zeros((h_pad - a.shape[0],) + a.shape[1:], a.dtype)], axis=0)
-    ye, yo, cbn, cbf, crn, crf = map(pad, (ye, yo, cbn, cbf, crn, crf))
+            [a, jnp.zeros((h_pad - a.shape[0],) + a.shape[1:], a.dtype)],
+            axis=0)
+
+    inputs = [pad(a) for a in inputs]
+    kw = wc if h2 else out_w
+    n_out = len(planes) * (2 if h2 else 1)
 
     grid = (h_pad // row_tile,)
-    spec = pl.BlockSpec((row_tile, wc), lambda i: (i, 0))
+    spec = pl.BlockSpec((row_tile, kw), lambda i: (i, 0))
     out = pl.pallas_call(
-        _h2v2_color_kernel(),
+        _fused_tail_kernel(kinds, transform, h2),
         grid=grid,
-        in_specs=[spec] * 6,
-        out_specs=pl.BlockSpec((6, row_tile, wc), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((6, h_pad, wc), jnp.uint8),
+        in_specs=[spec] * len(inputs),
+        out_specs=pl.BlockSpec((n_out, row_tile, kw), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_out, h_pad, kw), jnp.uint8),
         interpret=interpret,
-    )(ye, yo, cbn, cbf, crn, crf)
+    )(*inputs)
 
-    # XLA-side column interleave of the (even, odd) pairs per channel.
     out = out[:, :out_h, :]
+    if not h2:
+        return out[:, :, :out_w]
+    # XLA-side column interleave of the (even, odd) pairs per channel.
     chans = [
         jnp.stack([out[2 * c], out[2 * c + 1]], axis=-1).reshape(out_h, 2 * wc)
-        for c in range(3)
+        for c in range(len(planes))
     ]
     return jnp.stack(chans, axis=0)[:, :, :out_w]
 
 
+def fused_h2v2_ycbcr_pallas(y_plane, cb_plane, cr_plane, out_h: int, out_w: int,
+                            chroma_h: int, chroma_w: int, row_tile: int = 256,
+                            interpret: bool = False, v_mode: str = "v2"):
+    """Fused 4:2:0 / 4:2:2 YCbCr tail (the original hot path, now a
+    fused_tail_pallas instance)."""
+    mode = "h2v2" if v_mode == "v2" else "h2v1"
+    return fused_tail_pallas(
+        (y_plane, cb_plane, cr_plane), ("h1v1", mode, mode),
+        (chroma_h, chroma_w), "ycbcr", out_h, out_w, row_tile=row_tile,
+        interpret=interpret)
+
+
+_TAIL_TRANSFORMS = {"YCbCr": "ycbcr", "CMYK": "cmyk", "YCCK": "ycck"}
+
+
 def pallas_tail_mode(geometry):
-    """Fully-Pallas planar tail support: "420" (H2V2 chroma), "422" (H2V1
-    chroma), "gray" (single component, crop only), or None."""
+    """Fully-Pallas planar tail support. Returns "gray" (single component,
+    crop only), "stack" (RGB / full-res raw interleave: no kernel needed,
+    the planar layout is the IDCT output itself), "fused" (the
+    upsample+color kernel covers it), or None (XLA fallback)."""
     from .color import ColorTransform
 
     comps = geometry.components
-    if len(comps) == 1 and geometry.transform is None \
-            and comps[0].dct_scale == 8:
+    if any(c.dct_scale != 8 for c in comps):
+        return None
+    if len(comps) == 1 and geometry.transform is None:
         return "gray"
-    if (len(comps) == 3
-            and geometry.transform == ColorTransform.YCBCR
-            and all(c.dct_scale == 8 for c in comps)
-            and comps[0].upsampler_mode == "h1v1"
-            and comps[1].upsampler_mode == comps[2].upsampler_mode):
-        if comps[1].upsampler_mode == "h2v2":
-            return "420"
-        if comps[1].upsampler_mode == "h2v1":
-            return "422"
-    return None
+    if geometry.transform == ColorTransform.RGB \
+            and all(c.upsampler_mode == "h1v1" for c in comps):
+        return "stack"
+    name = getattr(geometry.transform, "value", None)
+    transform = _TAIL_TRANSFORMS.get(name)
+    if transform is None:
+        return None
+    if any(c.upsampler_mode not in ("h1v1", "h1v2", "h2v1", "h2v2")
+           for c in comps):
+        return None
+    # All subsampled components must share one chroma geometry, and mixing
+    # h2 with h1v2 would give the "full" components two different parity
+    # layouts — reject to the XLA tail.
+    h2 = any(c.upsampler_mode.startswith("h2") for c in comps)
+    sub_dims = set()
+    for c in comps:
+        if c.upsampler_mode != "h1v1":
+            if h2 and c.upsampler_mode == "h1v2":
+                return None
+            sub_dims.add((c.size_height, c.size_width))
+    if len(sub_dims) > 1:
+        return None
+    return "fused"
 
 
 def is_420_ycbcr(geometry) -> bool:
@@ -188,9 +292,11 @@ def is_420_ycbcr(geometry) -> bool:
 
 def reconstruct_planar_pallas(geometry, stores, qts, interpret=None):
     """Planar reconstruction with the Pallas tail: MXU IDCT kernel per
-    component, then the fused H2Vx-upsample + color kernel (4:2:0 / 4:2:2) or
-    a plain crop (grayscale). Traceable under jit; the decode-to-device
-    layout for model consumers."""
+    component, then the fused upsample + color kernel (YCbCr / CMYK / YCCK,
+    any H1/H2 x V1/V2 chroma) or a plain crop (grayscale, RGB 4:4:4).
+    Traceable under jit; the decode-to-device layout for model consumers."""
+    import jax.numpy as jnp
+
     from .idct import blocks_to_plane
 
     mode = pallas_tail_mode(geometry)
@@ -202,18 +308,24 @@ def reconstruct_planar_pallas(geometry, stores, qts, interpret=None):
     planes = []
     for comp, store, qt in zip(comps, stores, qts):
         pixels = dequantize_and_idct_blocks_pallas(store, qt, interpret=interpret)
-        import jax.numpy as jnp
         planes.append(blocks_to_plane(pixels, comp.blocks_wide,
                                       comp.blocks_high, xp=jnp))
     if mode == "gray":
         comp = comps[0]
         return planes[0][:comp.size_height, :comp.size_width]
-    chroma = comps[1]
-    return fused_h2v2_ycbcr_pallas(
-        planes[0], planes[1], planes[2],
-        geometry.out_height, geometry.out_width,
-        chroma.size_height, chroma.size_width, interpret=interpret,
-        v_mode="v1" if mode == "422" else "v2")
+    if mode == "stack":
+        return jnp.stack(
+            [p[:geometry.out_height, :geometry.out_width] for p in planes],
+            axis=0)
+    chroma_dims = None
+    for comp in comps:
+        if comp.upsampler_mode != "h1v1":
+            chroma_dims = (comp.size_height, comp.size_width)
+            break
+    return fused_tail_pallas(
+        planes, tuple(c.upsampler_mode for c in comps), chroma_dims,
+        _TAIL_TRANSFORMS[geometry.transform.value],
+        geometry.out_height, geometry.out_width, interpret=interpret)
 
 
 def dequantize_and_idct_blocks_pallas(dense, qt, interpret: bool = False):

@@ -99,7 +99,7 @@ def test_fused_h2v1_tail_matches_oracle():
     qts = [jnp.asarray(d._pending_render[i][1]) for i in range(n)]
     geometry = geometry_from_frame(
         d.frame, d._determine_color_transform(), precision="fast")
-    assert pallas_tail_mode(geometry) == "422"
+    assert pallas_tail_mode(geometry) == "fused"
 
     got = np.asarray(reconstruct_planar_pallas(geometry, stores, qts,
                                                interpret=True))
@@ -127,6 +127,117 @@ def test_fused_gray_tail_matches_oracle():
                                                interpret=True))
     want = np.asarray(_reconstruct(geometry, stores, qts, jnp))
     assert (got == want).all()
+
+
+def _planar_pallas_vs_oracle(name):
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu import Decoder
+    from jpeg_decoder_tpu.ops.pallas_kernels import (pallas_tail_mode,
+                                                     reconstruct_planar_pallas)
+    from jpeg_decoder_tpu.ops.pipeline import geometry_from_frame, _reconstruct
+
+    d = Decoder(str(REFTEST_IMAGES / name))
+    d._decode_entropy_only()
+    n = len(d.frame.components)
+    stores = [jnp.asarray(d._pending_render[i][0].reshape(-1, 64))
+              for i in range(n)]
+    qts = [jnp.asarray(d._pending_render[i][1]) for i in range(n)]
+    transform = None if n == 1 else d._determine_color_transform()
+    geometry = geometry_from_frame(d.frame, transform, precision="fast")
+    mode = pallas_tail_mode(geometry)
+    assert mode is not None, name
+
+    got = np.asarray(reconstruct_planar_pallas(geometry, stores, qts,
+                                               interpret=True))
+    want = np.asarray(_reconstruct(geometry, stores, qts, jnp))
+    if want.ndim == 3:
+        want = np.transpose(want, (2, 0, 1))
+    assert (got == want).all(), name
+    return mode
+
+
+def test_fused_tail_444_ycbcr():
+    assert _planar_pallas_vs_oracle("16bit-qtables.jpg") == "fused"
+
+
+def test_fused_tail_cmyk_444():
+    assert _planar_pallas_vs_oracle("mozilla/jpg-cmyk-1.jpg") == "fused"
+
+
+def test_fused_tail_cmyk_subsampled():
+    """CMYK with H2V2 chroma on three of four components: a 4-component h2
+    parity-split instance of the fused kernel."""
+    assert _planar_pallas_vs_oracle("mozilla/jpg-cmyk-2.jpg") == "fused"
+
+
+def test_fused_tail_ycck():
+    assert _planar_pallas_vs_oracle("ycck.jpg") == "fused"
+
+
+def test_rgb_444_stack_mode():
+    assert _planar_pallas_vs_oracle("rgb.jpg") == "stack"
+
+
+def test_fused_tail_h1v2_matches_oracle():
+    """H1V2 (vertical-only doubling) has no corpus exemplar; check the fused
+    kernel's vertical triangle taps against the oracle upsampler directly."""
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu.ops.color import ycbcr_to_rgb
+    from jpeg_decoder_tpu.ops.pallas_kernels import fused_tail_pallas
+    from jpeg_decoder_tpu.ops.upsample import upsample_component
+
+    rng = np.random.default_rng(11)
+    out_h, out_w = 90, 130
+    hc, wc = 45, 130
+    y = rng.integers(0, 256, (out_h + 6, out_w + 6)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hc + 3, wc + 6)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hc + 3, wc + 6)).astype(np.uint8)
+
+    out = np.asarray(fused_tail_pallas(
+        (jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)),
+        ("h1v1", "h1v2", "h1v2"), (hc, wc), "ycbcr", out_h, out_w,
+        row_tile=32, interpret=True))
+
+    cbu = upsample_component(cb, "h1v2", input_width=wc, input_height=hc,
+                             out_rows=out_h, out_width=out_w, xp=np)
+    cru = upsample_component(cr, "h1v2", input_width=wc, input_height=hc,
+                             out_rows=out_h, out_width=out_w, xp=np)
+    r, g, b = ycbcr_to_rgb(y[:out_h, :out_w], cbu, cru, xp=np)
+    assert (out[0] == r).all() and (out[1] == g).all() and (out[2] == b).all()
+
+
+def test_bits_stream_planar_pallas():
+    """The bits interchange reaches the fused Pallas tail too: output must
+    match the prefix interchange with the same layout."""
+    from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+
+    bits = DeviceStreamDecoder(host_threads=1, layout="planar-pallas",
+                               interchange="bits")
+    prefix = DeviceStreamDecoder(host_threads=1, layout="planar-pallas")
+    for name in ("mjpeg.jpg", "restarts.jpg", "ycck.jpg"):
+        data = (REFTEST_IMAGES / name).read_bytes()
+        a = np.asarray(bits.decode_stream([data])[0])
+        b = np.asarray(prefix.decode_stream([data])[0])
+        assert a.shape == b.shape and (a == b).all(), name
+
+
+def test_batched_stream_respects_layout():
+    """batch_size > 1 groups must produce the same layout/content as the
+    per-image path for every layout, including the vmapped Pallas tail."""
+    from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+
+    data = (REFTEST_IMAGES / "restarts.jpg").read_bytes()   # YCbCr 4:4:4
+    for layout in ("interleaved", "planar", "planar-pallas"):
+        dec = DeviceStreamDecoder(host_threads=1, layout=layout)
+        single = np.asarray(dec.decode_stream([data])[0])
+        batched = dec.decode_stream([data] * 4, batch_size=4)
+        assert len(batched) == 4
+        for out in batched:
+            out = np.asarray(out)
+            assert out.shape == single.shape, layout
+            assert (out == single).all(), layout
 
 
 def test_stream_planar_pallas_422_and_gray():

@@ -56,6 +56,67 @@ def staged_scans(path):
     return scans
 
 
+TAIL_CASES = [
+    # (path, expected pallas_tail_mode) — one exemplar per fused-tail
+    # geometry family (test_pallas.py runs these interpret-mode on CPU; here
+    # they compile through Mosaic on the real chip).
+    ("/root/reference/tests/reftest/images/ycck.jpg", "fused"),
+    ("/root/reference/tests/reftest/images/mozilla/jpg-cmyk-1.jpg", "fused"),
+    ("/root/reference/tests/reftest/images/mozilla/jpg-cmyk-2.jpg", "fused"),
+    ("/root/reference/tests/reftest/images/16bit-qtables.jpg", "fused"),
+    ("/root/reference/tests/reftest/images/mjpeg.jpg", "fused"),
+    ("/root/reference/tests/reftest/images/rgb.jpg", "stack"),
+    ("/root/reference/tests/reftest/images/grayscale_square.jpg", "gray"),
+    ("/root/reference/benches/tower.jpg", "fused"),
+]
+
+
+def validate_planar_tails(jax, jnp) -> int:
+    """Compiled-mode parity of the fused Pallas tails vs the XLA pipeline,
+    one geometry family per case; equality reduced on device (D2H is
+    scalar-only through the relay)."""
+    from jpeg_decoder_tpu import Decoder
+    from jpeg_decoder_tpu.ops.pallas_kernels import (pallas_tail_mode,
+                                                     reconstruct_planar_pallas)
+    from jpeg_decoder_tpu.ops.pipeline import _reconstruct, geometry_from_frame
+
+    failures = 0
+    for path, want_mode in TAIL_CASES:
+        if not os.path.exists(path):
+            continue
+        name = os.path.basename(path)
+        d = Decoder(path)
+        d._decode_entropy_only()
+        n = len(d.frame.components)
+        stores = tuple(
+            jax.device_put(d._pending_render[i][0].reshape(-1, 64))
+            for i in range(n))
+        qts = tuple(jax.device_put(d._pending_render[i][1]) for i in range(n))
+        transform = None if n == 1 else d._determine_color_transform()
+        geometry = geometry_from_frame(d.frame, transform, precision="fast")
+        mode = pallas_tail_mode(geometry)
+        if mode != want_mode:
+            print(f"{name}: tail mode {mode} != {want_mode} MISMATCH")
+            failures += 1
+            continue
+
+        def run(stores, qts, geometry=geometry):
+            got = reconstruct_planar_pallas(geometry, stores, qts,
+                                            interpret=False)
+            want = _reconstruct(geometry, stores, qts, jnp)
+            if want.ndim == 3:
+                want = jnp.transpose(want, (2, 0, 1))
+            return jnp.sum(got != want)
+
+        bad = int(jax.device_get(jax.jit(run)(stores, qts)))
+        if bad:
+            print(f"{name} [{mode}]: {bad} MISMATCHES")
+            failures += 1
+        else:
+            print(f"{name}: planar tail [{mode}] OK")
+    return failures
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -83,6 +144,8 @@ def main() -> int:
                     failures += 1
                     print(f"{name} scan {i} comp {c}: {bad} MISMATCHES")
         print(f"{name}: pallas==xla stores OK")
+
+    failures += validate_planar_tails(jax, jnp)
 
     # Stream-level: bits(pallas) vs prefix, on device.
     data = open(CASES[-1], "rb").read()
