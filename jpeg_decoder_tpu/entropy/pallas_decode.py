@@ -143,6 +143,57 @@ def combine_packs(packs):
     return slots_all, meta_all, base_all
 
 
+def merge_image_packs(entries, nb_image: int):
+    """Merge per-image packed classes into one multi-image pack.
+
+    entries: per image ((slots_all, meta_all, base_all), shapes) where
+    shapes = ((slot_words, s_max, n_bucket, n_items), ...) as produced by
+    stage_host_bits. Image i's block bases shift by i * nb_image, so the
+    merged pack decodes as one scan of len(entries) * nb_image blocks —
+    chunk decode is per-item, and per-class item order stays monotone in
+    start block (per-image packs are stream-ordered, images concatenate in
+    order), which the rowmap's cummax propagation requires.
+
+    Returns (combined_arrays, merged_shapes) in the combine_packs layout.
+    Padding items get meta 0 (budget 0: kernel no-op) and base =
+    total_blocks (rowmap scatter drop)."""
+    per_class: dict = {}
+    for i, ((sl, me, ba), shapes) in enumerate(entries):
+        so = io = 0
+        for (sw, sm, nb, ni) in shapes:
+            slots = sl[so:so + sw * nb].reshape(sw, nb)[:, :ni]
+            meta = me[io:io + nb][:ni]
+            base = ba[io:io + nb][:ni] + i * nb_image
+            per_class.setdefault(sw, []).append((slots, meta, base, sm))
+            so += sw * nb
+            io += nb
+
+    total_blocks = len(entries) * nb_image
+    slots_parts, meta_parts, base_parts, shapes_out = [], [], [], []
+    for sw in sorted(per_class):
+        lst = per_class[sw]
+        ni_tot = sum(x[0].shape[1] for x in lst)
+        nb2 = _bucket_items(ni_tot)
+        sm = max(x[3] for x in lst)
+        slots = np.zeros((sw, nb2), np.int32)
+        meta = np.zeros(nb2, np.int32)
+        base = np.full(nb2, total_blocks, np.int32)
+        k = 0
+        for s, m, b, _sm in lst:
+            n = s.shape[1]
+            slots[:, k:k + n] = s
+            meta[k:k + n] = m
+            base[k:k + n] = b
+            k += n
+        shapes_out.append((sw, sm, nb2, ni_tot))
+        slots_parts.append(slots.reshape(-1))
+        meta_parts.append(meta)
+        base_parts.append(base)
+    combined = (np.concatenate(slots_parts), np.concatenate(meta_parts),
+                np.concatenate(base_parts))
+    return combined, tuple(shapes_out)
+
+
 def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
                          pattern: tuple, interpret: bool):
     """pallas_call-able decode kernel for one class shape."""
@@ -336,23 +387,30 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
 def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
                          n_tab: int, flat_stores: bool = True,
                          interpret: bool = False,
-                         comp_to_upair: tuple = None):
+                         comp_to_upair: tuple = None,
+                         n_images: int = 1):
     """Traceable decoder using per-class Pallas kernels + shared assembly.
 
-    class_shapes: tuple of (slot_words, s_max, n_bucket) per class present.
-    Returns fn(class_inputs, tab_mc, tab_dl, tab_vv) -> stores where
+    class_shapes: tuple of (slot_words, s_max, n_bucket[, n_items]) per class
+    present. Returns fn(class_inputs, tab_mc, tab_dl, tab_vv) -> stores where
     class_inputs is a tuple of (slots_t, bit0, base, budget, slot0, starts).
 
     Each kernel emits dense [K_CAP*64] regions per chunk; the padded regions
     compact into stream block order with one i32 row gather driven by a
     rowmap built from per-class cummax propagation of (start block ->
     padded row base) — no element scatter anywhere.
+
+    n_images > 1: the inputs are a merge_image_packs merge of same-plan
+    images; one kernel sweep decodes every image's chunks, the rowmap spans
+    n_images * plan.n_blocks blocks, and per-image assembly is vmapped —
+    stores gain a leading image axis.
     """
     import jax
     import jax.numpy as jnp
 
     from .device_scan import K_CAP
 
+    class_shapes = tuple(c[:3] for c in class_shapes)
     # Map the per-MCU slot pattern (component positions) to unique pairs.
     if comp_to_upair is None:
         comp_to_upair = tuple(range(max(plan.pattern or [0]) + 1))
@@ -361,7 +419,7 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
         _build_decode_kernel(sw, sm, n_tab, pattern, interpret)
         for (sw, sm, _nb) in class_shapes]
     assemble_nat = build_assembler_nat(plan, flat_stores)
-    n_blocks = plan.n_blocks
+    n_blocks = plan.n_blocks * n_images
 
     # Static padded-row base of each class's region in the concatenated rows.
     class_row_base = []
@@ -426,6 +484,9 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
 
         all_rows = jnp.concatenate(rows)
         nat = jnp.take(all_rows, rowmap, axis=0)
+        if n_images > 1:
+            nat = nat.reshape(n_images, plan.n_blocks, 64)
+            return jax.vmap(assemble_nat)(nat)
         return assemble_nat(nat)
 
     return run

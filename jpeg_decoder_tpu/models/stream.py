@@ -639,7 +639,8 @@ def stage_host_bits(source, scale_to=None, precision: str = "fast",
                 per_scan.append(None)
             else:
                 shapes = tuple(
-                    (p.slot_words, p.s_max, p.slots_t.shape[1] * 1024)
+                    (p.slot_words, p.s_max, p.slots_t.shape[1] * 1024,
+                     p.n_items)
                     for p in packs)
                 per_scan.append((combine_packs(packs), shapes))
         pallas = tuple(per_scan)
@@ -694,6 +695,56 @@ def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
         return out
 
     return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled_bits_pipeline_batched(plan, n_images: int, class_shapes: tuple,
+                                    n_tab: int, comp_to_upair: tuple,
+                                    geometry: ImageGeometry, layout: str):
+    """Batched bits-interchange dispatch: one merged Pallas chunk sweep over
+    n_images same-plan images (merge_image_packs), vmapped assembly +
+    reconstruction. Sub-megapixel images are dominated by per-dispatch
+    RPC/launch overhead; this amortizes it across the group."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..entropy.pallas_decode import build_pallas_decoder
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+
+    decoder = build_pallas_decoder(plan, class_shapes, n_tab,
+                                   flat_stores=False,
+                                   comp_to_upair=comp_to_upair,
+                                   n_images=n_images)
+
+    def recon_one(stores, qts):
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import reconstruct_planar_pallas
+            return reconstruct_planar_pallas(geometry, stores, qts)
+        out = _reconstruct(geometry, stores, qts, jnp)
+        if layout == "planar" and out.ndim == 3:
+            return jnp.transpose(out, (2, 0, 1))
+        return out
+
+    def run(combined, mc, dl, vv, qts_b):
+        stores_b = decoder(combined, mc, dl, vv)  # per comp [N, nb_c, 64]
+        return jax.vmap(recon_one)(tuple(stores_b), qts_b)
+
+    return jax.jit(run)
+
+
+def _bits_group_key(st: "StagedBits"):
+    """Images sharing this key can merge into one batched bits dispatch:
+    single Pallas-eligible scan, same geometry/plan shape, same Huffman
+    tables (the merged kernel sweep binds one table set), same kept-
+    component mapping. None = dispatch singly."""
+    if len(st.scans) != 1 or not st.pallas or st.pallas[0] is None:
+        return None
+    scan, kept = st.scans[0]
+    return (st.geometry, scan.plan._key[:-3], kept, scan.comp_to_upair,
+            len(st.qts),
+            scan.tab_maxcode.tobytes(), scan.tab_delta.tobytes(),
+            scan.tab_values.tobytes(), scan.luts.shape)
 
 
 class DeviceStreamDecoder:
@@ -858,6 +909,8 @@ class DeviceStreamDecoder:
 
         outputs: list = []
         group: list = []
+        bits_group: list = []
+        bits_key = [None]
 
         def flush():
             if not group:
@@ -865,24 +918,84 @@ class DeviceStreamDecoder:
             outputs.extend(self._decode_group(group))
             group.clear()
 
+        def flush_bits():
+            if not bits_group:
+                return
+            outputs.extend(self._decode_group_bits(bits_group))
+            bits_group.clear()
+
         for fut in staged_futures:
             st = resolve(fut)
             if st is None:
                 flush()
+                flush_bits()
                 outputs.append(None)
                 continue
             if isinstance(st, StagedBits):
-                # Bits interchange dispatches per image (scan shapes are
-                # image-specific); no vmap grouping.
                 flush()
-                outputs.append(self.decode_one(st))
+                key = _bits_group_key(st)
+                if key is None:
+                    # Multi-scan or Pallas-ineligible: per-image dispatch.
+                    flush_bits()
+                    outputs.append(self.decode_one(st))
+                    continue
+                if bits_group and (key != bits_key[0]
+                                   or len(bits_group) >= batch_size):
+                    flush_bits()
+                bits_key[0] = key
+                bits_group.append(st)
                 continue
+            flush_bits()
             if group and (st.geometry != group[0].geometry
                           or len(group) >= batch_size):
                 flush()
             group.append(st)
         flush()
+        flush_bits()
         return outputs
+
+    def _decode_group_bits(self, group: list) -> list:
+        """One merged device dispatch for a group of same-key StagedBits
+        (see _bits_group_key): merge_image_packs concatenates the per-image
+        chunk packs with block-base offsets, one kernel sweep decodes them
+        all, assembly/reconstruction are vmapped."""
+        import jax
+
+        if len(group) == 1:
+            return [self.decode_one(group[0])]
+        from ..entropy.pallas_decode import merge_image_packs
+
+        scan0, _kept = group[0].scans[0]
+        n = len(group)
+        batch = _batch_bucket(n)
+        entries = [st.pallas[0] for st in group]
+        entries = entries + [entries[-1]] * (batch - n)
+        combined, shapes = merge_image_packs(entries, scan0.plan.n_blocks)
+
+        layout = self.layout
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import is_420_ycbcr
+            if not is_420_ycbcr(group[0].geometry):
+                layout = "planar"
+        # n_items varies per group; the compiled shape doesn't depend on it.
+        shapes_key = tuple(s[:3] for s in shapes)
+        fn = _compiled_bits_pipeline_batched(
+            scan0.plan, batch, shapes_key, len(scan0.tab_maxcode),
+            scan0.comp_to_upair, group[0].geometry, layout)
+
+        ncomp = len(group[0].qts)
+        qts_b = tuple(
+            np.stack([st.qts[c] for st in group]
+                     + [group[-1].qts[c]] * (batch - n))
+            for c in range(ncomp))
+        with self._stage("h2d_submit"):
+            dev = tuple(jax.device_put(a) for a in combined)
+            mc = self._put_cached(scan0.tab_maxcode)
+            dl = self._put_cached(scan0.tab_delta)
+            vv = self._put_cached(scan0.tab_values.view(np.int32))
+        with self._stage("device_dispatch"):
+            out = fn(dev, mc, dl, vv, qts_b)
+        return [out[i] for i in range(n)]
 
     def _decode_group(self, group: list) -> list:
         import jax

@@ -64,6 +64,68 @@ def test_pallas_matches_xla_decoder(name):
                 f"{name} comp {c}: {bad.size} mismatches at {bad[:5]}")
 
 
+def _entry_for(staged):
+    from jpeg_decoder_tpu.entropy.pallas_decode import combine_packs
+    packs = pack_classes(staged)
+    shapes = tuple((p.slot_words, p.s_max, p.slots_t.shape[1] * 1024,
+                    p.n_items) for p in packs)
+    return (combine_packs(packs), shapes)
+
+
+def test_merge_image_packs_layout():
+    """Structural invariants of the multi-image pack merge: real items keep
+    their content with per-image block offsets in monotone order; padding is
+    inert (meta 0 = budget 0, base = total blocks = rowmap drop)."""
+    from jpeg_decoder_tpu.entropy.pallas_decode import merge_image_packs
+
+    staged = _staged_scans(REFTEST_IMAGES / "rgb.jpg")[0]
+    entry = _entry_for(staged)
+    N = 3
+    nb = staged.plan.n_blocks
+    combined, shapes = merge_image_packs([entry] * N, nb)
+    slots_all, meta_all, base_all = combined
+
+    io = 0
+    for (sw, sm, nb2, ni) in shapes:
+        assert ni % N == 0
+        base = base_all[io:io + nb2]
+        meta = meta_all[io:io + nb2]
+        per = ni // N
+        for i in range(N):
+            seg = base[i * per:(i + 1) * per]
+            assert seg.min() >= i * nb and seg.max() < (i + 1) * nb
+            assert (np.diff(seg) >= 0).all()       # rowmap needs monotone
+            assert np.array_equal(seg - i * nb, base[:per])  # same content
+            assert np.array_equal(meta[i * per:(i + 1) * per], meta[:per])
+        assert (base[ni:] == N * nb).all()
+        assert (meta[ni:] == 0).all()
+        io += nb2
+
+
+@slow
+def test_merged_pack_decodes_all_images():
+    """build_pallas_decoder(n_images=N) over a merge_image_packs merge must
+    reproduce each image's stores exactly (interpret mode, tiny image)."""
+    from jpeg_decoder_tpu.entropy.pallas_decode import (build_pallas_decoder,
+                                                        merge_image_packs)
+
+    staged = _staged_scans(REFTEST_IMAGES / "mozilla/jpg-size-16x16.jpg")[0]
+    entry = _entry_for(staged)
+    N = 2
+    combined, shapes = merge_image_packs([entry] * N, staged.plan.n_blocks)
+    fn = build_pallas_decoder(staged.plan, shapes, len(staged.tab_maxcode),
+                              interpret=True,
+                              comp_to_upair=staged.comp_to_upair, n_images=N)
+    stores_b = fn(combined, staged.tab_maxcode, staged.tab_delta,
+                  staged.tab_values.view(np.int32))
+    gold = decode_anchored_device(staged)
+    for c, s in enumerate(stores_b):
+        got = np.asarray(s)
+        assert got.shape[0] == N
+        for i in range(N):
+            assert (got[i].reshape(-1) == np.asarray(gold[c])).all(), (c, i)
+
+
 def test_class_packing_budget():
     """Slot classes track the compressed size, not worst-case spans."""
     staged = _staged_scans(REFTEST_IMAGES / "rgb.jpg")[0]
