@@ -733,18 +733,78 @@ def _compiled_bits_pipeline_batched(plan, n_images: int, class_shapes: tuple,
     return jax.jit(run)
 
 
-def _bits_group_key(st: "StagedBits"):
+def _bits_group_key(st: "StagedBits", mesh_mode: bool = False):
     """Images sharing this key can merge into one batched bits dispatch:
-    single Pallas-eligible scan, same geometry/plan shape, same Huffman
-    tables (the merged kernel sweep binds one table set), same kept-
-    component mapping. None = dispatch singly."""
-    if len(st.scans) != 1 or not st.pallas or st.pallas[0] is None:
+    single scan covering every component, same geometry, same Huffman
+    tables (one table set binds the whole dispatch), same kept-component
+    mapping. None = dispatch singly.
+
+    mesh_mode (DeviceStreamDecoder(mesh=...)): the batch stacks the
+    bucket-padded per-image anchor arrays and shards them over the data
+    axis, so the FULL plan (bucket sizes included) must match; the
+    single-device merge only needs the bucket-independent plan shape plus
+    Pallas-eligible packs."""
+    if len(st.scans) != 1:
         return None
     scan, kept = st.scans[0]
+    if len(kept) != len(st.qts):
+        return None
+    if mesh_mode:
+        if scan.luts is None:
+            return None
+        lkey = getattr(scan, "_luts_key", None)
+        if lkey is None:
+            lkey = hash(scan.luts.tobytes())
+            scan._luts_key = lkey
+        return (st.geometry, scan.plan, kept, len(st.qts), lkey)
+    if not st.pallas or st.pallas[0] is None:
+        return None
     return (st.geometry, scan.plan._key[:-3], kept, scan.comp_to_upair,
             len(st.qts),
             scan.tab_maxcode.tobytes(), scan.tab_delta.tobytes(),
             scan.tab_values.tobytes(), scan.luts.shape)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_bits_pipeline_batched_mesh(plan, kept: tuple, batch: int,
+                                         ncomp: int, geometry: ImageGeometry,
+                                         layout: str, mesh, data_axis: str):
+    """Mesh-sharded batched bits dispatch: the XLA anchored decoder (whose
+    per-image arrays are bucket-stable, so images stack) vmapped over the
+    image axis and sharded over `data_axis` — each chip Huffman-decodes and
+    reconstructs its shard of the batch from ~0.2-0.4 B/px of compressed
+    input. LUTs are replicated (shipped once via the device cache)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..entropy.device_scan import build_anchored_decoder
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+
+    decoder = build_anchored_decoder(plan, flat_stores=False)
+
+    def run_one(words, a_bits, a_block, a_slot, qts, luts):
+        scan_stores = decoder(words, a_bits, a_block, a_slot, luts)
+        stores = [None] * ncomp
+        for pos, comp_i in kept:
+            stores[comp_i] = scan_stores[pos]
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import reconstruct_planar_pallas
+            return reconstruct_planar_pallas(geometry, stores, qts)
+        out = _reconstruct(geometry, stores, qts, jnp)
+        if layout == "planar" and out.ndim == 3:
+            return jnp.transpose(out, (2, 0, 1))
+        return out
+
+    batched = jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0, None))
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    sharded = NamedSharding(mesh, PS(data_axis))
+    repl = NamedSharding(mesh, PS())
+    return jax.jit(
+        batched,
+        in_shardings=(sharded, sharded, sharded, sharded,
+                      (sharded,) * ncomp, repl),
+        out_shardings=sharded)
 
 
 class DeviceStreamDecoder:
@@ -933,7 +993,7 @@ class DeviceStreamDecoder:
                 continue
             if isinstance(st, StagedBits):
                 flush()
-                key = _bits_group_key(st)
+                key = _bits_group_key(st, self.mesh is not None)
                 if key is None:
                     # Multi-scan or Pallas-ineligible: per-image dispatch.
                     flush_bits()
@@ -961,6 +1021,8 @@ class DeviceStreamDecoder:
         all, assembly/reconstruction are vmapped."""
         import jax
 
+        if self.mesh is not None:
+            return self._decode_group_bits_mesh(group)
         if len(group) == 1:
             return [self.decode_one(group[0])]
         from ..entropy.pallas_decode import merge_image_packs
@@ -995,6 +1057,46 @@ class DeviceStreamDecoder:
             vv = self._put_cached(scan0.tab_values.view(np.int32))
         with self._stage("device_dispatch"):
             out = fn(dev, mc, dl, vv, qts_b)
+        return [out[i] for i in range(n)]
+
+    def _decode_group_bits_mesh(self, group: list) -> list:
+        """Mesh-sharded batched bits dispatch: stack the bucket-padded
+        per-image anchor arrays along an image axis sharded over the data
+        axis (see _compiled_bits_pipeline_batched_mesh)."""
+        import jax
+
+        scan0, kept = group[0].scans[0]
+        n = len(group)
+        ndev = int(self.mesh.shape[self.data_axis])
+        batch = _batch_bucket(n)
+        while batch % ndev:
+            batch *= 2
+        pad = batch - n
+        scans = [st.scans[0][0] for st in group] + [scan0] * pad
+        words = np.stack([s.words for s in scans])
+        a_bits = np.stack([s.anchor_bits for s in scans])
+        a_block = np.stack([s.anchor_block for s in scans])
+        a_slot = np.stack([s.anchor_slot for s in scans])
+        ncomp = len(group[0].qts)
+        qts_b = tuple(
+            np.stack([st.qts[c] for st in group]
+                     + [group[0].qts[c]] * pad)
+            for c in range(ncomp))
+
+        layout = self.layout
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import is_420_ycbcr
+            if not is_420_ycbcr(group[0].geometry):
+                layout = "planar"
+        fn = _compiled_bits_pipeline_batched_mesh(
+            scan0.plan, kept, batch, ncomp, group[0].geometry, layout,
+            self.mesh, self.data_axis)
+        with self._stage("h2d_submit"):
+            args = (jax.device_put(words), jax.device_put(a_bits),
+                    jax.device_put(a_block), jax.device_put(a_slot))
+            luts = self._put_luts(scan0.luts)
+        with self._stage("device_dispatch"):
+            out = fn(*args, qts_b, luts)
         return [out[i] for i in range(n)]
 
     def _decode_group(self, group: list) -> list:

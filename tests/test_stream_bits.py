@@ -37,6 +37,30 @@ def decoders():
             DeviceStreamDecoder(host_threads=2, interchange="bits"))
 
 
+def test_mesh_sharded_bits_stream():
+    """Bits interchange composed with mesh DP: stacked bucket-padded anchor
+    arrays shard over the data axis (XLA anchored decoder vmapped per image);
+    output must equal the single-device bits path, including heterogeneous
+    streams (group flush on key change / ineligible images)."""
+    import jax
+
+    from jpeg_decoder_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"data": 8}, jax.devices("cpu"))
+    rgb = (REFTEST_IMAGES / "rgb.jpg").read_bytes()
+    prog = (REFTEST_IMAGES / "mozilla/jpg-progressive.jpg").read_bytes()
+
+    plain = DeviceStreamDecoder(host_threads=1, interchange="bits")
+    sharded = DeviceStreamDecoder(host_threads=1, interchange="bits",
+                                  mesh=mesh)
+    stream = [rgb] * 9 + [prog] + [rgb] * 3   # 8-group, 1-tail, fallback, 3
+    ref = [np.asarray(o) for o in plain.decode_stream(stream)]
+    got = sharded.decode_stream(stream, batch_size=8)
+    assert len(got) == len(ref)
+    for i, (a, b) in enumerate(zip(ref, got)):
+        assert np.array_equal(a, np.asarray(b)), i
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_bits_matches_prefix(decoders, name):
     path = REFTEST_IMAGES / name
