@@ -39,7 +39,7 @@ from .device_scan import (AnchoredScan, ScanPlan, UNZIGZAG,
                           build_assembler_nat)
 
 SLOT_CLASSES = (32, 48, 64, 96, 128, 256, 512)   # slot bytes
-SYM_BUCKETS = (32, 64, 96, 128, 176)
+SYM_BUCKETS = (32, 64, 96, 128, 176, 224)
 MAX_TABS = 4                          # <= 2 distinct (dc, ac) pairs
 SENTINEL = 1 << 30
 

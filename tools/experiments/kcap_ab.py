@@ -30,12 +30,16 @@ def main():
     path = "/root/reference/benches/large_image.jpg"
     mpix = 3.43
 
-    for kcap in (8, 16):
+    import itertools
+    for kcap, s_target in ((16, 96), (24, 96), (31, 96), (16, 64), (16, 144),
+                           (24, 144)):
         ds.K_CAP = kcap
+        ds.S_TARGET = s_target
+        ds.S_MAX = s_target + 66
         st = staged_scans(path)[0]
         packs = pd.pack_classes(st)
         if packs is None:
-            print(f"K_CAP={kcap}: pallas INELIGIBLE")
+            print(f"K_CAP={kcap} S_TARGET={s_target}: pallas INELIGIBLE")
             continue
         shapes = tuple((p.slot_words, p.s_max, p.slots_t.shape[1] * 1024)
                        for p in packs)
@@ -61,7 +65,7 @@ def main():
             acc = s if acc is None else acc + s
         int(jax.device_get(acc))
         per = (time.perf_counter() - t0) / n
-        print(f"K_CAP={kcap}: {per*1e3:.2f} ms/img device "
+        print(f"K_CAP={kcap} S_TARGET={s_target}: {per*1e3:.2f} ms/img device "
               f"({mpix/per:.0f} Mpix/s), chunks={nchunks}, "
               f"h2d={h2d} B ({h2d/(mpix*1e6):.3f} B/px)")
 
