@@ -1,10 +1,18 @@
 #!/usr/bin/env python
-"""A/B the anchored-chunk block budget (K_CAP) on real TPU hardware.
+"""A/B the anchored-chunk shape knobs (K_CAP block budget, S_TARGET anchor
+density) on real TPU hardware.
 
-Stages large_image at each K_CAP, uploads the packed class buffers ONCE,
+Stages large_image at each config, uploads the packed class buffers ONCE,
 then times the jitted Pallas decoder with device-resident inputs
 (dependency-chained per CLAUDE.md timing rules). Reports device ms/iter,
 chunk count, and H2D payload bytes per pixel.
+
+Measurement gotcha (observed twice): the FIRST timed loop in a process runs
+~7x slower than steady state (~45 vs ~7 ms/iter) — a relay/link warm-up
+phase, not a kernel property. The harness therefore runs a throwaway timing
+round over every config first, then measures a second pass; only the second
+pass is reported. Earlier single-pass runs mis-ranked K_CAP=8 vs 16 exactly
+because of this.
 """
 
 import os
@@ -16,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
 sys.path.insert(0, "/root/repo")
 
 import numpy as np
+
+CONFIGS = ((8, 96), (16, 96), (24, 96), (16, 64), (16, 144), (24, 144))
+# K_CAP=31 exceeds the 16MB VMEM scoped limit (dense region [31*64, G, 8,128]
+# i32) — the remote compiler rejects it; 24 is the practical ceiling.
 
 
 def main():
@@ -30,9 +42,8 @@ def main():
     path = "/root/reference/benches/large_image.jpg"
     mpix = 3.43
 
-    import itertools
-    for kcap, s_target in ((16, 96), (24, 96), (31, 96), (16, 64), (16, 144),
-                           (24, 144)):
+    setups = []
+    for kcap, s_target in CONFIGS:
         ds.K_CAP = kcap
         ds.S_TARGET = s_target
         ds.S_MAX = s_target + 66
@@ -43,28 +54,37 @@ def main():
             continue
         shapes = tuple((p.slot_words, p.s_max, p.slots_t.shape[1] * 1024)
                        for p in packs)
-        fn = pd._compiled_pallas_decoder(
-            st.plan, shapes, len(st.tab_maxcode), False, st.comp_to_upair)
-        combined = jax.device_put(pd.combine_packs(packs))
-        tm = jax.device_put(st.tab_maxcode)
-        td = jax.device_put(st.tab_delta)
-        tv = jax.device_put(st.tab_values.view(np.int32))
-
+        try:
+            fn = pd._compiled_pallas_decoder(
+                st.plan, shapes, len(st.tab_maxcode), False, st.comp_to_upair)
+            combined = jax.device_put(pd.combine_packs(packs))
+            tabs = (jax.device_put(st.tab_maxcode),
+                    jax.device_put(st.tab_delta),
+                    jax.device_put(st.tab_values.view(np.int32)))
+            jax.block_until_ready(fn(combined, *tabs))  # compile + first run
+        except Exception as e:
+            print(f"K_CAP={kcap} S_TARGET={s_target}: COMPILE FAIL "
+                  f"({type(e).__name__}: {str(e)[:120]})")
+            continue
         h2d = sum(int(np.asarray(c).nbytes) for c in
                   jax.tree_util.tree_leaves(pd.combine_packs(packs)))
-        nchunks = st.n_items
+        setups.append(((kcap, s_target), fn, combined, tabs, h2d, st.n_items))
 
-        outs = fn(combined, tm, td, tv)  # warm (compile cached from validate)
-        jax.block_until_ready(outs)
-        acc = None
-        t0 = time.perf_counter()
-        n = 20
-        for _ in range(n):
-            outs = fn(combined, tm, td, tv)
-            s = outs[0].astype(jnp.int32).sum()
-            acc = s if acc is None else acc + s
-        int(jax.device_get(acc))
-        per = (time.perf_counter() - t0) / n
+    def timed_pass(n):
+        results = []
+        for (cfg, fn, combined, tabs, h2d, nchunks) in setups:
+            acc = None
+            t0 = time.perf_counter()
+            for _ in range(n):
+                outs = fn(combined, *tabs)
+                s = outs[0].astype(jnp.int32).sum()
+                acc = s if acc is None else acc + s
+            int(jax.device_get(acc))
+            results.append((cfg, (time.perf_counter() - t0) / n, h2d, nchunks))
+        return results
+
+    timed_pass(8)               # throwaway: link warm-up pass over every config
+    for (kcap, s_target), per, h2d, nchunks in timed_pass(20):
         print(f"K_CAP={kcap} S_TARGET={s_target}: {per*1e3:.2f} ms/img device "
               f"({mpix/per:.0f} Mpix/s), chunks={nchunks}, "
               f"h2d={h2d} B ({h2d/(mpix*1e6):.3f} B/px)")

@@ -147,6 +147,13 @@ def run(iterations: int = 500, seed: int = 0, timeout_s: int = 60) -> int:
             os.environ.pop("JPEG_TPU_DISABLE_NATIVE", None)
         native_mod.reset_native_cache()
         d = Decoder(data)
+        # Dimension-field mutations produce legitimate 100+ Mpix images whose
+        # decode blows the hang budget under load (observed: a 191 Mpix
+        # lossless mutant at 8.7s uncontended). Cap the output like a
+        # production caller would (the reference's DoS guard,
+        # set_max_decoding_buffer_size) — both engines get the same cap, so
+        # the differential stays exact.
+        d.set_max_decoding_buffer_size(64 << 20)
         try:
             return d.decode(), d
         except JpegError as e:
