@@ -549,6 +549,28 @@ struct McuRange {          // [first, last) in decoded-MCU sequence order
   int64_t first, last;
 };
 
+// Decoded-MCU grid size under the reference's mcu*8 >= image clip quirk
+// (/root/reference/src/decoder.rs:910-917). The ONLY definition — the quirk
+// decides which blocks exist, so every enumeration (serial decode, anchored
+// spans, DC fixup, MCU counting) must share it.
+inline int64_t scan_cols(const ScanParams& sp) {
+  int64_t cols = 0;
+  for (int32_t x = 0; x < sp.max_mcu_x; x++) {
+    if (static_cast<int64_t>(x) * 8 >= sp.image_w) break;
+    cols++;
+  }
+  return cols;
+}
+
+inline int64_t scan_rows(const ScanParams& sp) {
+  int64_t rows = 0;
+  for (int32_t y = 0; y < sp.max_mcu_y; y++) {
+    if (static_cast<int64_t>(y) * 8 >= sp.image_h) break;
+    rows++;
+  }
+  return rows;
+}
+
 // Decode MCUs [range) assuming reader is positioned at the range start with
 // fresh state. Restart markers are handled only when crossing interval
 // boundaries inside the range (serial mode); parallel mode passes ranges that
@@ -565,13 +587,9 @@ bool decode_mcu_range(Rdr& r, const ScanParams& sp, const ScanComp* comps,
   uint32_t mcus_left = static_cast<uint32_t>(sp.restart_interval);
 
   // The reference's decoded-MCU enumeration with its row/column breaks
-  // (/root/reference/src/decoder.rs:910-917) always covers a rectangle, so a
-  // range maps directly to (y, x) = (seq / cols, seq % cols).
-  int64_t cols = 0;
-  for (int32_t x = 0; x < sp.max_mcu_x; x++) {
-    if (x * 8 >= sp.image_w) break;
-    cols++;
-  }
+  // always covers a rectangle, so a range maps directly to
+  // (y, x) = (seq / cols, seq % cols).
+  const int64_t cols = scan_cols(sp);
   if (cols == 0) return true;
 
   for (int64_t seq = range.first; seq < range.last; seq++) {
@@ -672,16 +690,7 @@ bool scan_restart_segments(const uint8_t* data, size_t len, size_t start,
 }
 
 int64_t count_decoded_mcus(const ScanParams& sp) {
-  int64_t rows = 0, cols = 0;
-  for (int32_t y = 0; y < sp.max_mcu_y; y++) {
-    if (y * 8 >= sp.image_h) break;
-    rows++;
-  }
-  for (int32_t x = 0; x < sp.max_mcu_x; x++) {
-    if (x * 8 >= sp.image_w) break;
-    cols++;
-  }
-  return rows * cols;
+  return scan_rows(sp) * scan_cols(sp);
 }
 
 // ---------------------------------------------------------------------------
@@ -1336,15 +1345,6 @@ void walk_span_blocks(const ScanParams& sp, const ScanComp* comps,
       }
     }
   }
-}
-
-int64_t scan_cols(const ScanParams& sp) {
-  int64_t cols = 0;
-  for (int32_t x = 0; x < sp.max_mcu_x; x++) {
-    if (x * 8 >= sp.image_w) break;
-    cols++;
-  }
-  return cols;
 }
 
 }  // namespace

@@ -47,7 +47,12 @@ from .scan_python import UNZIGZAG, _finish_scan
 # kernel's dense per-chunk output region (K_CAP*64 coefficients) stays cheap
 # to accumulate one-hot and nearly padding-free.
 S_TARGET = 96
-K_CAP = 16
+# Chunk block budget: warmed-link A/B over {8,16,24} x S_TARGET {64,96,144}
+# (tools/experiments/kcap_ab.py) puts device decode within 6.3-7.2 ms/img for
+# all of them, while H2D falls monotonically with K_CAP (0.392 -> 0.320 ->
+# 0.284 B/px). The link is the sustained bottleneck, so take the smallest
+# wire format; 31 exceeds the 16MB VMEM scoped limit for the dense region.
+K_CAP = 24
 S_MAX = S_TARGET + 66
 
 _LUT_CACHE: dict = {}
@@ -390,6 +395,23 @@ def _plan_for(frame, scan, restart_interval, items_bucket, words_bucket,
     return plan
 
 
+def scan_decode_luts(scan, dc_tables, ac_tables):
+    """Fused 16-bit decode LUTs in the C prescan's wire layout — per scan
+    component, a (dc, ac) pair of [65536] rows, concatenated to
+    [2*ncomp, 65536]. The ONLY place this layout is defined; both the
+    device-prescan path and the host anchored-staging path feed it to
+    jt_prescan_baseline. Returns None when any referenced table is unset."""
+    rows = []
+    for i in range(len(scan.component_indices)):
+        dct = dc_tables[scan.dc_table_indices[i]]
+        act = ac_tables[scan.ac_table_indices[i]]
+        if dct is None or act is None:
+            return None
+        rows.append(np.stack([build_decode_lut16(dct),
+                              build_decode_lut16(act)]))
+    return np.concatenate(rows)
+
+
 def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
                      restart_interval: int) -> "tuple[Optional[int], AnchoredScan]":
     """Host prescan: symbol-length walk producing device anchors.
@@ -407,17 +429,11 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
 
     components = [frame.components[i] for i in scan.component_indices]
     npairs = len(components)
-    dc_luts = []
-    ac_luts = []
-    for i in range(npairs):
-        dct = dc_tables[scan.dc_table_indices[i]]
-        act = ac_tables[scan.ac_table_indices[i]]
-        if dct is None or act is None:
-            raise PrescanFallback("missing table")
-        dc_luts.append(build_decode_lut16(dct))
-        ac_luts.append(build_decode_lut16(act))
-    luts = np.concatenate(
-        [np.stack([dc_luts[i], ac_luts[i]]) for i in range(npairs)])
+    luts = scan_decode_luts(scan, dc_tables, ac_tables)
+    if luts is None:
+        raise PrescanFallback("missing table")
+    dc_luts = [luts[2 * i] for i in range(npairs)]
+    ac_luts = [luts[2 * i + 1] for i in range(npairs)]
 
     def _pack_values(tab) -> np.ndarray:
         v = np.zeros(256, np.uint8)

@@ -348,28 +348,20 @@ class PrefixCapture:
             return None
         if not hasattr(self.native, "decode_scan_dct_prefix_anchored"):
             return None
-        for i in range(len(scan.component_indices)):
-            if (decoder._dc_huffman_tables[scan.dc_table_indices[i]] is None
-                    or decoder._ac_huffman_tables[scan.ac_table_indices[i]]
-                    is None):
-                return None
 
         from ..entropy.device_scan import (K_CAP, S_MAX, S_TARGET,
                                            _prescan_geometry,
-                                           build_decode_lut16)
+                                           scan_decode_luts)
         geometry = _prescan_geometry(frame, scan, 0)
         nt = min(os.cpu_count() or 1, 8)
         n_mcus = geometry["est_blocks"] // len(geometry["pattern"])
         if nt < 2 or n_mcus < 8 * nt:
             return None
 
-        luts = np.concatenate([
-            np.stack([
-                build_decode_lut16(
-                    decoder._dc_huffman_tables[scan.dc_table_indices[i]]),
-                build_decode_lut16(
-                    decoder._ac_huffman_tables[scan.ac_table_indices[i]]),
-            ]) for i in range(len(scan.component_indices))])
+        luts = scan_decode_luts(scan, decoder._dc_huffman_tables,
+                                decoder._ac_huffman_tables)
+        if luts is None:
+            return None
 
         cursor = decoder._cursor
         pos0 = cursor.pos
@@ -752,9 +744,11 @@ def _bits_group_key(st: "StagedBits", mesh_mode: bool = False):
     if mesh_mode:
         if scan.luts is None:
             return None
+        # Key on the actual LUT bytes (cached on the scan) — a 64-bit hash
+        # collision would silently decode a group with the wrong tables.
         lkey = getattr(scan, "_luts_key", None)
         if lkey is None:
-            lkey = hash(scan.luts.tobytes())
+            lkey = scan.luts.tobytes()
             scan._luts_key = lkey
         return (st.geometry, scan.plan, kept, len(st.qts), lkey)
     if not st.pallas or st.pallas[0] is None:
@@ -853,15 +847,20 @@ class DeviceStreamDecoder:
             with self.timer.stage(name):
                 yield
 
+    def _effective_layout(self, geometry) -> str:
+        """planar-pallas downgrades to plain planar for geometries the fused
+        Pallas tail doesn't cover — one rule for every dispatch shape."""
+        if self.layout == "planar-pallas":
+            from ..ops.pallas_kernels import is_420_ycbcr
+            if not is_420_ycbcr(geometry):
+                return "planar"
+        return self.layout
+
     def decode_one(self, staged):
         if isinstance(staged, StagedBits):
             return self._decode_one_bits(staged)
         import jax
-        layout = self.layout
-        if layout == "planar-pallas":
-            from ..ops.pallas_kernels import is_420_ycbcr
-            if not is_420_ycbcr(staged.geometry):
-                layout = "planar"
+        layout = self._effective_layout(staged.geometry)
         fn = _compiled_prefix_pipeline(staged.geometry, len(staged.resid_idx),
                                        layout)
         with self._stage("h2d_submit"):
@@ -893,11 +892,7 @@ class DeviceStreamDecoder:
     def _decode_one_bits(self, staged: StagedBits):
         import jax
 
-        layout = self.layout
-        if layout == "planar-pallas":
-            from ..ops.pallas_kernels import is_420_ycbcr
-            if not is_420_ycbcr(staged.geometry):
-                layout = "planar"
+        layout = self._effective_layout(staged.geometry)
         plans_with_comps = tuple(
             (scan.plan, kept) for scan, kept in staged.scans)
 
@@ -907,7 +902,11 @@ class DeviceStreamDecoder:
             if entry is None:
                 pallas_shapes.append(None)
             else:
-                pallas_shapes.append((entry[1], len(scan.tab_maxcode),
+                # Strip content-dependent n_items from the compile key —
+                # only the bucketed (slot_words, s_max, n_bucket) shape
+                # determines the trace.
+                pallas_shapes.append((tuple(s[:3] for s in entry[1]),
+                                      len(scan.tab_maxcode),
                                       scan.comp_to_upair))
 
         fn = _compiled_bits_pipeline(
@@ -1034,11 +1033,7 @@ class DeviceStreamDecoder:
         entries = entries + [entries[-1]] * (batch - n)
         combined, shapes = merge_image_packs(entries, scan0.plan.n_blocks)
 
-        layout = self.layout
-        if layout == "planar-pallas":
-            from ..ops.pallas_kernels import is_420_ycbcr
-            if not is_420_ycbcr(group[0].geometry):
-                layout = "planar"
+        layout = self._effective_layout(group[0].geometry)
         # n_items varies per group; the compiled shape doesn't depend on it.
         shapes_key = tuple(s[:3] for s in shapes)
         fn = _compiled_bits_pipeline_batched(
@@ -1069,8 +1064,10 @@ class DeviceStreamDecoder:
         n = len(group)
         ndev = int(self.mesh.shape[self.data_axis])
         batch = _batch_bucket(n)
-        while batch % ndev:
-            batch *= 2
+        if batch % ndev:
+            # Round UP to a multiple of the axis size (doubling a power of
+            # two never reaches divisibility for ndev like 3 or 6).
+            batch = -(-batch // ndev) * ndev
         pad = batch - n
         scans = [st.scans[0][0] for st in group] + [scan0] * pad
         words = np.stack([s.words for s in scans])
@@ -1083,11 +1080,7 @@ class DeviceStreamDecoder:
                      + [group[0].qts[c]] * pad)
             for c in range(ncomp))
 
-        layout = self.layout
-        if layout == "planar-pallas":
-            from ..ops.pallas_kernels import is_420_ycbcr
-            if not is_420_ycbcr(group[0].geometry):
-                layout = "planar"
+        layout = self._effective_layout(group[0].geometry)
         fn = _compiled_bits_pipeline_batched_mesh(
             scan0.plan, kept, batch, ncomp, group[0].geometry, layout,
             self.mesh, self.data_axis)
@@ -1109,8 +1102,8 @@ class DeviceStreamDecoder:
         batch = _batch_bucket(n)
         if self.mesh is not None:
             ndev = int(self.mesh.shape[self.data_axis])
-            while batch % ndev:
-                batch *= 2
+            if batch % ndev:
+                batch = -(-batch // ndev) * ndev
 
         def pad_resid(st):
             idx = np.full(resid_bucket, st.total_coeffs, np.int32)
@@ -1137,11 +1130,7 @@ class DeviceStreamDecoder:
                      + [pad_with.qts[c]] * (batch - n))
             for c in range(ncomp))
 
-        layout = self.layout
-        if layout == "planar-pallas":
-            from ..ops.pallas_kernels import is_420_ycbcr
-            if not is_420_ycbcr(group[0].geometry):
-                layout = "planar"
+        layout = self._effective_layout(group[0].geometry)
         fn = _compiled_prefix_pipeline_batched(
             group[0].geometry, resid_bucket, batch, self.mesh, self.data_axis,
             layout)
