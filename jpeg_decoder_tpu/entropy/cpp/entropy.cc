@@ -992,7 +992,7 @@ void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
 
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 9; }
+int64_t jt_abi_version() { return 10; }
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.
@@ -1739,6 +1739,7 @@ struct PrescanParams {
   int64_t n_anchors;
   int32_t n_blocks;
   int32_t pending_marker;   // terminating marker byte or -1
+  int32_t nthreads;         // in: restart segments walked in parallel
 };
 
 enum PrescanStatus { PRESCAN_OK = 0, PRESCAN_FALLBACK = 1 };
@@ -1809,9 +1810,10 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
   // take the 16-bit cold path. Built per call — 1K entries/table is noise.
   enum : uint16_t { P_MISS = 1 << 15, P_FB = 1 << 14, P_END = 1 << 13,
                     P_COEFF = 1 << 12 };
-  // kadv in bits 11..6, consumed bits in 5..0.
-  static thread_local std::vector<uint16_t> micro;  // [ncomp][2][1024]
-  micro.assign(static_cast<size_t>(pp->ncomp) * 2 * 1024, 0);
+  // kadv in bits 11..6, consumed bits in 5..0. Plain local (NOT thread_local):
+  // the parallel per-segment walk reads it from worker threads, which must
+  // see the instance built here, not their own empty thread-local copy.
+  std::vector<uint16_t> micro(static_cast<size_t>(pp->ncomp) * 2 * 1024, 0);
   for (int32_t c = 0; c < pp->ncomp; c++) {
     const uint32_t* dc16 = luts + (static_cast<int64_t>(c) * 2) * 65536;
     const uint32_t* ac16 = dc16 + 65536;
@@ -1845,152 +1847,200 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
       }
     }
   }
+  // Fixed per-segment layout: every segment is followed by GUARD (24) zero
+  // bytes and the next segment starts exactly GUARD past the data. The walk's
+  // 128-bit overrun bound plus the 8-byte window read reach at most
+  // len + 24 bytes, so concurrent walks never see a neighbor's bytes and the
+  // zero-fill semantics match the Python mirror bit for bit. Fixing the pad
+  // (the old layout used the observed overrun) is what makes the layout
+  // computable before any symbol is walked — the precondition for walking
+  // restart segments in parallel.
+  const int64_t PAD = GUARD;
+
+  // Clipped decoded-MCU grid (the reference's mcu*8 >= image quirk).
+  int64_t rows = 0, cols = 0;
+  for (int32_t y = 0; y < pp->max_mcu_y; y++) {
+    if (static_cast<int64_t>(y) * 8 >= pp->image_h) break;
+    rows++;
+  }
+  for (int32_t x = 0; x < pp->max_mcu_x; x++) {
+    if (static_cast<int64_t>(x) * 8 >= pp->image_w) break;
+    cols++;
+  }
+  const int64_t total_mcus = rows * cols;
+  if (total_mcus <= 0 || pp->pattern_len <= 0) return PRESCAN_FALLBACK;
+  const int64_t RI = pp->restart_interval;
+  const int64_t nseg = RI > 0 ? (total_mcus + RI - 1) / RI : 1;
+  const int64_t plen = pp->pattern_len;
+
+  // Phase 1 (serial, memcpy-bound): unstuff every segment into its final
+  // position, validating the RSTn sequence between segments.
+  struct Seg { int64_t base, len; int32_t marker; };
+  std::vector<Seg> segs;
+  segs.reserve(static_cast<size_t>(nseg));
   int64_t pos = pp->pos;
   int64_t write_off = 0;
+  for (int64_t i = 0; i < nseg; i++) {
+    Seg sg{write_off, 0, -1};
+    if (!unstuff_segment(data, n, &pos, out + sg.base,
+                         out_cap - sg.base - GUARD, &sg.len, &sg.marker))
+      return PRESCAN_FALLBACK;
+    std::memset(out + sg.base + sg.len, 0, GUARD);
+    write_off = sg.base + sg.len + PAD;
+    if (i + 1 < nseg &&
+        (!(sg.marker >= 0xD0 && sg.marker <= 0xD7) ||
+         (sg.marker - 0xD0) != (i % 8)))
+      return PRESCAN_FALLBACK;
+    segs.push_back(sg);
+  }
 
-  int64_t seg_base = 0, seg_len = 0;
-  int32_t marker = -1;
-  auto next_segment = [&]() -> bool {
-    seg_base = write_off;
-    if (!unstuff_segment(data, n, &pos, out + seg_base,
-                         out_cap - seg_base - GUARD, &seg_len, &marker))
-      return false;
-    std::memset(out + seg_base + seg_len, 0, GUARD);
-    return true;
+  // Phase 2: symbol-length walk, one task per restart segment. Anchors and
+  // chunks never span a segment (a forced anchor opens every segment), so
+  // per-segment results merge by concatenation in segment order.
+  struct WalkOut {
+    std::vector<uint32_t> a_bits, c_end;
+    std::vector<int32_t> a_block, a_slot, c_syms;
+    int64_t max_syms = 0;
+    bool ok = false;
   };
-  if (!next_segment()) return PRESCAN_FALLBACK;
+  std::vector<WalkOut> results(segs.size());
 
-  int64_t p = 0;
-  int64_t syms_since = 0, blocks_since = 0, max_chunk_syms = 0;
-  int64_t n_anchors = 0;
-  int64_t n_closed = 0;
-  auto close_chunk = [&]() {
-    if (n_anchors > 0 && n_closed < n_anchors) {
-      if (syms_since > max_chunk_syms) max_chunk_syms = syms_since;
-      chunk_end[n_closed] = static_cast<uint32_t>(seg_base * 8 + p);
-      chunk_syms[n_closed] = static_cast<int32_t>(syms_since);
-      n_closed++;
-    }
-  };
-  int32_t n_blocks = 0;
-  int64_t mcus_left = pp->restart_interval;
-  int32_t expected_rst = 0;
+  auto walk_segment = [&](size_t si) {
+    const Seg& sg = segs[si];
+    WalkOut& res = results[si];
+    const int64_t mcu0 = RI > 0 ? static_cast<int64_t>(si) * RI : 0;
+    const int64_t mcu1 =
+        RI > 0 ? std::min<int64_t>(mcu0 + RI, total_mcus) : total_mcus;
+    const uint8_t* sb = out + sg.base;
+    const int64_t bit_limit = sg.len * 8 + 128;
 
-  auto close_segment = [&]() {
-    // Final layout padding: observed overrun + 4 bytes (already zeroed).
-    int64_t overrun_bits = p > seg_len * 8 ? p - seg_len * 8 : 0;
-    write_off = seg_base + seg_len + (overrun_bits + 7) / 8 + 4;
-  };
+    int64_t p = 0;
+    int64_t syms_since = pp->s_target;  // force an anchor at segment entry
+    int64_t blocks_since = 0;
 
-  const uint8_t* seg = out;  // reads via out + seg_base
-  bool fallback = false;
-
-  for (int32_t my = 0; my < pp->max_mcu_y && !fallback; my++) {
-    if (static_cast<int64_t>(my) * 8 >= pp->image_h) break;
-    for (int32_t mx = 0; mx < pp->max_mcu_x && !fallback; mx++) {
-      if (static_cast<int64_t>(mx) * 8 >= pp->image_w) break;
-
-      if (pp->restart_interval > 0) {
-        if (mcus_left == 0) {
-          if (!(marker >= 0xD0 && marker <= 0xD7) ||
-              (marker - 0xD0) != expected_rst) {
-            fallback = true;
-            break;
-          }
-          close_chunk();
-          close_segment();
-          if (!next_segment()) { fallback = true; break; }
-          p = 0;
-          expected_rst = (expected_rst + 1) % 8;
-          mcus_left = pp->restart_interval;
-          syms_since = pp->s_target;  // force an anchor at segment start
-        }
-        mcus_left--;
+    auto close_chunk = [&]() {
+      if (!res.a_bits.empty() && res.c_end.size() < res.a_bits.size()) {
+        if (syms_since > res.max_syms) res.max_syms = syms_since;
+        res.c_end.push_back(static_cast<uint32_t>(sg.base * 8 + p));
+        res.c_syms.push_back(static_cast<int32_t>(syms_since));
       }
+    };
 
-      for (int32_t slot = 0; slot < pp->pattern_len && !fallback; slot++) {
+    // Cold path for codes longer than 10 bits: resolve via the 16-bit LUT
+    // and re-encode as a micro entry.
+    auto slow = [&](const uint32_t* lut16, bool is_dc,
+                    uint32_t win) -> uint16_t {
+      uint32_t e = lut16[win >> 16];
+      int len = (e >> 8) & 0x1F;
+      if (len == 0) return P_FB;
+      int val = e & 0xFF;
+      if (is_dc)
+        return val > 11 ? P_FB : static_cast<uint16_t>(len + val);
+      int s = val & 0x0F;
+      if (s == 0) {
+        if (val == 0xF0) return static_cast<uint16_t>((16 << 6) | len);
+        if (val == 0) return static_cast<uint16_t>(P_END | len);
+        return P_FB;
+      }
+      return static_cast<uint16_t>(
+          P_COEFF | (((val >> 4) + 1) << 6) | (len + s));
+    };
+
+    for (int64_t seq = mcu0; seq < mcu1; seq++) {
+      for (int32_t slot = 0; slot < plen; slot++) {
         int32_t ci = pp->pattern[slot];
         const uint32_t* dc_lut = luts + (static_cast<int64_t>(ci) * 2) * 65536;
         const uint32_t* ac_lut = dc_lut + 65536;
-        const uint16_t* dcp = micro.data() + (static_cast<size_t>(ci) * 2) * 1024;
+        const uint16_t* dcp =
+            micro.data() + (static_cast<size_t>(ci) * 2) * 1024;
         const uint16_t* acp = dcp + 1024;
 
-        if (n_anchors == 0 || syms_since >= pp->s_target ||
-            blocks_since >= pp->k_cap) {
+        if (syms_since >= pp->s_target || blocks_since >= pp->k_cap) {
           close_chunk();
-          if (n_anchors >= anchors_cap) { fallback = true; break; }
-          anchor_bits[n_anchors] = static_cast<uint32_t>(seg_base * 8 + p);
-          anchor_block[n_anchors] = n_blocks;
-          anchor_slot[n_anchors] = slot;
-          n_anchors++;
+          res.a_bits.push_back(static_cast<uint32_t>(sg.base * 8 + p));
+          res.a_block.push_back(static_cast<int32_t>(seq * plen + slot));
+          res.a_slot.push_back(slot);
           syms_since = 0;
           blocks_since = 0;
         }
 
-        // Cold path for codes longer than 10 bits: resolve via the 16-bit
-        // LUT and re-encode as a micro entry.
-        auto slow = [&](const uint32_t* lut16, bool is_dc,
-                        uint32_t win) -> uint16_t {
-          uint32_t e = lut16[win >> 16];
-          int len = (e >> 8) & 0x1F;
-          if (len == 0) return P_FB;
-          int val = e & 0xFF;
-          if (is_dc)
-            return val > 11 ? P_FB : static_cast<uint16_t>(len + val);
-          int s = val & 0x0F;
-          if (s == 0) {
-            if (val == 0xF0) return static_cast<uint16_t>((16 << 6) | len);
-            if (val == 0) return static_cast<uint16_t>(P_END | len);
-            return P_FB;
-          }
-          return static_cast<uint16_t>(
-              P_COEFF | (((val >> 4) + 1) << 6) | (len + s));
-        };
-
-        const int64_t bit_limit = seg_len * 8 + 128;
-        const uint8_t* sb = seg + seg_base;
-
         // Overrun bound shared with the Python prescan: reads may extend at
         // most 128 bits into a segment's zero-fill, else the host path
         // reproduces the oracle exactly.
-        if (p > bit_limit) { fallback = true; break; }
+        if (p > bit_limit) return;
         uint32_t win = win32_at(sb, p);
         uint16_t e = dcp[win >> 22];
         if (e & P_MISS) e = slow(dc_lut, true, win);
-        if (e & P_FB) { fallback = true; break; }
+        if (e & P_FB) return;
         p += e & 63;
         syms_since++;
 
         int32_t k = 1;
         while (k < 64) {
-          if (p > bit_limit) { fallback = true; break; }
+          if (p > bit_limit) return;
           win = win32_at(sb, p);
           e = acp[win >> 22];
           if (e & P_MISS) e = slow(ac_lut, false, win);
-          if (e & P_FB) { fallback = true; break; }
+          if (e & P_FB) return;
           p += e & 63;
           syms_since++;
           if (e & P_END) break;
           int32_t kadv = (e >> 6) & 0x3F;
           if (e & P_COEFF) {
-            if (k + kadv - 1 >= 64) { fallback = true; break; }  // overshoot
+            if (k + kadv - 1 >= 64) return;  // overshoot
             k += kadv;
           } else {
             k += 16;  // ZRL
           }
         }
-        n_blocks++;
         blocks_since++;
       }
     }
+    if (p > bit_limit) return;
+    close_chunk();
+    res.ok = true;
+  };
+
+  int nt = pp->nthreads > 0 ? pp->nthreads : 1;
+  if (nt > static_cast<int>(segs.size())) nt = static_cast<int>(segs.size());
+  if (nt > 8) nt = 8;
+  if (nt > 1) {
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= segs.size()) break;
+        walk_segment(i);
+      }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < nt; t++) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+  } else {
+    for (size_t i = 0; i < segs.size(); i++) walk_segment(i);
   }
-  if (fallback) return PRESCAN_FALLBACK;
-  close_chunk();
+
+  // Merge in segment order.
+  int64_t n_anchors = 0;
+  int64_t max_chunk_syms = 0;
+  for (size_t si = 0; si < segs.size(); si++) {
+    WalkOut& r = results[si];
+    if (!r.ok || r.c_end.size() != r.a_bits.size()) return PRESCAN_FALLBACK;
+    const int64_t k = static_cast<int64_t>(r.a_bits.size());
+    if (n_anchors + k > anchors_cap) return PRESCAN_FALLBACK;
+    std::memcpy(anchor_bits + n_anchors, r.a_bits.data(), k * 4);
+    std::memcpy(anchor_block + n_anchors, r.a_block.data(), k * 4);
+    std::memcpy(anchor_slot + n_anchors, r.a_slot.data(), k * 4);
+    std::memcpy(chunk_end + n_anchors, r.c_end.data(), k * 4);
+    std::memcpy(chunk_syms + n_anchors, r.c_syms.data(), k * 4);
+    if (r.max_syms > max_chunk_syms) max_chunk_syms = r.max_syms;
+    n_anchors += k;
+  }
   if (max_chunk_syms > pp->s_max) return PRESCAN_FALLBACK;
-  if (p > seg_len * 8 + 128) return PRESCAN_FALLBACK;
-  close_segment();
 
   // Trailing-RST tolerance (_finish_scan): skip RST markers after the scan.
+  int32_t marker = segs.back().marker;
   while (marker >= 0xD0 && marker <= 0xD7) {
     size_t sp = static_cast<size_t>(pos);
     marker = read_marker(data, static_cast<size_t>(n), &sp);
@@ -2001,7 +2051,7 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
   pp->pos = pos;
   pp->out_len = write_off;
   pp->n_anchors = n_anchors;
-  pp->n_blocks = n_blocks;
+  pp->n_blocks = static_cast<int32_t>(total_mcus * plen);
   pp->pending_marker = marker;
   return PRESCAN_OK;
 }

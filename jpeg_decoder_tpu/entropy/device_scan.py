@@ -506,7 +506,6 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
     cur_words, seg_nbits = seg_words(segments[0])
     cur_words_l = cur_words.tolist()
     p = 0
-    overruns = [0] * len(segments)
 
     anchors = []          # (local_bit_in_segment, seg_index, stream_block, slot)
     chunk_ends = []       # (local_bit, seg_index) at chunk close
@@ -544,8 +543,6 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
                     # go through the host path for exact error parity.
                     if seg_i >= len(rst_nums) or rst_nums[seg_i] != expected_rst:
                         raise PrescanFallback("restart protocol violation")
-                    overruns[seg_i] = max(overruns[seg_i],
-                                          max(0, p - seg_nbits))
                     if anchors and len(chunk_ends) < len(anchors):
                         chunk_ends.append((p, seg_i))
                         chunk_syms.append(syms_since)
@@ -605,19 +602,20 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
         max_chunk_syms = max(max_chunk_syms, syms_since)
         chunk_ends.append((p, seg_i))
         chunk_syms.append(syms_since)
-    overruns[seg_i] = max(overruns[seg_i], max(0, p - seg_nbits))
     if max_chunk_syms > S_MAX:
         raise PrescanFallback("chunk symbol budget exceeded")
 
-    # Layout: segments padded per observed overrun (zero bits = the oracle's
-    # post-marker fill), concatenated byte-aligned.
+    # Layout shared bit-for-bit with the C++ prescan: every segment is
+    # followed by a fixed 24-byte zero pad (covers the 128-bit overrun bound
+    # plus the 8-byte window read), concatenated byte-aligned. Fixed padding
+    # makes segment bases computable before the walk — the precondition for
+    # the C++ side's parallel per-segment walk.
     seg_bases = []
     out = bytearray()
     for si, seg in enumerate(segments[:seg_i + 1]):
         seg_bases.append(len(out) * 8)
         out.extend(seg)
-        pad = (overruns[si] + 7) // 8 + 4
-        out.extend(b"\x00" * pad)
+        out.extend(b"\x00" * 24)
 
     a_bits = np.array([seg_bases[si] + local_p
                        for (local_p, si, _b, _s) in anchors], np.uint32)

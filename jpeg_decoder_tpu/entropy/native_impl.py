@@ -26,7 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 9  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 10  # bump together with jt_abi_version() in entropy.cc
 
 
 class _CHuffTable(C.Structure):
@@ -96,6 +96,7 @@ class _CPrescanParams(C.Structure):
         ("n_anchors", C.c_int64),
         ("n_blocks", C.c_int32),
         ("pending_marker", C.c_int32),
+        ("nthreads", C.c_int32),
     ]
 
 
@@ -426,6 +427,7 @@ def prescan_baseline(cursor, luts: np.ndarray, geometry: dict,
     pp.s_max = s_max
     pattern = geometry["pattern"]
     pp.pattern_len = len(pattern)
+    pp.nthreads = _NTHREADS
     for i, ci in enumerate(pattern):
         pp.pattern[i] = ci
 

@@ -1,0 +1,141 @@
+"""Native (C++ jt_prescan_baseline) vs Python-mirror prescan layout parity.
+
+The bits-interchange wire format — unstuffed segment layout, anchors, chunk
+ends, symbol counts — must be byte-for-byte identical whichever prescan built
+it, because the Pallas/XLA device decoders consume it positionally and the
+persistent compile cache keys on the bucketed shapes. The fixed per-segment
+24-byte pad (entropy.cc jt_prescan_baseline phase 1 / device_scan.py
+prescan_baseline) is the shared contract; this test pins it on both DRI
+(parallel per-segment walk) and non-DRI (single segment) streams.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jpeg_decoder_tpu.entropy.native as native_mod
+from conftest import REFTEST_IMAGES
+
+from jpeg_decoder_tpu import Decoder
+from jpeg_decoder_tpu.entropy.device_scan import (
+    PrescanFallback,
+    prescan_baseline,
+)
+
+
+class _Capture:
+    """Decoder hook recording every baseline scan's staged layout."""
+
+    def __init__(self):
+        self.scans = []   # (pending_marker, AnchoredScan)
+
+    def wants(self, frame) -> bool:
+        return True
+
+    def decode_scan(self, decoder, frame, scan, finished):
+        marker, staged = prescan_baseline(
+            decoder._cursor, frame, scan,
+            decoder._dc_huffman_tables, decoder._ac_huffman_tables,
+            decoder._restart_interval)
+        self.scans.append((marker, staged))
+        for pos, comp_i in enumerate(scan.component_indices):
+            if finished[pos]:
+                qt = decoder._quantization_tables[
+                    frame.components[comp_i].quantization_table_index]
+                decoder._pending_render[comp_i] = (None, qt.copy())
+        return marker
+
+
+def _prescan(data, disable_native: bool):
+    if disable_native:
+        os.environ["JPEG_TPU_DISABLE_NATIVE"] = "1"
+    else:
+        os.environ.pop("JPEG_TPU_DISABLE_NATIVE", None)
+    native_mod.reset_native_cache()
+    try:
+        d = Decoder(data)
+        cap = _Capture()
+        d._prefix_capture = cap
+        d._decode_entropy_only()
+        return cap.scans
+    finally:
+        os.environ.pop("JPEG_TPU_DISABLE_NATIVE", None)
+        native_mod.reset_native_cache()
+
+
+def _assert_layout_equal(name, native_scans, mirror_scans):
+    assert len(native_scans) == len(mirror_scans), name
+    for si, ((nm, ns), (mm, ms)) in enumerate(zip(native_scans, mirror_scans)):
+        ctx = f"{name} scan {si}"
+        assert nm == mm, f"{ctx}: pending marker {nm} != {mm}"
+        assert ns.n_items == ms.n_items, f"{ctx}: anchor count"
+        assert ns.n_blocks == ms.n_blocks, f"{ctx}: n_blocks"
+        for field in ("words", "anchor_bits", "anchor_block", "anchor_slot",
+                      "chunk_end", "chunk_syms"):
+            a, b = getattr(ns, field), getattr(ms, field)
+            if a is None or b is None:
+                assert a is b, f"{ctx}: {field} presence"
+                continue
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.shape == b.shape, f"{ctx}: {field} shape {a.shape} != {b.shape}"
+            bad = np.flatnonzero(a != b)
+            assert bad.size == 0, (
+                f"{ctx}: {field} differs at {bad[:5]} "
+                f"native={a[bad[:5]]} mirror={b[bad[:5]]}")
+
+
+def _make_dri_jpeg(h, w, restart_rows=1, mode="RGB", seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if mode == "RGB" else (h, w)
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode).save(buf, "JPEG", quality=85,
+                                    restart_marker_rows=restart_rows)
+    return buf.getvalue()
+
+
+CORPUS = [
+    "rgb.jpg",
+    "restarts.jpg",                       # DRI
+    "grayscale_16x24_sampling2x2.jpg",
+    "mjpeg.jpg",
+    "16bit-qtables.jpg",
+    "mozilla/jpg-size-1x1.jpg",
+    "mozilla/jpg-cmyk-1.jpg",
+    "ycck.jpg",
+]
+
+
+@pytest.mark.parametrize("name", CORPUS)
+def test_corpus_prescan_layout_parity(name):
+    path = REFTEST_IMAGES / name
+    if not path.exists():
+        pytest.skip(f"{name} not in corpus")
+    if native_mod.get_native() is None:
+        pytest.skip("native engine unavailable")
+    data = path.read_bytes()
+    try:
+        native_scans = _prescan(data, disable_native=False)
+    except PrescanFallback as e:
+        pytest.skip(f"prescan fallback: {e}")
+    mirror_scans = _prescan(data, disable_native=True)
+    _assert_layout_equal(name, native_scans, mirror_scans)
+
+
+@pytest.mark.parametrize("shape,mode,rows,seed", [
+    ((512, 768), "RGB", 1, 0),    # ~64 segments — engages the threaded walk
+    ((320, 320), "RGB", 2, 1),
+    ((264, 120), "L", 1, 2),      # ragged right/bottom MCUs
+])
+def test_dri_prescan_layout_parity(shape, mode, rows, seed):
+    if native_mod.get_native() is None:
+        pytest.skip("native engine unavailable")
+    data = _make_dri_jpeg(*shape, restart_rows=rows, mode=mode, seed=seed)
+    native_scans = _prescan(data, disable_native=False)
+    mirror_scans = _prescan(data, disable_native=True)
+    assert native_scans and native_scans[0][1].n_items > 8, \
+        "expected a multi-anchor DRI prescan"
+    _assert_layout_equal(f"dri{shape}", native_scans, mirror_scans)
