@@ -30,6 +30,7 @@ import numpy as np
 from ..decoder import Decoder
 from ..entropy.scan_python import UNZIGZAG
 from ..ops.pipeline import ImageGeometry, _reconstruct, geometry_from_frame
+from ..parser import CodingProcess
 
 PREFIX_K = 16
 
@@ -607,9 +608,19 @@ def stage_host_bits(source, scale_to=None, precision: str = "fast",
             d.scale(*scale_to)
         d._decode_entropy_only()
     except PrescanFallback:
-        return stage_host(source, scale_to, precision)
+        # Quirk baseline stream: re-decode on the host (oracle semantics),
+        # then re-encode the stores into the bits format (transcode). Only
+        # when that fails too does the image ship as prefix coefficients.
+        return _stage_host_decoded_bits(source, scale_to, precision)
     if not capture.used:
-        # Progressive/lossless image: host path already decoded it.
+        if d.frame is not None and d.frame.coding_process \
+                == CodingProcess.DCT_PROGRESSIVE:
+            # Progressive image: the host oracle already decoded it into
+            # dense stores — transcode them into the bits format.
+            from ..entropy.transcode import transcode_decoded
+            st = transcode_decoded(d, precision)
+            if st is not None:
+                return _attach_pallas(st)
         return stage_host(source, scale_to, precision)
 
     frame = d.frame
@@ -621,24 +632,43 @@ def stage_host_bits(source, scale_to=None, precision: str = "fast",
     qts = tuple(d._pending_render[i][1] for i in range(n))
     info = d.info()
 
-    pallas = None
-    if _bits_pallas_enabled():
-        from ..entropy.pallas_decode import combine_packs, pack_classes
-        per_scan = []
-        for scan, _kept in capture.scans:
-            packs = pack_classes(scan)
-            if packs is None:
-                per_scan.append(None)
-            else:
-                shapes = tuple(
-                    (p.slot_words, p.s_max, p.slots_t.shape[1] * 1024,
-                     p.n_items)
-                    for p in packs)
-                per_scan.append((combine_packs(packs), shapes))
-        pallas = tuple(per_scan)
+    return _attach_pallas(StagedBits(geometry, tuple(capture.scans), qts,
+                                     info.width * info.height / 1e6))
 
-    return StagedBits(geometry, tuple(capture.scans), qts,
-                      info.width * info.height / 1e6, pallas)
+
+def _attach_pallas(st: "StagedBits") -> "StagedBits":
+    """Pre-pack the Pallas class layout for every scan (runs in the staging
+    thread pool so the dispatch thread only does device_put + dispatch)."""
+    if not _bits_pallas_enabled():
+        return st
+    from ..entropy.pallas_decode import combine_packs, pack_classes
+    per_scan = []
+    for scan, _kept in st.scans:
+        packs = pack_classes(scan)
+        if packs is None:
+            per_scan.append(None)
+        else:
+            shapes = tuple(
+                (p.slot_words, p.s_max, p.slots_t.shape[1] * 1024, p.n_items)
+                for p in packs)
+            per_scan.append((combine_packs(packs), shapes))
+    st.pallas = tuple(per_scan)
+    return st
+
+
+def _stage_host_decoded_bits(source, scale_to, precision: str):
+    """Full host decode into dense stores, then transcode into the bits
+    interchange; prefix fallback when the transcoder declines."""
+    from ..entropy.transcode import transcode_decoded
+
+    d = Decoder(source, backend="numpy")
+    if scale_to is not None:
+        d.scale(*scale_to)
+    d._decode_entropy_only()
+    st = transcode_decoded(d, precision)
+    if st is not None:
+        return _attach_pallas(st)
+    return stage_host(source, scale_to, precision)
 
 
 @functools.lru_cache(maxsize=128)

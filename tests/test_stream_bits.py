@@ -95,9 +95,26 @@ def test_large_image_bytes_per_pixel():
     assert nbytes / px < 0.3, f"{nbytes / px:.3f} B/px"
 
 
-def test_progressive_falls_back():
+def test_progressive_transcodes_to_bits():
+    """Progressive images re-encode into the bits interchange (transcode.py)
+    rather than shipping prefix coefficients."""
     staged = stage_host_bits(str(REFTEST_IMAGES / "mozilla" / "jpg-progressive.jpg"))
-    assert not isinstance(staged, StagedBits)
+    assert isinstance(staged, StagedBits)
+
+
+def test_lossless_stays_host_side():
+    """Lossless frames are outside the DCT stream service (transcoder
+    declines; the prefix staging has no lossless assembly either) — the
+    pre-existing typed error is preserved."""
+    import pytest
+
+    from jpeg_decoder_tpu.errors import FormatError
+
+    path = REFTEST_IMAGES / "lossless" / "1" / "jpeg_lossless_sel1.jpg"
+    if not path.exists():
+        pytest.skip("lossless corpus image missing")
+    with pytest.raises(FormatError):
+        stage_host_bits(str(path))
 
 
 def test_corpus_stream_bits_sweep(decoders):
