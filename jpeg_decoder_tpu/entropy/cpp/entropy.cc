@@ -992,7 +992,7 @@ void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
 
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 10; }
+int64_t jt_abi_version() { return 11; }
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.
@@ -2054,6 +2054,167 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
   pp->n_blocks = static_cast<int32_t>(total_mcus * plen);
   pp->pending_marker = marker;
   return PRESCAN_OK;
+}
+
+// ---------------------------------------------------------------------------
+// Transcode: coefficient store -> anchored-chunk symbol stream (the bits
+// interchange for host-decoded scans — progressive, quirk baselines).
+// Bit-for-bit identical to the Python mirror (entropy/transcode.py
+// transcode_scan): same MCU walk (incl. the mcu*8 >= image clip), same
+// chunking policy, same canonical codes, same final-byte zero padding.
+
+struct TranscodeParams {
+  int32_t ncomp;
+  int32_t interleaved;       // 0: single-component frame (grid = comp blocks)
+  int32_t max_mcu_x, max_mcu_y;
+  int32_t image_w, image_h;
+  int32_t pattern_len;
+  int32_t s_target, k_cap;
+  int32_t max_span_bytes, worst_block_bytes;
+  int64_t out_cap;
+  int64_t out_len;           // out: bitstream bytes (incl. final partial)
+  int64_t n_anchors;         // out
+  int32_t n_blocks;          // out
+  int32_t pattern[64];       // component index per MCU slot
+  int32_t comp_bw[4];        // block grid width per component
+  int32_t comp_hs[4], comp_vs[4];
+  int64_t comp_off[4];       // int16 element offset into `stores`
+};
+
+enum TranscodeStatus { TC_OK = 0, TC_FALLBACK = 1, TC_GROW = 2 };
+
+int jt_transcode_scan(const int16_t* stores, TranscodeParams* tp,
+                      const uint32_t* dc_code, const uint8_t* dc_len,
+                      const uint32_t* ac_code, const uint8_t* ac_len,
+                      uint8_t* out, uint32_t* anchor_bits,
+                      int32_t* anchor_block, int32_t* anchor_slot,
+                      uint32_t* chunk_end, int32_t* chunk_syms) {
+  uint64_t acc = 0;
+  int nbits = 0;
+  int64_t nbytes = 0;
+  auto put = [&](uint32_t v, int count) {
+    acc = (acc << count) | (v & ((count == 32 ? ~0u : ((1u << count) - 1))));
+    nbits += count;
+    while (nbits >= 8) {
+      nbits -= 8;
+      out[nbytes++] = static_cast<uint8_t>(acc >> nbits);
+    }
+    acc &= (1u << nbits) - 1;
+  };
+  auto bitpos = [&]() -> int64_t { return nbytes * 8 + nbits; };
+
+  int64_t n_anchors = 0, n_closed = 0;
+  int64_t syms_since = 0, blocks_since = 0;
+  int64_t block_i = 0;
+  int32_t preds[4] = {0, 0, 0, 0};
+
+  auto close_chunk = [&]() {
+    if (n_anchors > 0 && n_closed < n_anchors) {
+      chunk_end[n_closed] = static_cast<uint32_t>(bitpos());
+      chunk_syms[n_closed] = static_cast<int32_t>(syms_since);
+      n_closed++;
+    }
+  };
+
+  // One block; returns TC_OK / TC_FALLBACK.
+  auto encode_block = [&](int comp, int64_t by, int64_t bx,
+                          int32_t slot) -> int {
+    int64_t p = bitpos();
+    if (n_anchors == 0 || syms_since >= tp->s_target
+        || blocks_since >= tp->k_cap
+        || (p / 8 - anchor_bits[n_anchors - 1] / 8) + tp->worst_block_bytes
+           > tp->max_span_bytes) {
+      close_chunk();
+      anchor_bits[n_anchors] = static_cast<uint32_t>(p);
+      anchor_block[n_anchors] = static_cast<int32_t>(block_i);
+      anchor_slot[n_anchors] = slot;
+      n_anchors++;
+      syms_since = 0;
+      blocks_since = 0;
+    }
+
+    const int16_t* row = stores + tp->comp_off[comp]
+        + (by * tp->comp_bw[comp] + bx) * 64;
+
+    int32_t dc = row[0];
+    int32_t diff = static_cast<int16_t>(
+        static_cast<uint16_t>(dc - preds[comp]));
+    preds[comp] = dc;
+    uint32_t mag = diff < 0 ? static_cast<uint32_t>(-(int64_t)diff)
+                            : static_cast<uint32_t>(diff);
+    int cat = mag ? 32 - __builtin_clz(mag) : 0;
+    int ln = dc_len[cat];
+    if (ln == 0) return TC_FALLBACK;
+    uint32_t mb = diff < 0
+        ? static_cast<uint32_t>(diff + (1 << cat) - 1) & ((1u << cat) - 1)
+        : static_cast<uint32_t>(diff);
+    put((dc_code[cat] << cat) | mb, ln + cat);
+    syms_since++;
+
+    int prev = 0;
+    for (int z = 1; z < 64; z++) {
+      int32_t v = row[UNZIGZAG[z]];
+      if (v == 0) continue;
+      int run = z - prev - 1;
+      prev = z;
+      while (run >= 16) {
+        put(ac_code[0xF0], ac_len[0xF0]);
+        syms_since++;
+        run -= 16;
+      }
+      uint32_t m = v < 0 ? static_cast<uint32_t>(-(int64_t)v)
+                         : static_cast<uint32_t>(v);
+      int s = 32 - __builtin_clz(m);
+      if (s > 15) return TC_FALLBACK;
+      int sym = (run << 4) | s;
+      uint32_t bits = v > 0
+          ? static_cast<uint32_t>(v)
+          : static_cast<uint32_t>(v + (1 << s) - 1) & ((1u << s) - 1);
+      put((ac_code[sym] << s) | bits, ac_len[sym] + s);
+      syms_since++;
+    }
+    if (prev != 63) {
+      put(ac_code[0], ac_len[0]);    // EOB
+      syms_since++;
+    }
+    blocks_since++;
+    block_i++;
+    return TC_OK;
+  };
+
+  const int64_t guard = tp->worst_block_bytes + 32;
+  for (int32_t my = 0; my < tp->max_mcu_y; my++) {
+    if (static_cast<int64_t>(my) * 8 >= tp->image_h) break;
+    for (int32_t mx = 0; mx < tp->max_mcu_x; mx++) {
+      if (static_cast<int64_t>(mx) * 8 >= tp->image_w) break;
+      if (nbytes + guard > tp->out_cap) return TC_GROW;
+      if (tp->interleaved) {
+        int32_t slot = 0;
+        for (int c = 0; c < tp->ncomp; c++) {
+          for (int v = 0; v < tp->comp_vs[c]; v++) {
+            for (int h = 0; h < tp->comp_hs[c]; h++) {
+              if (encode_block(c, static_cast<int64_t>(my) * tp->comp_vs[c] + v,
+                               static_cast<int64_t>(mx) * tp->comp_hs[c] + h,
+                               slot) != TC_OK)
+                return TC_FALLBACK;
+              slot++;
+            }
+          }
+        }
+      } else {
+        if (encode_block(0, my, mx, 0) != TC_OK) return TC_FALLBACK;
+      }
+    }
+  }
+  close_chunk();
+  if (nbits > 0) {
+    out[nbytes++] = static_cast<uint8_t>((acc << (8 - nbits)) & 0xFF);
+  }
+
+  tp->out_len = nbytes;
+  tp->n_anchors = n_anchors;
+  tp->n_blocks = static_cast<int32_t>(block_i);
+  return TC_OK;
 }
 
 }  // extern "C"

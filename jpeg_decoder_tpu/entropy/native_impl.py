@@ -26,7 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 10  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 11  # bump together with jt_abi_version() in entropy.cc
 
 
 class _CHuffTable(C.Structure):
@@ -97,6 +97,31 @@ class _CPrescanParams(C.Structure):
         ("n_blocks", C.c_int32),
         ("pending_marker", C.c_int32),
         ("nthreads", C.c_int32),
+    ]
+
+
+class _CTranscodeParams(C.Structure):
+    _fields_ = [
+        ("ncomp", C.c_int32),
+        ("interleaved", C.c_int32),
+        ("max_mcu_x", C.c_int32),
+        ("max_mcu_y", C.c_int32),
+        ("image_w", C.c_int32),
+        ("image_h", C.c_int32),
+        ("pattern_len", C.c_int32),
+        ("s_target", C.c_int32),
+        ("k_cap", C.c_int32),
+        ("max_span_bytes", C.c_int32),
+        ("worst_block_bytes", C.c_int32),
+        ("out_cap", C.c_int64),
+        ("out_len", C.c_int64),
+        ("n_anchors", C.c_int64),
+        ("n_blocks", C.c_int32),
+        ("pattern", C.c_int32 * 64),
+        ("comp_bw", C.c_int32 * 4),
+        ("comp_hs", C.c_int32 * 4),
+        ("comp_vs", C.c_int32 * 4),
+        ("comp_off", C.c_int64 * 4),
     ]
 
 
@@ -194,6 +219,11 @@ def _load():
         C.c_char_p, C.c_int64, C.POINTER(_CPrescanParams), C.c_void_p,
         C.c_void_p, C.c_int64, C.c_void_p, C.c_void_p, C.c_void_p,
         C.c_void_p, C.c_void_p, C.c_int64]
+    lib.jt_transcode_scan.restype = C.c_int
+    lib.jt_transcode_scan.argtypes = [
+        C.c_void_p, C.POINTER(_CTranscodeParams), C.c_void_p, C.c_void_p,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_void_p, C.c_void_p, C.c_void_p]
     lib.jt_idct_component.restype = None
     lib.jt_idct_component.argtypes = [
         C.c_void_p, C.c_void_p, C.c_int64, C.c_int64, C.c_int32, C.c_void_p,
@@ -454,6 +484,69 @@ def prescan_baseline(cursor, luts: np.ndarray, geometry: dict,
     pending = pp.pending_marker if pp.pending_marker >= 0 else None
     return (out[:pp.out_len], a_bits[:n], a_block[:n], a_slot[:n],
             pp.n_blocks, pending, a_end[:n], a_syms[:n])
+
+
+def transcode_scan(stores_concat: np.ndarray, geometry: dict,
+                   dc_code: np.ndarray, dc_len: np.ndarray,
+                   ac_code: np.ndarray, ac_len: np.ndarray,
+                   s_target: int, k_cap: int,
+                   max_span_bytes: int, worst_block_bytes: int):
+    """Run the C++ store->bitstream transcoder (entropy.cc jt_transcode_scan);
+    bit-identical to the Python mirror in transcode.py. Returns
+    (out_bytes, a_bits, a_block, a_slot, c_end, c_syms, n_blocks) or None on
+    fallback (unencodable value)."""
+    lib = _load()
+    assert lib is not None
+    tp = _CTranscodeParams()
+    tp.ncomp = geometry["ncomp"]
+    tp.interleaved = geometry["interleaved"]
+    tp.max_mcu_x = geometry["max_mcu_x"]
+    tp.max_mcu_y = geometry["max_mcu_y"]
+    tp.image_w = geometry["image_w"]
+    tp.image_h = geometry["image_h"]
+    pattern = geometry["pattern"]
+    tp.pattern_len = len(pattern)
+    tp.s_target = s_target
+    tp.k_cap = k_cap
+    tp.max_span_bytes = max_span_bytes
+    tp.worst_block_bytes = worst_block_bytes
+    for i, ci in enumerate(pattern):
+        tp.pattern[i] = ci
+    for i in range(geometry["ncomp"]):
+        tp.comp_bw[i] = geometry["comp_bw"][i]
+        tp.comp_hs[i] = geometry["comp_hs"][i]
+        tp.comp_vs[i] = geometry["comp_vs"][i]
+        tp.comp_off[i] = geometry["comp_off"][i]
+
+    n_blocks_est = geometry["est_blocks"]
+    cap = n_blocks_est + 2
+    a_bits = np.zeros(cap, np.uint32)
+    a_block = np.zeros(cap, np.int32)
+    a_slot = np.zeros(cap, np.int32)
+    c_end = np.zeros(cap, np.uint32)
+    c_syms = np.zeros(cap, np.int32)
+    stores_concat = np.ascontiguousarray(stores_concat, np.int16)
+
+    out_cap = n_blocks_est * 96 + (1 << 16)
+    for _ in range(2):
+        out = np.empty(out_cap, np.uint8)
+        tp.out_cap = out_cap
+        status = lib.jt_transcode_scan(
+            stores_concat.ctypes.data, C.byref(tp),
+            dc_code.ctypes.data, dc_len.ctypes.data,
+            ac_code.ctypes.data, ac_len.ctypes.data,
+            out.ctypes.data, a_bits.ctypes.data, a_block.ctypes.data,
+            a_slot.ctypes.data, c_end.ctypes.data, c_syms.ctypes.data)
+        if status == 0:
+            n = tp.n_anchors
+            total = tp.out_len + 16   # mirror's window read-ahead padding
+            out[tp.out_len:total] = 0
+            return (out[:total], a_bits[:n], a_block[:n], a_slot[:n],
+                    c_end[:n], c_syms[:n], tp.n_blocks)
+        if status != 2:   # TC_FALLBACK
+            return None
+        out_cap = n_blocks_est * 300 + (1 << 16)   # TC_GROW: worst case
+    return None
 
 
 def pack_coo(store: np.ndarray, base: int, idx_out: np.ndarray,

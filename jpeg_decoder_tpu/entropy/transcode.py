@@ -208,30 +208,38 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def transcode_scan(frame, stores: "list[np.ndarray]"):
-    """Encode per-component natural-order stores ([blocks*64] int16) into an
-    AnchoredScan. Returns (scan, staged); raises TranscodeFallback when a
-    value exceeds the alphabet (AC -32768 / categories past 16)."""
-    ncomp = len(frame.components)
-    scan = ScanInfo(
-        component_indices=list(range(ncomp)),
-        dc_table_indices=[0] * ncomp,
-        ac_table_indices=[0] * ncomp,
-        spectral_selection_start=0,
-        spectral_selection_end=64,
-        predictor_selection=Predictor(0),
-        successive_approximation_high=0,
-        successive_approximation_low=0,
-        point_transform=0,
-    )
+def _check_covered(frame, scan, stores16: "list[np.ndarray]") -> None:
+    """Blocks outside the decoded-MCU grid (the reference's `mcu*8 >= image`
+    clip, _stream_blocks) are not transported; the assembler zero-fills them.
+    They are never rendered and hold zeros in any stream the reference itself
+    produced — but a store that somehow has data there cannot round-trip, so
+    defer it to the prefix interchange. The covered region per component is a
+    rectangle: the walk visits exactly by < rows*vs, bx < cols*hs."""
+    components = [frame.components[i] for i in scan.component_indices]
+    interleaved = len(components) > 1
+    w, h = frame.image_size.width, frame.image_size.height
+    if interleaved:
+        max_x, max_y = frame.mcu_size.width, frame.mcu_size.height
+    else:
+        max_x = components[0].block_size.width
+        max_y = components[0].block_size.height
+    cols = min(max_x, (w + 7) // 8)
+    rows = min(max_y, (h + 7) // 8)
+    for c, st in zip(components, stores16):
+        hs = c.horizontal_sampling_factor if interleaved else 1
+        vs = c.vertical_sampling_factor if interleaved else 1
+        grid = st.reshape(c.block_size.height, c.block_size.width, 64)
+        if (grid[rows * vs:].any() or grid[:, cols * hs:].any()):
+            raise TranscodeFallback("nonzero coefficients outside MCU grid")
 
-    dc_code, dc_len, ac_code, ac_len = _encode_luts()
+
+def _python_encode(frame, scan, stores16, dc_code, dc_len, ac_code, ac_len):
+    """Pure-Python mirror of entropy.cc jt_transcode_scan (bit-identical)."""
+    ncomp = len(frame.components)
     zz = np.asarray(UNZIGZAG)
-    comp_zz = [np.ascontiguousarray(
-        np.asarray(s, np.int16).reshape(-1, 64)[:, zz].astype(np.int32))
-        for s in stores]
+    comp_zz = [np.ascontiguousarray(s.reshape(-1, 64)[:, zz].astype(np.int32))
+               for s in stores16]
     bw = [c.block_size.width for c in frame.components]
-    covered = [np.zeros(len(c), bool) for c in comp_zz]
 
     w = _BitWriter()
     a_bits: list = []
@@ -262,7 +270,6 @@ def transcode_scan(frame, stores: "list[np.ndarray]"):
             blocks_since = 0
 
         row = comp_zz[comp][by * bw[comp] + bx]
-        covered[comp][by * bw[comp] + bx] = True
 
         # DC: wrap16 diff against the component predictor (the assembler
         # recovers DC via int32 cumsum truncated to int16).
@@ -306,22 +313,65 @@ def transcode_scan(frame, stores: "list[np.ndarray]"):
         block_i += 1
 
     close_chunk()
-    # Blocks outside the decoded-MCU grid (the reference's `mcu*8 >= image`
-    # clip, _stream_blocks) are not transported; the assembler zero-fills
-    # them. They are never rendered and hold zeros in any stream the
-    # reference itself produced — but a store that somehow has data there
-    # cannot round-trip, so defer it to the prefix interchange.
-    for cz, cov in zip(comp_zz, covered):
-        if not cov.all() and cz[~cov].any():
-            raise TranscodeFallback("nonzero coefficients outside MCU grid")
     out = w.finish() + b"\x00" * 16   # window read-ahead past the last symbol
+    return (np.frombuffer(out, np.uint8), np.asarray(a_bits, np.uint32),
+            np.asarray(a_block, np.int32), np.asarray(a_slot, np.int32),
+            np.asarray(c_end, np.uint32), np.asarray(c_syms, np.int32),
+            block_i)
+
+
+def transcode_scan(frame, stores: "list[np.ndarray]"):
+    """Encode per-component natural-order stores ([blocks*64] int16) into an
+    AnchoredScan. Returns (scan, staged); raises TranscodeFallback when a
+    value exceeds the alphabet (AC -32768 / categories past 16)."""
+    from .device_scan import _prescan_geometry
+    from .native import get_native
+
+    ncomp = len(frame.components)
+    scan = ScanInfo(
+        component_indices=list(range(ncomp)),
+        dc_table_indices=[0] * ncomp,
+        ac_table_indices=[0] * ncomp,
+        spectral_selection_start=0,
+        spectral_selection_end=64,
+        predictor_selection=Predictor(0),
+        successive_approximation_high=0,
+        successive_approximation_low=0,
+        point_transform=0,
+    )
+    stores16 = [np.asarray(s, np.int16).reshape(-1) for s in stores]
+    _check_covered(frame, scan, stores16)
+    dc_code, dc_len, ac_code, ac_len = _encode_luts()
+
+    native = get_native()
+    res = None
+    if native is not None and hasattr(native, "transcode_scan") and ncomp <= 4:
+        geometry = _prescan_geometry(frame, scan, 0)
+        geometry["interleaved"] = 1 if ncomp > 1 else 0
+        geometry["comp_bw"] = [c.block_size.width for c in frame.components]
+        geometry["comp_hs"] = [c.horizontal_sampling_factor
+                               for c in frame.components]
+        geometry["comp_vs"] = [c.vertical_sampling_factor
+                               for c in frame.components]
+        offs = np.cumsum([0] + [s.size for s in stores16])
+        geometry["comp_off"] = [int(o) for o in offs[:-1]]
+        res = native.transcode_scan(
+            np.concatenate(stores16), geometry,
+            dc_code, dc_len, ac_code, ac_len,
+            S_TARGET, K_CAP, _MAX_CHUNK_SPAN_BYTES, _WORST_BLOCK_BYTES)
+        if res is None:
+            raise TranscodeFallback("native transcode fallback")
+    if res is None:
+        res = _python_encode(frame, scan, stores16,
+                             dc_code, dc_len, ac_code, ac_len)
+    out, a_bits, a_block, a_slot, c_end, c_syms, block_i = res
 
     dc_table, ac_table = transcode_tables()
     luts = np.concatenate(
         [np.stack([build_decode_lut16(dc_table),
                    build_decode_lut16(ac_table)])] * ncomp)
     staged = _staged_from_layout(
-        frame, scan, 0, luts, np.frombuffer(out, np.uint8),
+        frame, scan, 0, luts, np.asarray(out, np.uint8),
         np.asarray(a_bits, np.uint32), np.asarray(a_block, np.int32),
         np.asarray(a_slot, np.int32), block_i,
         np.asarray(c_end, np.uint32), np.asarray(c_syms, np.int32))

@@ -139,6 +139,83 @@ def test_sparse_and_dense_blocks():
     _roundtrip_assert(frame, [store.reshape(-1)], "patterns")
 
 
+NATIVE_MIRROR_CASES = [
+    "rgb.jpg",
+    "grayscale_16x24_sampling2x2.jpg",
+    "mozilla/jpg-cmyk-1.jpg",
+    "mozilla/jpg-progressive.jpg",
+    "progressive3.jpg",
+    "mozilla/jpg-size-1x1.jpg",
+]
+
+
+@pytest.mark.parametrize("name", NATIVE_MIRROR_CASES)
+def test_native_mirror_byte_identity(name):
+    """The C++ encoder (entropy.cc jt_transcode_scan) and the Python mirror
+    must produce identical staged layouts — the repo's native/oracle
+    invariant extended to the encode direction."""
+    import jpeg_decoder_tpu.entropy.native as native_mod
+
+    path = REFTEST_IMAGES / name
+    if not path.exists():
+        pytest.skip(f"{name} not in corpus")
+    if native_mod.get_native() is None:
+        pytest.skip("native engine unavailable")
+
+    def staged_for(disable):
+        if disable:
+            os.environ["JPEG_TPU_DISABLE_NATIVE"] = "1"
+        else:
+            os.environ.pop("JPEG_TPU_DISABLE_NATIVE", None)
+        native_mod.reset_native_cache()
+        try:
+            frame, stores = _oracle_stores(path)
+            return transcode_scan(frame, stores)[1]
+        finally:
+            os.environ.pop("JPEG_TPU_DISABLE_NATIVE", None)
+            native_mod.reset_native_cache()
+
+    sn, sp = staged_for(False), staged_for(True)
+    assert sn.n_items == sp.n_items and sn.n_blocks == sp.n_blocks
+    for f in ("words", "anchor_bits", "anchor_block", "anchor_slot",
+              "chunk_end", "chunk_syms"):
+        a, b = np.asarray(getattr(sn, f)), np.asarray(getattr(sp, f))
+        assert a.shape == b.shape, f"{f} shape"
+        bad = np.flatnonzero(a.reshape(-1) != b.reshape(-1))
+        assert bad.size == 0, f"{f} differs at {bad[:5]}"
+
+
+def test_native_extreme_values_matches_mirror():
+    """Full-range random stores (the extended alphabet's edge categories)
+    through both encoders: identical layouts, exact roundtrip."""
+    import jpeg_decoder_tpu.entropy.native as native_mod
+
+    if native_mod.get_native() is None:
+        pytest.skip("native engine unavailable")
+    frame = _tiny_frame(6, 4)
+    nb = frame.components[0].block_size.width \
+        * frame.components[0].block_size.height
+    rng = np.random.default_rng(7)
+    store = rng.integers(-32767, 32768, (nb, 64), np.int64).astype(np.int16)
+    store[0, 0] = -32768
+    stores = [store.reshape(-1)]
+
+    _, sn = transcode_scan(frame, stores)
+    os.environ["JPEG_TPU_DISABLE_NATIVE"] = "1"
+    native_mod.reset_native_cache()
+    try:
+        _, sp = transcode_scan(frame, stores)
+    finally:
+        os.environ.pop("JPEG_TPU_DISABLE_NATIVE", None)
+        native_mod.reset_native_cache()
+    for f in ("words", "anchor_bits", "anchor_block", "anchor_slot",
+              "chunk_end", "chunk_syms"):
+        assert (np.asarray(getattr(sn, f))
+                == np.asarray(getattr(sp, f))).all(), f
+    out = decode_anchored_device(sn)
+    assert (np.asarray(out[0]) == stores[0]).all()
+
+
 def test_progressive_corpus_pixel_parity():
     """Every progressive reftest image through the bits stream service
     (which transcodes) must match the host fast-precision decode exactly."""
