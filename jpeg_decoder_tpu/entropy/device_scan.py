@@ -318,10 +318,14 @@ def _prescan_geometry(frame, scan, restart_interval: int) -> dict:
 
 
 def _s_max_bucket(n: int) -> int:
-    for b in (16, 32, 64, 96, 128, S_MAX):
+    """Per-scan device step budget, bucketed for compile-cache hits. The
+    prescan guarantees n <= S_MAX; the transcoder's larger chunks (symbol
+    target 160 + one block overshoot) reach 223 — the 224 top bucket matches
+    pallas_decode.SYM_BUCKETS' ceiling."""
+    for b in (16, 32, 64, 96, 128, S_MAX, 224):
         if n <= b:
             return b
-    return S_MAX
+    raise ValueError(f"chunk symbol count {n} exceeds the device budget")
 
 
 def _staged_from_layout(frame, scan, restart_interval, luts, out_bytes,

@@ -35,7 +35,6 @@ from ..huffman import HuffmanTable
 from ..parser import CodingProcess, Predictor, ScanInfo
 from .device_scan import (
     K_CAP,
-    S_TARGET,
     _staged_from_layout,
     _stream_blocks,
     build_decode_lut16,
@@ -48,6 +47,14 @@ from .scan_python import UNZIGZAG
 # window read-ahead past the final symbol.
 _MAX_CHUNK_SPAN_BYTES = 512
 _WORST_BLOCK_BYTES = 256 + 9
+
+# Symbol target per chunk. The prescan uses 96 (its walk cost scales with
+# anchor density); the transcoder pays nothing extra for longer chunks, and
+# ~160 symbols x ~5.5 bits lands near the 128-byte slot class boundary —
+# ~87% class fill vs ~69% at 96. Ceiling: 160 - 1 + one block's 64-symbol
+# overshoot = 223 <= the 224 device step budget (_s_max_bucket /
+# pallas_decode.SYM_BUCKETS).
+S_TARGET_TC = 160
 
 
 def _limited_code_lengths(freqs: "list[int]", max_len: int = 16) -> "list[int]":
@@ -113,26 +120,49 @@ def _bits_values_from_lengths(symbols: "list[int]",
     return bits, bytes(values)
 
 
+# Symbol frequencies measured over the reftest corpus stores plus
+# photographic progressive content at q75/q85/q92 (scaled /8, floor 1). The
+# resulting static tables land within ~1% of the per-corpus entropy bound —
+# per-image optimal tables would shave only that last percent while breaking
+# cross-image LUT caching and batched grouping, so static wins.
+_DC_FREQ = (1353, 1010, 1195, 1320, 994, 511, 280, 146, 56, 11, 4, 1, 1, 1,
+            1, 1, 1)
+_AC_EOB_FREQ = 6404
+_AC_ZRL_FREQ = 584
+_AC_FREQ = (   # [run][size-1]
+    (31730, 17541, 7617, 2466, 823, 366, 196, 45, 3, 1, 1, 1, 1, 1, 1),
+    (11353, 3316, 738, 127, 23, 7, 8, 2, 1, 1, 1, 1, 1, 1, 1),
+    (5288, 843, 100, 16, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+    (2850, 281, 27, 3, 3, 5, 4, 1, 1, 1, 1, 1, 1, 1, 1),
+    (1657, 105, 6, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+    (1066, 40, 2, 1, 2, 3, 5, 1, 1, 1, 1, 1, 1, 1, 1),
+    (737, 19, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+    (526, 11, 1, 2, 4, 4, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+    (391, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+    (323, 3, 2, 1, 4, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+    (257, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+    (196, 3, 3, 4, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+    (161, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+    (132, 2, 3, 3, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+    (119, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+    (92, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1),
+)
+
+
 @functools.lru_cache(maxsize=1)
 def transcode_tables() -> "tuple[HuffmanTable, HuffmanTable]":
-    """The static (DC, AC) pair used by every transcoded stream.
-
-    Frequencies are a fixed model of re-encoded coefficient statistics
-    (magnitudes geometric in size, AC runs geometric in length, EOB once per
-    block); per-image optimal tables would shave a few percent of wire but
-    break cross-image LUT caching and batch grouping, so static wins."""
+    """The static (DC, AC) pair used by every transcoded stream."""
     dc_syms = list(range(17))
-    dc_freq = [40, 62, 70, 58, 42, 28, 16, 9, 5, 3, 2, 1, 1, 1, 1, 1, 1]
-    dc_lens = _limited_code_lengths(dc_freq)
+    dc_lens = _limited_code_lengths(list(_DC_FREQ))
     dc_bits, dc_vals = _bits_values_from_lengths(dc_syms, dc_lens)
     dc_table = HuffmanTable.build(dc_bits, dc_vals, is_ac=False)
 
     ac_syms = [0x00, 0xF0]          # EOB, ZRL
-    ac_freq = [900, 24]
+    ac_freq = [_AC_EOB_FREQ, _AC_ZRL_FREQ]
     for r in range(16):
         for s in range(1, 16):
             ac_syms.append((r << 4) | s)
-            ac_freq.append(max(1, (1400 >> s) // (1 + 2 * r)))
+            ac_freq.append(_AC_FREQ[r][s - 1])
     ac_lens = _limited_code_lengths(ac_freq)
     ac_bits, ac_vals = _bits_values_from_lengths(ac_syms, ac_lens)
     ac_table = HuffmanTable.build(ac_bits, ac_vals, is_ac=True)
@@ -259,7 +289,7 @@ def _python_encode(frame, scan, stores16, dc_code, dc_len, ac_code, ac_len):
 
     for comp, by, bx, _mcu, slot in _stream_blocks(frame, scan):
         p = w.bitpos()
-        if (not a_bits or syms_since >= S_TARGET or blocks_since >= K_CAP
+        if (not a_bits or syms_since >= S_TARGET_TC or blocks_since >= K_CAP
                 or (p // 8 - a_bits[-1] // 8) + _WORST_BLOCK_BYTES
                 > _MAX_CHUNK_SPAN_BYTES):
             close_chunk()
@@ -358,7 +388,7 @@ def transcode_scan(frame, stores: "list[np.ndarray]"):
         res = native.transcode_scan(
             np.concatenate(stores16), geometry,
             dc_code, dc_len, ac_code, ac_len,
-            S_TARGET, K_CAP, _MAX_CHUNK_SPAN_BYTES, _WORST_BLOCK_BYTES)
+            S_TARGET_TC, K_CAP, _MAX_CHUNK_SPAN_BYTES, _WORST_BLOCK_BYTES)
         if res is None:
             raise TranscodeFallback("native transcode fallback")
     if res is None:

@@ -117,6 +117,82 @@ def validate_planar_tails(jax, jnp) -> int:
     return failures
 
 
+def validate_transcode(jax, jnp) -> int:
+    """Transcoded scans (synthesized tables, DC categories to 16) through the
+    compiled Pallas kernel: stores must equal both the XLA decoder and the
+    host oracle; progressive stream output must equal the prefix path."""
+    import io
+
+    from PIL import Image
+
+    from jpeg_decoder_tpu import Decoder
+    from jpeg_decoder_tpu.entropy.device_scan import decode_anchored_device
+    from jpeg_decoder_tpu.entropy.pallas_decode import decode_anchored_pallas
+    from jpeg_decoder_tpu.entropy.transcode import transcode_scan
+    from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+
+    failures = 0
+    tc_cases = [
+        "/root/reference/tests/reftest/images/rgb.jpg",
+        "/root/reference/tests/reftest/images/progressive3.jpg",
+        "/root/reference/tests/reftest/images/mozilla/jpg-cmyk-1.jpg",
+    ]
+    for path in tc_cases:
+        name = os.path.basename(path)
+        d = Decoder(path)
+        d._decode_entropy_only()
+        n = len(d.frame.components)
+        stores = [np.asarray(d._pending_render[i][0]).reshape(-1)
+                  for i in range(n)]
+        _, st = transcode_scan(d.frame, stores)
+        dev = decode_anchored_pallas(st)
+        if dev is None:
+            print(f"transcode {name}: pallas INELIGIBLE")
+            failures += 1
+            continue
+        gold = decode_anchored_device(st)
+        for c, (a, b) in enumerate(zip(dev, gold)):
+            bad = int((np.asarray(a) != np.asarray(b)).sum())
+            host_bad = int((np.asarray(a) != stores[c]).sum())
+            if bad or host_bad:
+                failures += 1
+                print(f"transcode {name} comp {c}: {bad} vs XLA, "
+                      f"{host_bad} vs host MISMATCHES")
+        print(f"transcode {name}: pallas==xla==host stores OK")
+
+    # Extreme-value store: the extended alphabet's edge categories compiled.
+    rng = np.random.default_rng(7)
+    arr = np.zeros((32, 48), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "L").save(buf, "JPEG", quality=95)
+    d = Decoder(buf.getvalue())
+    d._decode_entropy_only()
+    nb = d.frame.components[0].block_size.width \
+        * d.frame.components[0].block_size.height
+    store = rng.integers(-32767, 32768, (nb, 64), np.int64).astype(np.int16)
+    store[0, 0] = -32768
+    _, st = transcode_scan(d.frame, [store.reshape(-1)])
+    dev = decode_anchored_pallas(st)
+    bad = 0 if dev is None else int((np.asarray(dev[0])
+                                     != store.reshape(-1)).sum())
+    if dev is None or bad:
+        failures += 1
+    print(f"transcode extreme-value store: "
+          f"{'OK' if dev is not None and bad == 0 else f'{bad} MISMATCHES'}")
+
+    # Stream-level: progressive through transcode+Pallas vs prefix path.
+    prog = "/root/reference/tests/reftest/images/progressive3.jpg"
+    bits = DeviceStreamDecoder(host_threads=3, interchange="bits")
+    prefix = DeviceStreamDecoder(host_threads=3, interchange="prefix")
+    a = bits.decode_stream([prog])[0]
+    b = prefix.decode_stream([prog])[0]
+    diff = int(jax.device_get(
+        jnp.abs(a.astype(jnp.int16) - b.astype(jnp.int16)).max()))
+    print(f"progressive3 stream bits(transcode)==prefix on TPU: max diff {diff}")
+    failures += diff != 0
+    return failures
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -146,6 +222,7 @@ def main() -> int:
         print(f"{name}: pallas==xla stores OK")
 
     failures += validate_planar_tails(jax, jnp)
+    failures += validate_transcode(jax, jnp)
 
     # Stream-level: bits(pallas) vs prefix, on device.
     data = open(CASES[-1], "rb").read()
