@@ -992,7 +992,7 @@ void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
 
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 11; }
+int64_t jt_abi_version() { return 12; }
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.
@@ -2215,6 +2215,77 @@ int jt_transcode_scan(const int16_t* stores, TranscodeParams* tp,
   tp->n_anchors = n_anchors;
   tp->n_blocks = static_cast<int32_t>(block_i);
   return TC_OK;
+}
+
+// Fill one slot-size class of the Pallas bits-interchange layout.
+//
+// Replaces pallas_decode.pack_classes's numpy fancy-gather (measured ~7ms per
+// megapixel-class image — the single hottest host-staging step after the
+// prescan walk). `words` is the unstuffed big-endian-packed u32 stream
+// (AnchoredScan.words); item i's slot covers bytes starts[i]..+4*slot_words,
+// so word w of the slot is the 32-bit big-endian window at byte
+// starts[i]+4*w — two word loads and a constant per-item shift, no byte
+// gather. Out-of-range words read as 0 (matches the python path's zero fill
+// past the padded stream). Output is the kernel's transposed tile layout:
+// word w of item i lands at out[w*nb + i]; pad items (i >= n_items) are
+// zeroed here so callers can pass an uninitialised buffer.
+void jt_pack_slots(const uint32_t* words, int64_t n_words,
+                   const int64_t* starts, int64_t n_items, int64_t nb,
+                   int32_t slot_words, uint32_t* out, int32_t nthreads) {
+  auto run = [&](int64_t i0, int64_t i1) {
+    for (int64_t i = i0; i < i1; i++) {
+      const int64_t s = starts[i];
+      const int64_t b0 = s >> 2;
+      const int m = static_cast<int>(s & 3) * 8;
+      uint32_t* col = out + i;
+      if (m == 0) {
+        if (b0 >= 0 && b0 + slot_words <= n_words) {
+          const uint32_t* src = words + b0;
+          for (int32_t w = 0; w < slot_words; w++) col[w * nb] = src[w];
+        } else {
+          for (int32_t w = 0; w < slot_words; w++) {
+            const int64_t idx = b0 + w;
+            col[w * nb] = (idx >= 0 && idx < n_words) ? words[idx] : 0;
+          }
+        }
+      } else {
+        if (b0 >= 0 && b0 + slot_words + 1 <= n_words) {
+          const uint32_t* src = words + b0;
+          uint32_t a = src[0];
+          for (int32_t w = 0; w < slot_words; w++) {
+            const uint32_t b = src[w + 1];
+            col[w * nb] = (a << m) | (b >> (32 - m));
+            a = b;
+          }
+        } else {
+          for (int32_t w = 0; w < slot_words; w++) {
+            const int64_t idx = b0 + w;
+            const uint32_t a =
+                (idx >= 0 && idx < n_words) ? words[idx] : 0;
+            const uint32_t b =
+                (idx + 1 >= 0 && idx + 1 < n_words) ? words[idx + 1] : 0;
+            col[w * nb] = (a << m) | (b >> (32 - m));
+          }
+        }
+      }
+    }
+  };
+  if (nthreads > 1 && n_items > 4096) {
+    std::vector<std::thread> ts;
+    const int64_t chunk = (n_items + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+      const int64_t a = t * chunk, b = std::min(n_items, a + chunk);
+      if (a < b) ts.emplace_back(run, a, b);
+    }
+    for (auto& th : ts) th.join();
+  } else {
+    run(0, n_items);
+  }
+  // Zero the pad tail of every word row (real columns were all written).
+  for (int32_t w = 0; w < slot_words; w++) {
+    std::memset(out + w * nb + n_items, 0,
+                static_cast<size_t>(nb - n_items) * 4);
+  }
 }
 
 }  // extern "C"

@@ -26,7 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 11  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 12  # bump together with jt_abi_version() in entropy.cc
 
 
 class _CHuffTable(C.Structure):
@@ -224,6 +224,10 @@ def _load():
         C.c_void_p, C.POINTER(_CTranscodeParams), C.c_void_p, C.c_void_p,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
         C.c_void_p, C.c_void_p, C.c_void_p]
+    lib.jt_pack_slots.restype = None
+    lib.jt_pack_slots.argtypes = [
+        C.c_void_p, C.c_int64, C.c_void_p, C.c_int64, C.c_int64, C.c_int32,
+        C.c_void_p, C.c_int32]
     lib.jt_idct_component.restype = None
     lib.jt_idct_component.argtypes = [
         C.c_void_p, C.c_void_p, C.c_int64, C.c_int64, C.c_int32, C.c_void_p,
@@ -561,6 +565,20 @@ def pack_coo(store: np.ndarray, base: int, idx_out: np.ndarray,
 
 def zero_buffer(arr: np.ndarray) -> None:
     _load().jt_zero(arr.ctypes.data, arr.nbytes)
+
+
+def pack_slots(words: np.ndarray, starts: np.ndarray, nb: int,
+               slot_words: int, out: np.ndarray, nthreads: int = 1) -> None:
+    """Fill one slot class of the Pallas interchange (transposed word rows).
+
+    words: AnchoredScan.words (uint32, big-endian packed); starts: int64 byte
+    offsets of the selected chunks; out: uint32/int32 [slot_words * nb]
+    (may be uninitialised — pad columns are zeroed by the kernel)."""
+    lib = _load()
+    assert words.dtype == np.uint32 and words.flags.c_contiguous
+    assert starts.dtype == np.int64 and starts.flags.c_contiguous
+    lib.jt_pack_slots(words.ctypes.data, words.size, starts.ctypes.data,
+                      starts.size, nb, slot_words, out.ctypes.data, nthreads)
 
 
 def pack_prefix(store: np.ndarray, nblocks: int, k: int, base: int,

@@ -87,8 +87,15 @@ def pack_classes(staged: AnchoredScan):
     if int(span.max()) > SLOT_CLASSES[-1]:
         return None
 
-    sbytes = np.asarray(staged.words, dtype=">u4").tobytes()
-    bytes_arr = np.frombuffer(sbytes, np.uint8)
+    from .native import get_native
+    native = get_native()
+    if native is None or not hasattr(native, "pack_slots"):
+        sbytes = np.asarray(staged.words, dtype=">u4").tobytes()
+        bytes_arr = np.frombuffer(sbytes, np.uint8)
+        words_u32 = None
+    else:
+        bytes_arr = None
+        words_u32 = np.ascontiguousarray(staged.words, dtype=np.uint32)
     budgets = (staged.anchor_block[1:n + 1] - staged.anchor_block[:n])
 
     packs = []
@@ -99,27 +106,35 @@ def pack_classes(staged: AnchoredScan):
         if len(sel) == 0:
             continue
         nb = _bucket_items(len(sel))
-        idx = start_byte[sel][:, None] + np.arange(cls)[None, :]
-        sl = np.zeros((nb, cls), np.uint8)
-        valid = idx < len(bytes_arr)
-        sl[:len(sel)] = np.where(valid, bytes_arr[np.minimum(
-            idx, len(bytes_arr) - 1)], 0)
-        w = sl.reshape(nb, cls // 4, 4).astype(np.uint32)
-        slots = (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3]
         s_max = next(b for b in SYM_BUCKETS if int(syms[sel].max()) <= b)
-
         G = nb // 1024
+
+        # Tile-aligned VMEM layout: loads inside the kernel must map to whole
+        # (8,128) vregs — a [1, n] row slice of a 2D array forces a Mosaic
+        # relayout (~microseconds per access, measured) and dominates runtime.
+        if words_u32 is not None:
+            # Native transposed fill: two word loads + a constant shift per
+            # slot word — replaces the numpy byte gather (~7ms/Mpix image).
+            out = np.empty((cls // 4, nb), np.uint32)
+            native.pack_slots(words_u32, np.ascontiguousarray(start_byte[sel]),
+                              nb, cls // 4, out)
+            slots4 = out.reshape(cls // 4, G, 8, 128).view(np.int32)
+        else:
+            idx = start_byte[sel][:, None] + np.arange(cls)[None, :]
+            sl = np.zeros((nb, cls), np.uint8)
+            valid = idx < len(bytes_arr)
+            sl[:len(sel)] = np.where(valid, bytes_arr[np.minimum(
+                idx, len(bytes_arr) - 1)], 0)
+            w = sl.reshape(nb, cls // 4, 4).astype(np.uint32)
+            slots = ((w[..., 0] << 24) | (w[..., 1] << 16)
+                     | (w[..., 2] << 8) | w[..., 3])
+            slots4 = np.ascontiguousarray(
+                slots.T.reshape(cls // 4, G, 8, 128).view(np.int32))
 
         def pad(arr, fill=0):
             out = np.full(nb, fill, np.int32)
             out[:len(sel)] = arr[sel]
             return out.reshape(G, 8, 128)
-
-        # Tile-aligned VMEM layout: loads inside the kernel must map to whole
-        # (8,128) vregs — a [1, n] row slice of a 2D array forces a Mosaic
-        # relayout (~microseconds per access, measured) and dominates runtime.
-        slots4 = np.ascontiguousarray(
-            slots.T.reshape(cls // 4, G, 8, 128).view(np.int32))
 
         # bit0(3b) | slot0(4b) | budget(5b — K_CAP up to 31)
         meta = ((a & 7).astype(np.int32)

@@ -136,3 +136,31 @@ def test_class_packing_budget():
     assert slot_bytes < 3 * stream_bytes, (slot_bytes, stream_bytes)
     # Every chunk lands in exactly one class.
     assert sum(p.n_items for p in packs) == staged.n_items
+
+
+@pytest.mark.parametrize("name", ["rgb.jpg", "restarts.jpg",
+                                  "mozilla/jpg-progressive.jpg"])
+def test_native_pack_matches_numpy(name, monkeypatch):
+    """The C++ jt_pack_slots fill must be byte-identical to the numpy
+    gather fallback (same slots/meta/base for every class)."""
+    from jpeg_decoder_tpu.entropy import native as native_mod
+    if native_mod.get_native() is None or not hasattr(
+            native_mod.get_native(), "pack_slots"):
+        pytest.skip("native kernel unavailable")
+    path = REFTEST_IMAGES / name
+    if not path.exists():
+        pytest.skip()
+    for staged in _staged_scans(path):
+        packs_nat = pack_classes(staged)
+        if packs_nat is None:
+            continue
+        monkeypatch.setattr(native_mod, "get_native", lambda: None)
+        packs_np = pack_classes(staged)
+        monkeypatch.undo()
+        assert len(packs_nat) == len(packs_np)
+        for a, b in zip(packs_nat, packs_np):
+            assert (a.slot_words, a.s_max, a.n_items) == (
+                b.slot_words, b.s_max, b.n_items)
+            assert np.array_equal(a.slots_t, b.slots_t)
+            assert np.array_equal(a.meta, b.meta)
+            assert np.array_equal(a.block_base, b.block_base)
