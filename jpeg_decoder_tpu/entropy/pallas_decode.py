@@ -48,15 +48,24 @@ SENTINEL = 1 << 30
 class ClassPack:
     """One slot-size class of chunks, padded to the kernel grid.
 
-    H2D per item = slot bytes + 8 (meta + block base): meta packs the entry
-    bit offset (3b), MCU-pattern slot (4b) and block budget (4b) into one
-    int32; the block-base array doubles as the rowmap's `starts`."""
+    wire="slots": H2D per item = slot bytes + 8 (meta + block base): meta
+    packs the entry bit offset (3b), MCU-pattern slot (4b) and block budget
+    (4b) into one int32; the block-base array doubles as the rowmap's
+    `starts`.
+
+    wire="words": slots_t stays None and `sb` holds each chunk's start BYTE
+    offset into the scan's word stream; the device materialises the slot
+    tiles itself (row gather + constant shift — build_pallas_decoder
+    device_slots=True), so the wire carries the compressed words ONCE plus
+    12 bytes/chunk instead of the overlapping, class-padded slot copies
+    (~1.5-1.7x the stream)."""
     slot_words: int
     s_max: int
     n_items: int            # real items
     slots_t: np.ndarray     # int32 [slot_words, G, 8, 128] tile-aligned slots
     meta: np.ndarray        # int32 [G, 8, 128] bit0 | slot0<<3 | budget<<7
     block_base: np.ndarray  # int32 [G, 8, 128] (pad: n_blocks — rowmap drop)
+    sb: np.ndarray = None   # int32 [G, 8, 128] start byte (wire="words")
 
 
 def _bucket_items(n: int) -> int:
@@ -68,8 +77,10 @@ def _bucket_items(n: int) -> int:
     return size
 
 
-def pack_classes(staged: AnchoredScan):
-    """Partition chunks into slot-size classes; None if Pallas-ineligible."""
+def pack_classes(staged: AnchoredScan, wire: str = "slots"):
+    """Partition chunks into slot-size classes; None if Pallas-ineligible.
+
+    wire="words" skips the host slot fill entirely (see ClassPack.sb)."""
     if staged.chunk_end is None or staged.tab_maxcode is None:
         return None
     if len(staged.tab_maxcode) > MAX_TABS:
@@ -87,15 +98,15 @@ def pack_classes(staged: AnchoredScan):
     if int(span.max()) > SLOT_CLASSES[-1]:
         return None
 
-    from .native import get_native
-    native = get_native()
-    if native is None or not hasattr(native, "pack_slots"):
-        sbytes = np.asarray(staged.words, dtype=">u4").tobytes()
-        bytes_arr = np.frombuffer(sbytes, np.uint8)
-        words_u32 = None
-    else:
-        bytes_arr = None
-        words_u32 = np.ascontiguousarray(staged.words, dtype=np.uint32)
+    words_u32 = bytes_arr = None
+    if wire == "slots":
+        from .native import get_native
+        native = get_native()
+        if native is None or not hasattr(native, "pack_slots"):
+            sbytes = np.asarray(staged.words, dtype=">u4").tobytes()
+            bytes_arr = np.frombuffer(sbytes, np.uint8)
+        else:
+            words_u32 = np.ascontiguousarray(staged.words, dtype=np.uint32)
     budgets = (staged.anchor_block[1:n + 1] - staged.anchor_block[:n])
 
     packs = []
@@ -112,7 +123,10 @@ def pack_classes(staged: AnchoredScan):
         # Tile-aligned VMEM layout: loads inside the kernel must map to whole
         # (8,128) vregs — a [1, n] row slice of a 2D array forces a Mosaic
         # relayout (~microseconds per access, measured) and dominates runtime.
-        if words_u32 is not None:
+        slots4 = sb4 = None
+        if wire == "words":
+            pass   # the device builds the tiles (sb below)
+        elif words_u32 is not None:
             # Native transposed fill: two word loads + a constant shift per
             # slot word — replaces the numpy byte gather (~7ms/Mpix image).
             out = np.empty((cls // 4, nb), np.uint32)
@@ -136,6 +150,9 @@ def pack_classes(staged: AnchoredScan):
             out[:len(sel)] = arr[sel]
             return out.reshape(G, 8, 128)
 
+        if wire == "words":
+            sb4 = pad(start_byte.astype(np.int32))
+
         # bit0(3b) | slot0(4b) | budget(5b — K_CAP up to 31)
         meta = ((a & 7).astype(np.int32)
                 | (staged.anchor_slot[:n].astype(np.int32) << 3)
@@ -146,6 +163,7 @@ def pack_classes(staged: AnchoredScan):
             meta=pad(meta),
             block_base=pad(staged.anchor_block[:n].astype(np.int32),
                            fill=staged.n_blocks),
+            sb=sb4,
         ))
     return packs
 
@@ -156,6 +174,33 @@ def combine_packs(packs):
     meta_all = np.concatenate([p.meta.reshape(-1) for p in packs])
     base_all = np.concatenate([p.block_base.reshape(-1) for p in packs])
     return slots_all, meta_all, base_all
+
+
+WORDS_PAD = SLOT_CLASSES[-1] // 4 + 1   # row-gather slack: max slot_words + 1
+
+
+def _bucket_words(n: int) -> int:
+    """Geometric (~6%) word-count buckets: each distinct padded length is a
+    distinct XLA executable (and through the relay a first compile costs
+    seconds-minutes), so stream-length granularity must be coarse; ~3% mean
+    zero-padding on the wire is the price."""
+    size = 1024
+    while size < n:
+        size = -(-int(size * 1.0625) // 256) * 256
+    return size
+
+
+def combine_packs_words(packs, words):
+    """Flatten a wire="words" class list into the four combined H2D arrays:
+    the compressed words themselves (padded so every device row gather stays
+    in bounds, bucketed for shape stability) plus per-chunk start-byte /
+    meta / base."""
+    wpad = np.zeros(_bucket_words(len(words) + WORDS_PAD), np.uint32)
+    wpad[:len(words)] = np.ascontiguousarray(words, dtype=np.uint32)
+    sb_all = np.concatenate([p.sb.reshape(-1) for p in packs])
+    meta_all = np.concatenate([p.meta.reshape(-1) for p in packs])
+    base_all = np.concatenate([p.block_base.reshape(-1) for p in packs])
+    return wpad.view(np.int32), sb_all, meta_all, base_all
 
 
 def merge_image_packs(entries, nb_image: int):
@@ -205,6 +250,57 @@ def merge_image_packs(entries, nb_image: int):
         meta_parts.append(meta)
         base_parts.append(base)
     combined = (np.concatenate(slots_parts), np.concatenate(meta_parts),
+                np.concatenate(base_parts))
+    return combined, tuple(shapes_out)
+
+
+def merge_image_packs_words(entries, nb_image: int):
+    """wire="words" variant of merge_image_packs: the per-image word streams
+    concatenate (each keeps its own gather pad, so in-bounds holds), chunk
+    start bytes shift by the image's word base, block bases by i * nb_image.
+    entries: ((words, sb, meta, base), shapes) per image."""
+    per_class: dict = {}
+    words_parts = []
+    word_off = 0
+    for i, ((words, sb, me, ba), shapes) in enumerate(entries):
+        words_parts.append(words)
+        io = 0
+        for (sw, sm, nb, ni) in shapes:
+            per_class.setdefault(sw, []).append((
+                sb[io:io + nb][:ni] + word_off * 4,
+                me[io:io + nb][:ni],
+                ba[io:io + nb][:ni] + i * nb_image, sm))
+            io += nb
+        word_off += len(words)
+
+    total_blocks = len(entries) * nb_image
+    sb_parts, meta_parts, base_parts, shapes_out = [], [], [], []
+    for sw in sorted(per_class):
+        lst = per_class[sw]
+        ni_tot = sum(len(x[0]) for x in lst)
+        nb2 = _bucket_items(ni_tot)
+        sm = max(x[3] for x in lst)
+        sb = np.zeros(nb2, np.int32)
+        meta = np.zeros(nb2, np.int32)
+        base = np.full(nb2, total_blocks, np.int32)
+        k = 0
+        for s, m, b, _sm in lst:
+            nn = len(s)
+            sb[k:k + nn] = s
+            meta[k:k + nn] = m
+            base[k:k + nn] = b
+            k += nn
+        shapes_out.append((sw, sm, nb2, ni_tot))
+        sb_parts.append(sb)
+        meta_parts.append(meta)
+        base_parts.append(base)
+
+    wcat = np.zeros(_bucket_words(word_off), np.int32)
+    pos = 0
+    for w in words_parts:
+        wcat[pos:pos + len(w)] = w
+        pos += len(w)
+    combined = (wcat, np.concatenate(sb_parts), np.concatenate(meta_parts),
                 np.concatenate(base_parts))
     return combined, tuple(shapes_out)
 
@@ -403,7 +499,7 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
                          n_tab: int, flat_stores: bool = True,
                          interpret: bool = False,
                          comp_to_upair: tuple = None,
-                         n_images: int = 1):
+                         n_images: int = 1, device_slots: bool = False):
     """Traceable decoder using per-class Pallas kernels + shared assembly.
 
     class_shapes: tuple of (slot_words, s_max, n_bucket[, n_items]) per class
@@ -455,8 +551,30 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
         so += sw * nb
         io += nb
 
+    def materialize_slots(words, sb, sw, nb, G):
+        """Build one class's slot tiles on device from the compressed words:
+        a [nb, sw+1] row gather at the chunk's word index, then the constant
+        per-chunk byte-misalignment shift — exactly the host jt_pack_slots
+        layout (pad items gather window 0, dropped by base=n_blocks)."""
+        b0 = jax.lax.shift_right_logical(sb, 2)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(),
+            start_index_map=(0,), operand_batching_dims=(),
+            start_indices_batching_dims=())
+        win = jax.lax.gather(
+            words, b0[:, None], dnums, slice_sizes=(sw + 1,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        m = ((sb & 3) * 8)[:, None]
+        hi = jax.lax.shift_left(win[:, :sw], m)
+        lo = jax.lax.shift_right_logical(win[:, 1:], (32 - m) & 31)
+        sl = hi | jnp.where(m > 0, lo, 0)
+        return jnp.transpose(sl).reshape(sw, G, 8, 128)
+
     def run(combined, mc, dl, vv):
-        slots_all, meta_all, base_all = combined
+        if device_slots:
+            words, sb_all, meta_all, base_all = combined
+        else:
+            slots_all, meta_all, base_all = combined
         rows = []
         first_blks = []
         base_rows_all = []
@@ -464,8 +582,12 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
         for kern, (sw, _sm, nb), row0, so, io in zip(
                 kernels, class_shapes, class_row_base, slot_off, item_off):
             G = nb // 1024
-            slots_t = jax.lax.dynamic_slice(
-                slots_all, (so,), (sw * nb,)).reshape(sw, G, 8, 128)
+            if device_slots:
+                sb = jax.lax.dynamic_slice(sb_all, (io,), (nb,))
+                slots_t = materialize_slots(words, sb, sw, nb, G)
+            else:
+                slots_t = jax.lax.dynamic_slice(
+                    slots_all, (so,), (sw * nb,)).reshape(sw, G, 8, 128)
             meta = jax.lax.dynamic_slice(
                 meta_all, (io,), (nb,)).reshape(G, 8, 128)
             base = jax.lax.dynamic_slice(
@@ -509,24 +631,30 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
 
 @functools.lru_cache(maxsize=64)
 def _compiled_pallas_decoder(plan: ScanPlan, class_shapes: tuple, n_tab: int,
-                             interpret: bool, comp_to_upair: tuple):
+                             interpret: bool, comp_to_upair: tuple,
+                             device_slots: bool = False):
     import jax
 
     from ..ops.pipeline import _enable_compile_cache
     _enable_compile_cache(jax)
     return jax.jit(build_pallas_decoder(plan, class_shapes, n_tab,
                                         interpret=interpret,
-                                        comp_to_upair=comp_to_upair))
+                                        comp_to_upair=comp_to_upair,
+                                        device_slots=device_slots))
 
 
-def decode_anchored_pallas(staged: AnchoredScan, interpret: bool = False):
+def decode_anchored_pallas(staged: AnchoredScan, interpret: bool = False,
+                           device_slots: bool = False):
     """Standalone: stores via the Pallas kernels; None if ineligible."""
-    packs = pack_classes(staged)
+    wire = "words" if device_slots else "slots"
+    packs = pack_classes(staged, wire=wire)
     if packs is None:
         return None
-    shapes = tuple((p.slot_words, p.s_max, p.slots_t.shape[1] * 1024) for p in packs)
+    shapes = tuple((p.slot_words, p.s_max, p.meta.size) for p in packs)
     fn = _compiled_pallas_decoder(
         staged.plan, shapes, len(staged.tab_maxcode), interpret,
-        staged.comp_to_upair)
-    return fn(combine_packs(packs), staged.tab_maxcode, staged.tab_delta,
+        staged.comp_to_upair, device_slots)
+    combined = (combine_packs_words(packs, staged.words) if device_slots
+                else combine_packs(packs))
+    return fn(combined, staged.tab_maxcode, staged.tab_delta,
               staged.tab_values.view(np.int32))

@@ -22,6 +22,7 @@ import concurrent.futures as cf
 import contextlib
 import dataclasses
 import functools
+import os
 import threading
 from typing import Iterable
 
@@ -636,22 +637,36 @@ def stage_host_bits(source, scale_to=None, precision: str = "fast",
                                      info.width * info.height / 1e6))
 
 
+def _bits_wire() -> str:
+    """Interchange wire format for the Pallas bits path: "slots" ships the
+    host-packed slot tiles (~1.5-1.7x the compressed stream — overlap +
+    class padding); "words" ships the compressed words once plus 12 B/chunk
+    and materialises the tiles on device (a row gather + shift)."""
+    return os.environ.get("JPEG_TPU_WIRE", "words")
+
+
 def _attach_pallas(st: "StagedBits") -> "StagedBits":
     """Pre-pack the Pallas class layout for every scan (runs in the staging
     thread pool so the dispatch thread only does device_put + dispatch)."""
     if not _bits_pallas_enabled():
         return st
-    from ..entropy.pallas_decode import combine_packs, pack_classes
+    from ..entropy.pallas_decode import (combine_packs, combine_packs_words,
+                                         pack_classes)
+    wire = _bits_wire()
     per_scan = []
     for scan, _kept in st.scans:
-        packs = pack_classes(scan)
+        packs = pack_classes(scan, wire=wire)
         if packs is None:
             per_scan.append(None)
         else:
             shapes = tuple(
-                (p.slot_words, p.s_max, p.slots_t.shape[1] * 1024, p.n_items)
+                (p.slot_words, p.s_max, p.meta.size, p.n_items)
                 for p in packs)
-            per_scan.append((combine_packs(packs), shapes))
+            if wire == "words":
+                combined = combine_packs_words(packs, scan.words)
+            else:
+                combined = combine_packs(packs)
+            per_scan.append((combined, shapes, wire))
     st.pallas = tuple(per_scan)
     return st
 
@@ -679,8 +694,10 @@ def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
     dequant/IDCT/upsample/color — one jit, pixels stay in HBM.
 
     `pallas_shapes`: per scan, either None (XLA lax.scan decoder) or
-    (class_shapes, n_tab, comp_to_upair) for the Pallas kernel path
-    (entropy/pallas_decode.py) — same assembler, bit-identical stores."""
+    (class_shapes, n_tab, comp_to_upair, device_slots) for the Pallas kernel
+    path (entropy/pallas_decode.py) — same assembler, bit-identical
+    stores. device_slots: the wire carries compressed words; slot tiles are
+    materialised on device (wire="words")."""
     import jax
     import jax.numpy as jnp
 
@@ -693,10 +710,10 @@ def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
         pshape = pallas_shapes[i] if pallas_shapes else None
         if pshape is not None:
             from ..entropy.pallas_decode import build_pallas_decoder
-            class_shapes, n_tab, comp_to_upair = pshape
+            class_shapes, n_tab, comp_to_upair, device_slots = pshape
             decoders.append(("pallas", build_pallas_decoder(
                 plan, class_shapes, n_tab, flat_stores=False,
-                comp_to_upair=comp_to_upair)))
+                comp_to_upair=comp_to_upair, device_slots=device_slots)))
         else:
             decoders.append(("xla", build_anchored_decoder(
                 plan, flat_stores=False)))
@@ -722,7 +739,8 @@ def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
 @functools.lru_cache(maxsize=128)
 def _compiled_bits_pipeline_batched(plan, n_images: int, class_shapes: tuple,
                                     n_tab: int, comp_to_upair: tuple,
-                                    geometry: ImageGeometry, layout: str):
+                                    geometry: ImageGeometry, layout: str,
+                                    device_slots: bool = False):
     """Batched bits-interchange dispatch: one merged Pallas chunk sweep over
     n_images same-plan images (merge_image_packs), vmapped assembly +
     reconstruction. Sub-megapixel images are dominated by per-dispatch
@@ -737,7 +755,8 @@ def _compiled_bits_pipeline_batched(plan, n_images: int, class_shapes: tuple,
     decoder = build_pallas_decoder(plan, class_shapes, n_tab,
                                    flat_stores=False,
                                    comp_to_upair=comp_to_upair,
-                                   n_images=n_images)
+                                   n_images=n_images,
+                                   device_slots=device_slots)
 
     def recon_one(stores, qts):
         if layout == "planar-pallas":
@@ -937,7 +956,8 @@ class DeviceStreamDecoder:
                 # determines the trace.
                 pallas_shapes.append((tuple(s[:3] for s in entry[1]),
                                       len(scan.tab_maxcode),
-                                      scan.comp_to_upair))
+                                      scan.comp_to_upair,
+                                      entry[2] == "words"))
 
         fn = _compiled_bits_pipeline(
             plans_with_comps, len(staged.qts), staged.geometry, layout,
@@ -946,10 +966,9 @@ class DeviceStreamDecoder:
             scan_args = []
             for (scan, _kept), entry in zip(staged.scans, per_scan):
                 if entry is not None:
-                    (slots_all, meta_all, base_all), _shapes = entry
+                    combined, _shapes, _wire = entry
                     scan_args.append((
-                        (jax.device_put(slots_all), jax.device_put(meta_all),
-                         jax.device_put(base_all)),
+                        tuple(jax.device_put(a) for a in combined),
                         self._put_cached(scan.tab_maxcode),
                         self._put_cached(scan.tab_delta),
                         self._put_cached(scan.tab_values.view(np.int32)),
@@ -1054,21 +1073,27 @@ class DeviceStreamDecoder:
             return self._decode_group_bits_mesh(group)
         if len(group) == 1:
             return [self.decode_one(group[0])]
-        from ..entropy.pallas_decode import merge_image_packs
+        from ..entropy.pallas_decode import (merge_image_packs,
+                                             merge_image_packs_words)
 
         scan0, _kept = group[0].scans[0]
         n = len(group)
         batch = _batch_bucket(n)
         entries = [st.pallas[0] for st in group]
         entries = entries + [entries[-1]] * (batch - n)
-        combined, shapes = merge_image_packs(entries, scan0.plan.n_blocks)
+        wire = entries[0][2]
+        merge = (merge_image_packs_words if wire == "words"
+                 else merge_image_packs)
+        combined, shapes = merge([e[:2] for e in entries],
+                                 scan0.plan.n_blocks)
 
         layout = self._effective_layout(group[0].geometry)
         # n_items varies per group; the compiled shape doesn't depend on it.
         shapes_key = tuple(s[:3] for s in shapes)
         fn = _compiled_bits_pipeline_batched(
             scan0.plan, batch, shapes_key, len(scan0.tab_maxcode),
-            scan0.comp_to_upair, group[0].geometry, layout)
+            scan0.comp_to_upair, group[0].geometry, layout,
+            device_slots=wire == "words")
 
         ncomp = len(group[0].qts)
         qts_b = tuple(

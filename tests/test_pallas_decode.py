@@ -164,3 +164,99 @@ def test_native_pack_matches_numpy(name, monkeypatch):
             assert np.array_equal(a.slots_t, b.slots_t)
             assert np.array_equal(a.meta, b.meta)
             assert np.array_equal(a.block_base, b.block_base)
+
+
+def _materialize_np(words_i32, sb, sw):
+    """Numpy mirror of build_pallas_decoder.materialize_slots."""
+    w = words_i32.view(np.uint32)
+    b0 = sb >> 2
+    win = w[b0[:, None] + np.arange(sw + 1)[None, :]]
+    m = ((sb & 3) * 8)[:, None].astype(np.uint32)
+    hi = (win[:, :sw] << m) & 0xFFFFFFFF
+    lo = np.where(m > 0, win[:, 1:] >> np.where(m > 0, 32 - m, 1), 0)
+    return (hi | lo).astype(np.uint32).T.view(np.int32)
+
+
+@pytest.mark.parametrize("name", ["rgb.jpg", "restarts.jpg"])
+def test_words_wire_matches_slots(name):
+    """wire="words" device materialisation (XLA gather+shift) must rebuild
+    exactly the host-packed slot tiles, class by class."""
+    import jax
+    import jax.numpy as jnp
+    from jpeg_decoder_tpu.entropy.pallas_decode import combine_packs_words
+
+    path = REFTEST_IMAGES / name
+    if not path.exists():
+        pytest.skip()
+    for staged in _staged_scans(path):
+        packs_s = pack_classes(staged, wire="slots")
+        packs_w = pack_classes(staged, wire="words")
+        if packs_s is None:
+            continue
+        words, sb_all, meta_all, base_all = combine_packs_words(
+            packs_w, staged.words)
+        # meta/base identical between wires
+        assert np.array_equal(
+            meta_all, np.concatenate([p.meta.reshape(-1) for p in packs_s]))
+        assert np.array_equal(
+            base_all,
+            np.concatenate([p.block_base.reshape(-1) for p in packs_s]))
+        io = 0
+        for ps in packs_s:
+            nb = ps.meta.size
+            sb = sb_all[io:io + nb]
+            sw = ps.slot_words
+
+            def mat(words, sb, sw=sw):
+                b0 = jax.lax.shift_right_logical(sb, 2)
+                dn = jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1,), collapsed_slice_dims=(),
+                    start_index_map=(0,))
+                win = jax.lax.gather(
+                    words, b0[:, None], dn, slice_sizes=(sw + 1,),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                m = ((sb & 3) * 8)[:, None]
+                hi = jax.lax.shift_left(win[:, :sw], m)
+                lo = jax.lax.shift_right_logical(win[:, 1:], (32 - m) & 31)
+                return jnp.transpose(hi | jnp.where(m > 0, lo, 0))
+
+            got = np.asarray(jax.jit(mat)(jnp.asarray(words),
+                                          jnp.asarray(sb)))   # [sw, nb]
+            ref = ps.slots_t.reshape(sw, nb)
+            # real columns must match bit-for-bit (pad columns decode to
+            # dropped rows, their content is free)
+            assert np.array_equal(got[:, :ps.n_items],
+                                  ref[:, :ps.n_items]), sw
+            # and the numpy mirror agrees with the XLA math
+            assert np.array_equal(
+                _materialize_np(words, sb, sw)[:, :ps.n_items],
+                got[:, :ps.n_items])
+            io += nb
+
+
+def test_merge_image_packs_words_layout():
+    """Multi-image words merge: start bytes shift by the image word base,
+    block bases by i*nb_image, per-class items stay stream-ordered."""
+    from jpeg_decoder_tpu.entropy.pallas_decode import (combine_packs_words,
+                                                        merge_image_packs_words)
+    staged = _staged_scans(REFTEST_IMAGES / "mozilla/jpg-size-16x16.jpg")[0]
+    packs = pack_classes(staged, wire="words")
+    combined = combine_packs_words(packs, staged.words)
+    shapes = tuple((p.slot_words, p.s_max, p.meta.size, p.n_items)
+                   for p in packs)
+    N = 3
+    merged, mshapes = merge_image_packs_words(
+        [(combined, shapes)] * N, staged.plan.n_blocks)
+    words, sb, meta, base = merged
+    wlen = len(combined[0])
+    for (sw, sm, nb2, ni_tot) in mshapes:
+        assert ni_tot == sum(p.n_items for p in packs if p.slot_words == sw) * N
+    # block bases of image i start at i * n_blocks
+    nb_img = staged.plan.n_blocks
+    real_base = base[base < N * nb_img]
+    per_img = [((real_base >= i * nb_img) & (real_base < (i + 1) * nb_img)).sum()
+               for i in range(N)]
+    assert len(set(per_img)) == 1 and per_img[0] > 0
+    # words buffer holds N copies of the per-image padded stream
+    for i in range(N):
+        assert np.array_equal(words[i * wlen:(i + 1) * wlen], combined[0])
