@@ -1756,13 +1756,15 @@ bool unstuff_segment(const uint8_t* data, int64_t n, int64_t* pos,
   int64_t w = 0;
   for (;;) {
     if (i >= n) return false;  // EOF without marker: host path errors
-    uint8_t b = data[i];
-    if (b != 0xFF) {
-      if (w >= out_cap) return false;
-      out[w++] = b;
-      i++;
-      continue;
-    }
+    // Bulk-copy the run up to the next 0xFF (memchr/memcpy are SIMD in
+    // glibc — the byte loop was a measurable slice of prescan time).
+    const void* f = std::memchr(data + i, 0xFF, static_cast<size_t>(n - i));
+    if (f == nullptr) return false;  // EOF without marker
+    const int64_t run = static_cast<const uint8_t*>(f) - (data + i);
+    if (w + run > out_cap) return false;
+    std::memcpy(out + w, data + i, static_cast<size_t>(run));
+    w += run;
+    i += run;
     if (i + 1 >= n) return false;
     int64_t j = i + 1;
     while (j < n && data[j] == 0xFF) j++;
@@ -1918,6 +1920,26 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
     int64_t syms_since = pp->s_target;  // force an anchor at segment entry
     int64_t blocks_since = 0;
 
+    // 64-bit reservoir: bits [p, p+navail) left-aligned in `buf`. Replaces
+    // the per-symbol 8-byte window reload — the load+bswap+shift sat on the
+    // symbol dependency chain (measured ~1.5x walk cost). Lookups only ever
+    // read bits [p, p+32), exactly the bits the old window exposed, so
+    // results are bit-identical; refill may buffer up to 3 bytes past the
+    // 24-byte zero guard (next segment's bytes / tail slack — never looked
+    // up, caller allocates the slack).
+    uint64_t buf = 0;
+    int navail = 0;
+    int64_t rb = 0;  // next unread byte in sb
+    auto refill = [&]() {
+      while (navail <= 32) {
+        uint32_t w;
+        std::memcpy(&w, sb + rb, 4);
+        buf |= static_cast<uint64_t>(__builtin_bswap32(w)) << (32 - navail);
+        navail += 32;
+        rb += 4;
+      }
+    };
+
     auto close_chunk = [&]() {
       if (!res.a_bits.empty() && res.c_end.size() < res.a_bits.size()) {
         if (syms_since > res.max_syms) res.max_syms = syms_since;
@@ -1968,21 +1990,33 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
         // most 128 bits into a segment's zero-fill, else the host path
         // reproduces the oracle exactly.
         if (p > bit_limit) return;
-        uint32_t win = win32_at(sb, p);
-        uint16_t e = dcp[win >> 22];
-        if (e & P_MISS) e = slow(dc_lut, true, win);
+        refill();
+        uint16_t e = dcp[buf >> 54];
+        if (e & P_MISS) e = slow(dc_lut, true,
+                                 static_cast<uint32_t>(buf >> 32));
         if (e & P_FB) return;
-        p += e & 63;
+        {
+          const int c = e & 63;
+          buf <<= c;
+          navail -= c;
+          p += c;
+        }
         syms_since++;
 
         int32_t k = 1;
         while (k < 64) {
           if (p > bit_limit) return;
-          win = win32_at(sb, p);
-          e = acp[win >> 22];
-          if (e & P_MISS) e = slow(ac_lut, false, win);
+          refill();
+          e = acp[buf >> 54];
+          if (e & P_MISS) e = slow(ac_lut, false,
+                                   static_cast<uint32_t>(buf >> 32));
           if (e & P_FB) return;
-          p += e & 63;
+          {
+            const int c = e & 63;
+            buf <<= c;
+            navail -= c;
+            p += c;
+          }
           syms_since++;
           if (e & P_END) break;
           int32_t kadv = (e >> 6) & 0x3F;
