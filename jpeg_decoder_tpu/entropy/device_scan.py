@@ -113,6 +113,7 @@ class AnchoredScan:
     chunk_end: np.ndarray = None    # uint32 [n_items] bit offset after last symbol
     chunk_syms: np.ndarray = None   # int32 [n_items] symbols in chunk
     n_items: int = 0
+    n_words: int = 0          # true packed words (words[] is bucket-padded)
     # Canonical-table metadata for the Pallas kernel: rows ordered
     # (pair0_dc, pair0_ac, pair1_dc, ...) like `luts`.
     tab_maxcode: np.ndarray = None  # int32 [n_tab, 16] (unique pairs only)
@@ -279,12 +280,14 @@ class ScanPlan:
         return isinstance(other, ScanPlan) and self._key == other._key
 
 
-def _bucket_up(n: int, floor: int = 256) -> int:
-    """Compile-friendly size bucket: 1.3x geometric steps, 256-aligned
-    (tight enough that padded H2D bytes stay within ~30% of the payload)."""
+def _bucket_up(n: int, floor: int = 256, factor: float = 1.3) -> int:
+    """Compile-friendly size bucket: geometric steps, 256-aligned. Every
+    distinct padded length is a distinct XLA executable (and first compiles
+    through the relay cost seconds-minutes), so stream-length granularity
+    must be coarse; `factor` trades mean zero-padding for executable count."""
     size = floor
     while size < n:
-        size = int(size * 1.3) + (-int(size * 1.3) % 256)
+        size = int(size * factor) + (-int(size * factor) % 256)
     return size
 
 
@@ -367,7 +370,7 @@ def _staged_from_layout(frame, scan, restart_interval, luts, out_bytes,
                         anchor_block=anchor_block, anchor_slot=anchor_slot,
                         luts=luts, n_blocks=n_blocks, plan=plan,
                         chunk_end=chunk_end, chunk_syms=chunk_syms,
-                        n_items=n_items)
+                        n_items=n_items, n_words=len(words))
 
 
 _PLAN_CACHE: dict = {}

@@ -180,21 +180,25 @@ WORDS_PAD = SLOT_CLASSES[-1] // 4 + 1   # row-gather slack: max slot_words + 1
 
 
 def _bucket_words(n: int) -> int:
-    """Geometric (~6%) word-count buckets: each distinct padded length is a
-    distinct XLA executable (and through the relay a first compile costs
-    seconds-minutes), so stream-length granularity must be coarse; ~3% mean
-    zero-padding on the wire is the price."""
-    size = 1024
-    while size < n:
-        size = -(-int(size * 1.0625) // 256) * 256
-    return size
+    """Word-count buckets for the wire: finer-grained (~6% steps) than the
+    staging bucket because these bytes ride the throttled link."""
+    from .device_scan import _bucket_up
+    return _bucket_up(n, floor=1024, factor=1.0625)
 
 
-def combine_packs_words(packs, words):
+def combine_packs_words(packs, words, n_words: int = 0):
     """Flatten a wire="words" class list into the four combined H2D arrays:
     the compressed words themselves (padded so every device row gather stays
     in bounds, bucketed for shape stability) plus per-chunk start-byte /
-    meta / base."""
+    meta / base.
+
+    `n_words`: true content length of `words` (AnchoredScan.n_words) — the
+    staging array is already bucket-padded (~30% worst case) and shipping
+    that padding would silently give back the wire savings this format
+    exists for; every chunk's gather window lies within the content, so
+    trimming to n_words + WORDS_PAD keeps PROMISE_IN_BOUNDS honest."""
+    if n_words:
+        words = words[:n_words]
     wpad = np.zeros(_bucket_words(len(words) + WORDS_PAD), np.uint32)
     wpad[:len(words)] = np.ascontiguousarray(words, dtype=np.uint32)
     sb_all = np.concatenate([p.sb.reshape(-1) for p in packs])
@@ -303,6 +307,32 @@ def merge_image_packs_words(entries, nb_image: int):
     combined = (wcat, np.concatenate(sb_parts), np.concatenate(meta_parts),
                 np.concatenate(base_parts))
     return combined, tuple(shapes_out)
+
+
+def materialize_slots(words, sb, sw: int):
+    """Build one class's slot words on device from the compressed stream:
+    a [nb, sw+1] row gather at each chunk's word index, then the constant
+    per-chunk byte-misalignment shift — exactly the host jt_pack_slots
+    layout (pad items gather window 0, dropped by base=n_blocks). Returns
+    [sw, nb]; the caller tiles to the kernel's (sw, G, 8, 128) layout.
+
+    This IS the production wire="words" path (tested directly by
+    tests/test_pallas_decode.py against the host-packed tiles)."""
+    import jax
+    import jax.numpy as jnp
+
+    b0 = jax.lax.shift_right_logical(sb, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(),
+        start_index_map=(0,), operand_batching_dims=(),
+        start_indices_batching_dims=())
+    win = jax.lax.gather(
+        words, b0[:, None], dnums, slice_sizes=(sw + 1,),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    m = ((sb & 3) * 8)[:, None]
+    hi = jax.lax.shift_left(win[:, :sw], m)
+    lo = jax.lax.shift_right_logical(win[:, 1:], (32 - m) & 31)
+    return jnp.transpose(hi | jnp.where(m > 0, lo, 0))
 
 
 def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
@@ -551,25 +581,6 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
         so += sw * nb
         io += nb
 
-    def materialize_slots(words, sb, sw, nb, G):
-        """Build one class's slot tiles on device from the compressed words:
-        a [nb, sw+1] row gather at the chunk's word index, then the constant
-        per-chunk byte-misalignment shift — exactly the host jt_pack_slots
-        layout (pad items gather window 0, dropped by base=n_blocks)."""
-        b0 = jax.lax.shift_right_logical(sb, 2)
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(),
-            start_index_map=(0,), operand_batching_dims=(),
-            start_indices_batching_dims=())
-        win = jax.lax.gather(
-            words, b0[:, None], dnums, slice_sizes=(sw + 1,),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-        m = ((sb & 3) * 8)[:, None]
-        hi = jax.lax.shift_left(win[:, :sw], m)
-        lo = jax.lax.shift_right_logical(win[:, 1:], (32 - m) & 31)
-        sl = hi | jnp.where(m > 0, lo, 0)
-        return jnp.transpose(sl).reshape(sw, G, 8, 128)
-
     def run(combined, mc, dl, vv):
         if device_slots:
             words, sb_all, meta_all, base_all = combined
@@ -584,7 +595,8 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
             G = nb // 1024
             if device_slots:
                 sb = jax.lax.dynamic_slice(sb_all, (io,), (nb,))
-                slots_t = materialize_slots(words, sb, sw, nb, G)
+                slots_t = materialize_slots(words, sb, sw).reshape(
+                    sw, G, 8, 128)
             else:
                 slots_t = jax.lax.dynamic_slice(
                     slots_all, (so,), (sw * nb,)).reshape(sw, G, 8, 128)
@@ -654,7 +666,7 @@ def decode_anchored_pallas(staged: AnchoredScan, interpret: bool = False,
     fn = _compiled_pallas_decoder(
         staged.plan, shapes, len(staged.tab_maxcode), interpret,
         staged.comp_to_upair, device_slots)
-    combined = (combine_packs_words(packs, staged.words) if device_slots
-                else combine_packs(packs))
+    combined = (combine_packs_words(packs, staged.words, staged.n_words)
+                if device_slots else combine_packs(packs))
     return fn(combined, staged.tab_maxcode, staged.tab_delta,
               staged.tab_values.view(np.int32))

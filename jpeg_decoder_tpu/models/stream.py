@@ -663,7 +663,8 @@ def _attach_pallas(st: "StagedBits") -> "StagedBits":
                 (p.slot_words, p.s_max, p.meta.size, p.n_items)
                 for p in packs)
             if wire == "words":
-                combined = combine_packs_words(packs, scan.words)
+                combined = combine_packs_words(packs, scan.words,
+                                               scan.n_words)
             else:
                 combined = combine_packs(packs)
             per_scan.append((combined, shapes, wire))
@@ -802,8 +803,12 @@ def _bits_group_key(st: "StagedBits", mesh_mode: bool = False):
         return (st.geometry, scan.plan, kept, len(st.qts), lkey)
     if not st.pallas or st.pallas[0] is None:
         return None
+    # st.pallas[0][2] is the wire format the image was staged with: the
+    # staging pool reads JPEG_TPU_WIRE per image, so a mid-stream flip (the
+    # A/B harness does exactly this) must not merge slots- and words-staged
+    # images into one batch — their combined-array layouts differ.
     return (st.geometry, scan.plan._key[:-3], kept, scan.comp_to_upair,
-            len(st.qts),
+            len(st.qts), st.pallas[0][2],
             scan.tab_maxcode.tobytes(), scan.tab_delta.tobytes(),
             scan.tab_values.tobytes(), scan.luts.shape)
 

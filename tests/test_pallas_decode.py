@@ -6,6 +6,7 @@ equality proves the kernel's symbol walk (window fetch, F.16 maxcode chain,
 sublane-gather value lookups, state machine) matches the oracle semantics.
 """
 
+import functools
 import os
 
 import numpy as np
@@ -49,13 +50,15 @@ slow = pytest.mark.skipif(
 
 
 @slow
+@pytest.mark.parametrize("device_slots", [False, True])
 @pytest.mark.parametrize("name", CASES)
-def test_pallas_matches_xla_decoder(name):
+def test_pallas_matches_xla_decoder(name, device_slots):
     path = REFTEST_IMAGES / name
     if not path.exists():
         pytest.skip()
     for staged in _staged_scans(path):
-        dev = decode_anchored_pallas(staged, interpret=True)
+        dev = decode_anchored_pallas(staged, interpret=True,
+                                     device_slots=device_slots)
         assert dev is not None, "expected Pallas-eligible scan"
         gold = decode_anchored_device(staged)
         for c, (a, b) in enumerate(zip(dev, gold)):
@@ -179,11 +182,13 @@ def _materialize_np(words_i32, sb, sw):
 
 @pytest.mark.parametrize("name", ["rgb.jpg", "restarts.jpg"])
 def test_words_wire_matches_slots(name):
-    """wire="words" device materialisation (XLA gather+shift) must rebuild
-    exactly the host-packed slot tiles, class by class."""
+    """wire="words" device materialisation — the production
+    materialize_slots (XLA gather+shift) — must rebuild exactly the
+    host-packed slot tiles, class by class."""
     import jax
     import jax.numpy as jnp
-    from jpeg_decoder_tpu.entropy.pallas_decode import combine_packs_words
+    from jpeg_decoder_tpu.entropy.pallas_decode import (combine_packs_words,
+                                                        materialize_slots)
 
     path = REFTEST_IMAGES / name
     if not path.exists():
@@ -194,7 +199,7 @@ def test_words_wire_matches_slots(name):
         if packs_s is None:
             continue
         words, sb_all, meta_all, base_all = combine_packs_words(
-            packs_w, staged.words)
+            packs_w, staged.words, staged.n_words)
         # meta/base identical between wires
         assert np.array_equal(
             meta_all, np.concatenate([p.meta.reshape(-1) for p in packs_s]))
@@ -207,21 +212,9 @@ def test_words_wire_matches_slots(name):
             sb = sb_all[io:io + nb]
             sw = ps.slot_words
 
-            def mat(words, sb, sw=sw):
-                b0 = jax.lax.shift_right_logical(sb, 2)
-                dn = jax.lax.GatherDimensionNumbers(
-                    offset_dims=(1,), collapsed_slice_dims=(),
-                    start_index_map=(0,))
-                win = jax.lax.gather(
-                    words, b0[:, None], dn, slice_sizes=(sw + 1,),
-                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-                m = ((sb & 3) * 8)[:, None]
-                hi = jax.lax.shift_left(win[:, :sw], m)
-                lo = jax.lax.shift_right_logical(win[:, 1:], (32 - m) & 31)
-                return jnp.transpose(hi | jnp.where(m > 0, lo, 0))
-
-            got = np.asarray(jax.jit(mat)(jnp.asarray(words),
-                                          jnp.asarray(sb)))   # [sw, nb]
+            got = np.asarray(jax.jit(
+                functools.partial(materialize_slots, sw=sw))(
+                    jnp.asarray(words), jnp.asarray(sb)))   # [sw, nb]
             ref = ps.slots_t.reshape(sw, nb)
             # real columns must match bit-for-bit (pad columns decode to
             # dropped rows, their content is free)
@@ -241,7 +234,7 @@ def test_merge_image_packs_words_layout():
                                                         merge_image_packs_words)
     staged = _staged_scans(REFTEST_IMAGES / "mozilla/jpg-size-16x16.jpg")[0]
     packs = pack_classes(staged, wire="words")
-    combined = combine_packs_words(packs, staged.words)
+    combined = combine_packs_words(packs, staged.words, staged.n_words)
     shapes = tuple((p.slot_words, p.s_max, p.meta.size, p.n_items)
                    for p in packs)
     N = 3

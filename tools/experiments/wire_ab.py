@@ -33,10 +33,13 @@ def wire_bytes(data, wire):
     os.environ["JPEG_TPU_WIRE"] = wire
     from jpeg_decoder_tpu.models.stream import stage_host_bits
     st = stage_host_bits(data)
+    if not getattr(st, "pallas", None):
+        sys.exit(f"stream is Pallas-ineligible under wire={wire} "
+                 "(progressive/lossless/quirk, or the Pallas gate is off)")
     total = 0
     for entry in st.pallas:
         if entry is None:
-            return None
+            sys.exit(f"scan is Pallas-ineligible under wire={wire}")
         combined = entry[0]
         total += sum(a.nbytes for a in combined)
     return total
