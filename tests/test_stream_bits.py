@@ -95,6 +95,30 @@ def test_large_image_bytes_per_pixel():
     assert nbytes / px < 0.3, f"{nbytes / px:.3f} B/px"
 
 
+def test_group_key_separates_wire_formats(monkeypatch):
+    """Images staged under different JPEG_TPU_WIRE values must never merge
+    into one batched dispatch: their combined-array layouts differ and the
+    words/slots mergers unpack different tuple shapes."""
+    import jpeg_decoder_tpu.models.stream as S
+
+    monkeypatch.setattr(S, "_bits_pallas_enabled", lambda: True)
+    data = (REFTEST_IMAGES / "rgb.jpg").read_bytes()
+    staged = {}
+    for wire in ("slots", "words"):
+        monkeypatch.setenv("JPEG_TPU_WIRE", wire)
+        staged[wire] = stage_host_bits(data)
+        assert staged[wire].pallas[0] is not None
+        assert staged[wire].pallas[0][2] == wire
+    k_slots = S._bits_group_key(staged["slots"])
+    k_words = S._bits_group_key(staged["words"])
+    assert k_slots is not None and k_words is not None
+    assert k_slots != k_words
+    # and a same-wire restage still groups
+    monkeypatch.setenv("JPEG_TPU_WIRE", "words")
+    again = stage_host_bits(data)
+    assert S._bits_group_key(again) == k_words
+
+
 def test_progressive_transcodes_to_bits():
     """Progressive images re-encode into the bits interchange (transcode.py)
     rather than shipping prefix coefficients."""
