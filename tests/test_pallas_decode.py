@@ -56,6 +56,11 @@ def test_pallas_matches_xla_decoder(name, device_slots):
     path = REFTEST_IMAGES / name
     if not path.exists():
         pytest.skip()
+    if device_slots and name not in CASES[:2]:
+        # The interpret-mode walk is minutes-slow per case; the words wire
+        # differs only in slot materialisation (covered bit-for-bit by
+        # test_words_wire_matches_slots), so two kernel-path cases suffice.
+        pytest.skip("device_slots kernel parity sampled on two cases")
     for staged in _staged_scans(path):
         dev = decode_anchored_pallas(staged, interpret=True,
                                      device_slots=device_slots)
