@@ -53,19 +53,20 @@ class ClassPack:
     (4b) into one int32; the block-base array doubles as the rowmap's
     `starts`.
 
-    wire="words": slots_t stays None and `sb` holds each chunk's start BYTE
-    offset into the scan's word stream; the device materialises the slot
-    tiles itself (row gather + constant shift — build_pallas_decoder
-    device_slots=True), so the wire carries the compressed words ONCE plus
-    12 bytes/chunk instead of the overlapping, class-padded slot copies
-    (~1.5-1.7x the stream)."""
+    wire="words": slots_t stays None and `ab` holds each chunk's absolute
+    entry BIT offset into the scan's word stream; the device materialises
+    the slot tiles itself (row gather + constant shift —
+    build_pallas_decoder device_slots=True), so the wire carries the
+    compressed words ONCE plus 12 bytes/chunk (8 with compact metadata —
+    combine_packs_words) instead of the overlapping, class-padded slot
+    copies (~1.5-1.7x the stream)."""
     slot_words: int
     s_max: int
     n_items: int            # real items
     slots_t: np.ndarray     # int32 [slot_words, G, 8, 128] tile-aligned slots
     meta: np.ndarray        # int32 [G, 8, 128] bit0 | slot0<<3 | budget<<7
     block_base: np.ndarray  # int32 [G, 8, 128] (pad: n_blocks — rowmap drop)
-    sb: np.ndarray = None   # int32 [G, 8, 128] start byte (wire="words")
+    ab: np.ndarray = None   # int32 [G, 8, 128] entry bit offset (wire="words")
 
 
 def _bucket_items(n: int) -> int:
@@ -123,9 +124,9 @@ def pack_classes(staged: AnchoredScan, wire: str = "slots"):
         # Tile-aligned VMEM layout: loads inside the kernel must map to whole
         # (8,128) vregs — a [1, n] row slice of a 2D array forces a Mosaic
         # relayout (~microseconds per access, measured) and dominates runtime.
-        slots4 = sb4 = None
+        slots4 = ab4 = None
         if wire == "words":
-            pass   # the device builds the tiles (sb below)
+            pass   # the device builds the tiles (ab below)
         elif words_u32 is not None:
             # Native transposed fill: two word loads + a constant shift per
             # slot word — replaces the numpy byte gather (~7ms/Mpix image).
@@ -151,7 +152,8 @@ def pack_classes(staged: AnchoredScan, wire: str = "slots"):
             return out.reshape(G, 8, 128)
 
         if wire == "words":
-            sb4 = pad(start_byte.astype(np.int32))
+            ab4 = pad(staged.anchor_bits[:n].astype(np.uint32)
+                      .view(np.int32))
 
         # bit0(3b) | slot0(4b) | budget(5b — K_CAP up to 31)
         meta = ((a & 7).astype(np.int32)
@@ -163,7 +165,7 @@ def pack_classes(staged: AnchoredScan, wire: str = "slots"):
             meta=pad(meta),
             block_base=pad(staged.anchor_block[:n].astype(np.int32),
                            fill=staged.n_blocks),
-            sb=sb4,
+            ab=ab4,
         ))
     return packs
 
@@ -186,24 +188,37 @@ def _bucket_words(n: int) -> int:
     return _bucket_up(n, floor=1024, factor=1.0625)
 
 
-def combine_packs_words(packs, words, n_words: int = 0):
-    """Flatten a wire="words" class list into the four combined H2D arrays:
-    the compressed words themselves (padded so every device row gather stays
-    in bounds, bucketed for shape stability) plus per-chunk start-byte /
-    meta / base.
+def combine_packs_words(packs, words, n_words: int = 0,
+                        compact: bool = False):
+    """Flatten a wire="words" class list into the combined H2D arrays: the
+    compressed words themselves (padded so every device row gather stays
+    in bounds, bucketed for shape stability) plus per-chunk metadata.
 
     `n_words`: true content length of `words` (AnchoredScan.n_words) — the
     staging array is already bucket-padded (~30% worst case) and shipping
     that padding would silently give back the wire savings this format
     exists for; every chunk's gather window lies within the content, so
-    trimming to n_words + WORDS_PAD keeps PROMISE_IN_BOUNDS honest."""
+    trimming to n_words + WORDS_PAD keeps PROMISE_IN_BOUNDS honest.
+
+    `compact`: pack the metadata into 8 B/chunk instead of 12 — (entry bit
+    offset, budget | slot0<<5 | base<<9); the device reconstructs
+    sb/meta/base with a few elementwise ops (build_pallas_decoder
+    distinguishes the wires by tuple arity). Caller must ensure
+    base << 9 stays meaningful under the uint32 wrap discipline (base
+    fits 23 bits: < 8.3M blocks incl. batch-merge offsets)."""
     if n_words:
         words = words[:n_words]
     wpad = np.zeros(_bucket_words(len(words) + WORDS_PAD), np.uint32)
     wpad[:len(words)] = np.ascontiguousarray(words, dtype=np.uint32)
-    sb_all = np.concatenate([p.sb.reshape(-1) for p in packs])
+    ab_all = np.concatenate([p.ab.reshape(-1) for p in packs])
     meta_all = np.concatenate([p.meta.reshape(-1) for p in packs])
     base_all = np.concatenate([p.block_base.reshape(-1) for p in packs])
+    if compact:
+        m = meta_all.view(np.uint32)
+        pk = (((m >> 7) & 0x1F) | (((m >> 3) & 0xF) << 5)
+              | (base_all.view(np.uint32) << 9))
+        return wpad.view(np.int32), ab_all, pk.view(np.int32)
+    sb_all = (ab_all.view(np.uint32) >> 3).view(np.int32)
     return wpad.view(np.int32), sb_all, meta_all, base_all
 
 
@@ -261,51 +276,62 @@ def merge_image_packs(entries, nb_image: int):
 def merge_image_packs_words(entries, nb_image: int):
     """wire="words" variant of merge_image_packs: the per-image word streams
     concatenate (each keeps its own gather pad, so in-bounds holds), chunk
-    start bytes shift by the image's word base, block bases by i * nb_image.
-    entries: ((words, sb, meta, base), shapes) per image."""
+    entry offsets shift by the image's word base, block bases by
+    i * nb_image. entries: ((words, *items), shapes) per image where items
+    is (sb, meta, base) for the 12 B/chunk wire or (ab, packed) for the
+    compact 8 B/chunk wire (arity distinguishes; see combine_packs_words)."""
+    compact = len(entries[0][0]) == 3
+    total_blocks = len(entries) * nb_image
+    if compact:
+        # entry bit offset (wraps like uint32) / budget|slot0|base<<9
+        shift = lambda arrs, i, off: (  # noqa: E731
+            (arrs[0].view(np.uint32) + np.uint32(off * 32)).view(np.int32),
+            (arrs[1].view(np.uint32)
+             + (np.uint32(i * nb_image) << np.uint32(9))).view(np.int32))
+        fills = (0, total_blocks << 9)
+    else:
+        shift = lambda arrs, i, off: (  # noqa: E731
+            arrs[0] + off * 4, arrs[1], arrs[2] + i * nb_image)
+        fills = (0, 0, total_blocks)
+
     per_class: dict = {}
     words_parts = []
     word_off = 0
-    for i, ((words, sb, me, ba), shapes) in enumerate(entries):
+    for i, ((words, *items), shapes) in enumerate(entries):
         words_parts.append(words)
         io = 0
         for (sw, sm, nb, ni) in shapes:
-            per_class.setdefault(sw, []).append((
-                sb[io:io + nb][:ni] + word_off * 4,
-                me[io:io + nb][:ni],
-                ba[io:io + nb][:ni] + i * nb_image, sm))
+            cut = tuple(a[io:io + nb][:ni] for a in items)
+            per_class.setdefault(sw, []).append(
+                (shift(cut, i, word_off), sm))
             io += nb
         word_off += len(words)
 
-    total_blocks = len(entries) * nb_image
-    sb_parts, meta_parts, base_parts, shapes_out = [], [], [], []
+    parts = [[] for _ in fills]
+    shapes_out = []
     for sw in sorted(per_class):
         lst = per_class[sw]
-        ni_tot = sum(len(x[0]) for x in lst)
+        ni_tot = sum(len(x[0][0]) for x in lst)
         nb2 = _bucket_items(ni_tot)
-        sm = max(x[3] for x in lst)
-        sb = np.zeros(nb2, np.int32)
-        meta = np.zeros(nb2, np.int32)
-        base = np.full(nb2, total_blocks, np.int32)
+        sm = max(x[1] for x in lst)
+        outs = [np.full(nb2, f & 0xFFFFFFFF, np.uint32).view(np.int32)
+                for f in fills]
         k = 0
-        for s, m, b, _sm in lst:
-            nn = len(s)
-            sb[k:k + nn] = s
-            meta[k:k + nn] = m
-            base[k:k + nn] = b
+        for arrs, _sm in lst:
+            nn = len(arrs[0])
+            for o, a in zip(outs, arrs):
+                o[k:k + nn] = a
             k += nn
         shapes_out.append((sw, sm, nb2, ni_tot))
-        sb_parts.append(sb)
-        meta_parts.append(meta)
-        base_parts.append(base)
+        for p, o in zip(parts, outs):
+            p.append(o)
 
     wcat = np.zeros(_bucket_words(word_off), np.int32)
     pos = 0
     for w in words_parts:
         wcat[pos:pos + len(w)] = w
         pos += len(w)
-    combined = (wcat, np.concatenate(sb_parts), np.concatenate(meta_parts),
-                np.concatenate(base_parts))
+    combined = (wcat, *(np.concatenate(p) for p in parts))
     return combined, tuple(shapes_out)
 
 
@@ -582,7 +608,17 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
         io += nb
 
     def run(combined, mc, dl, vv):
-        if device_slots:
+        if device_slots and len(combined) == 3:
+            # Compact 8 B/chunk metadata: (entry bit, budget|slot0<<5|base<<9)
+            # — reconstruct the kernel's sb/meta/base with elementwise ops
+            # (all shifts logical; values ride the uint32 wrap discipline).
+            words, ab_all, pk_all = combined
+            sb_all = jax.lax.shift_right_logical(ab_all, 3)
+            meta_all = ((ab_all & 7)
+                        | ((jax.lax.shift_right_logical(pk_all, 5) & 0xF) << 3)
+                        | ((pk_all & 0x1F) << 7))
+            base_all = jax.lax.shift_right_logical(pk_all, 9)
+        elif device_slots:
             words, sb_all, meta_all, base_all = combined
         else:
             slots_all, meta_all, base_all = combined
@@ -656,7 +692,8 @@ def _compiled_pallas_decoder(plan: ScanPlan, class_shapes: tuple, n_tab: int,
 
 
 def decode_anchored_pallas(staged: AnchoredScan, interpret: bool = False,
-                           device_slots: bool = False):
+                           device_slots: bool = False,
+                           compact: bool = False):
     """Standalone: stores via the Pallas kernels; None if ineligible."""
     wire = "words" if device_slots else "slots"
     packs = pack_classes(staged, wire=wire)
@@ -666,7 +703,8 @@ def decode_anchored_pallas(staged: AnchoredScan, interpret: bool = False,
     fn = _compiled_pallas_decoder(
         staged.plan, shapes, len(staged.tab_maxcode), interpret,
         staged.comp_to_upair, device_slots)
-    combined = (combine_packs_words(packs, staged.words, staged.n_words)
+    combined = (combine_packs_words(packs, staged.words, staged.n_words,
+                                    compact=compact)
                 if device_slots else combine_packs(packs))
     return fn(combined, staged.tab_maxcode, staged.tab_delta,
               staged.tab_values.view(np.int32))

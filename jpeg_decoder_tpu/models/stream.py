@@ -641,7 +641,9 @@ def _bits_wire() -> str:
     """Interchange wire format for the Pallas bits path: "slots" ships the
     host-packed slot tiles (~1.5-1.7x the compressed stream — overlap +
     class padding); "words" ships the compressed words once plus 12 B/chunk
-    and materialises the tiles on device (a row gather + shift)."""
+    and materialises the tiles on device (a row gather + shift);
+    "words-packed" further packs the chunk metadata into 8 B (entry bit +
+    budget|slot0|base<<9, reconstructed on device)."""
     return os.environ.get("JPEG_TPU_WIRE", "words")
 
 
@@ -653,21 +655,31 @@ def _attach_pallas(st: "StagedBits") -> "StagedBits":
     from ..entropy.pallas_decode import (combine_packs, combine_packs_words,
                                          pack_classes)
     wire = _bits_wire()
+    words_wire = wire.startswith("words")
+    # base<<9 must stay within the uint32 wrap discipline incl. batch-merge
+    # offsets (23 bits); effectively unreachable (8.3M blocks = 530 Mpix)
+    # but a quirk-size stream degrades gracefully to the 12 B/chunk wire.
     per_scan = []
     for scan, _kept in st.scans:
-        packs = pack_classes(scan, wire=wire)
+        packs = pack_classes(scan, wire="words" if words_wire else "slots")
         if packs is None:
             per_scan.append(None)
         else:
             shapes = tuple(
                 (p.slot_words, p.s_max, p.meta.size, p.n_items)
                 for p in packs)
-            if wire == "words":
+            eff_wire = wire
+            if words_wire:
+                compact = (wire == "words-packed"
+                           and scan.n_blocks < (1 << 22))
+                if wire == "words-packed" and not compact:
+                    eff_wire = "words"
                 combined = combine_packs_words(packs, scan.words,
-                                               scan.n_words)
+                                               scan.n_words,
+                                               compact=compact)
             else:
                 combined = combine_packs(packs)
-            per_scan.append((combined, shapes, wire))
+            per_scan.append((combined, shapes, eff_wire))
     st.pallas = tuple(per_scan)
     return st
 
@@ -962,7 +974,7 @@ class DeviceStreamDecoder:
                 pallas_shapes.append((tuple(s[:3] for s in entry[1]),
                                       len(scan.tab_maxcode),
                                       scan.comp_to_upair,
-                                      entry[2] == "words"))
+                                      entry[2].startswith("words")))
 
         fn = _compiled_bits_pipeline(
             plans_with_comps, len(staged.qts), staged.geometry, layout,
@@ -1087,7 +1099,7 @@ class DeviceStreamDecoder:
         entries = [st.pallas[0] for st in group]
         entries = entries + [entries[-1]] * (batch - n)
         wire = entries[0][2]
-        merge = (merge_image_packs_words if wire == "words"
+        merge = (merge_image_packs_words if wire.startswith("words")
                  else merge_image_packs)
         combined, shapes = merge([e[:2] for e in entries],
                                  scan0.plan.n_blocks)
@@ -1098,7 +1110,7 @@ class DeviceStreamDecoder:
         fn = _compiled_bits_pipeline_batched(
             scan0.plan, batch, shapes_key, len(scan0.tab_maxcode),
             scan0.comp_to_upair, group[0].geometry, layout,
-            device_slots=wire == "words")
+            device_slots=wire.startswith("words"))
 
         ncomp = len(group[0].qts)
         qts_b = tuple(

@@ -232,6 +232,75 @@ def test_words_wire_matches_slots(name):
             io += nb
 
 
+@pytest.mark.parametrize("name", ["rgb.jpg", "restarts.jpg"])
+def test_words_packed_metadata_roundtrip(name):
+    """Compact 8 B/chunk wire: the device unpack (logical shifts, numpy
+    mirror + the jitted XLA ops build_pallas_decoder.run uses) must
+    reconstruct exactly the legacy 12 B/chunk sb/meta/base arrays."""
+    import jax
+    from jpeg_decoder_tpu.entropy.pallas_decode import combine_packs_words
+
+    path = REFTEST_IMAGES / name
+    if not path.exists():
+        pytest.skip()
+    for staged in _staged_scans(path):
+        packs = pack_classes(staged, wire="words")
+        if packs is None:
+            continue
+        words_l, sb, meta, base = combine_packs_words(
+            packs, staged.words, staged.n_words)
+        words_c, ab, pk = combine_packs_words(
+            packs, staged.words, staged.n_words, compact=True)
+        assert np.array_equal(words_l, words_c)
+        abu, pku = ab.view(np.uint32), pk.view(np.uint32)
+        assert np.array_equal((abu >> 3).view(np.int32), sb)
+        got_meta = ((abu & 7) | (((pku >> 5) & 0xF) << 3)
+                    | ((pku & 0x1F) << 7))
+        assert np.array_equal(got_meta.view(np.int32), meta)
+        assert np.array_equal((pku >> 9).view(np.int32), base)
+
+        def unpack(ab, pk):
+            sb2 = jax.lax.shift_right_logical(ab, 3)
+            meta2 = ((ab & 7)
+                     | ((jax.lax.shift_right_logical(pk, 5) & 0xF) << 3)
+                     | ((pk & 0x1F) << 7))
+            return sb2, meta2, jax.lax.shift_right_logical(pk, 9)
+
+        s2, m2, b2 = jax.jit(unpack)(ab, pk)
+        assert np.array_equal(np.asarray(s2), sb)
+        assert np.array_equal(np.asarray(m2), meta)
+        assert np.array_equal(np.asarray(b2), base)
+
+
+def test_merge_image_packs_words_compact_layout():
+    """Compact-wire multi-image merge must agree with the legacy merge
+    after unpacking: entry bits shift by the word base, bases by i*nb."""
+    from jpeg_decoder_tpu.entropy.pallas_decode import (
+        combine_packs_words, merge_image_packs_words)
+
+    staged = _staged_scans(REFTEST_IMAGES / "mozilla/jpg-size-16x16.jpg")[0]
+    packs = pack_classes(staged, wire="words")
+    shapes = tuple((p.slot_words, p.s_max, p.meta.size, p.n_items)
+                   for p in packs)
+    legacy = combine_packs_words(packs, staged.words, staged.n_words)
+    comp = combine_packs_words(packs, staged.words, staged.n_words,
+                               compact=True)
+    N = 3
+    nb = staged.plan.n_blocks
+    (wl, sb, meta, base), lsh = merge_image_packs_words(
+        [(legacy, shapes)] * N, nb)
+    (wc, ab, pk), csh = merge_image_packs_words([(comp, shapes)] * N, nb)
+    assert lsh == csh
+    assert np.array_equal(wl, wc)
+    abu, pku = ab.view(np.uint32), pk.view(np.uint32)
+    # entry bit offset >> 3 == merged start byte; note the legacy merge
+    # shifts bytes (off*4) and the compact merge bits (off*32) — same point
+    assert np.array_equal((abu >> 3).view(np.int32), sb)
+    got_meta = ((abu & 7) | (((pku >> 5) & 0xF) << 3) | ((pku & 0x1F) << 7))
+    assert np.array_equal(got_meta.view(np.int32), meta)
+    assert np.array_equal((pku >> 9).view(np.int32), base)
+
+
 def test_merge_image_packs_words_layout():
     """Multi-image words merge: start bytes shift by the image word base,
     block bases by i*nb_image, per-class items stay stream-ordered."""

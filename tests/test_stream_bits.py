@@ -104,15 +104,20 @@ def test_group_key_separates_wire_formats(monkeypatch):
     monkeypatch.setattr(S, "_bits_pallas_enabled", lambda: True)
     data = (REFTEST_IMAGES / "rgb.jpg").read_bytes()
     staged = {}
-    for wire in ("slots", "words"):
+    for wire in ("slots", "words", "words-packed"):
         monkeypatch.setenv("JPEG_TPU_WIRE", wire)
         staged[wire] = stage_host_bits(data)
         assert staged[wire].pallas[0] is not None
         assert staged[wire].pallas[0][2] == wire
-    k_slots = S._bits_group_key(staged["slots"])
-    k_words = S._bits_group_key(staged["words"])
-    assert k_slots is not None and k_words is not None
-    assert k_slots != k_words
+    # combined-array arity per wire: slots 3 (tiles), words 4, packed 3
+    assert len(staged["slots"].pallas[0][0]) == 3
+    assert len(staged["words"].pallas[0][0]) == 4
+    assert len(staged["words-packed"].pallas[0][0]) == 3
+    keys = [S._bits_group_key(staged[w])
+            for w in ("slots", "words", "words-packed")]
+    assert all(k is not None for k in keys)
+    assert len(set(keys)) == 3
+    k_words = keys[1]
     # and a same-wire restage still groups
     monkeypatch.setenv("JPEG_TPU_WIRE", "words")
     again = stage_host_bits(data)
