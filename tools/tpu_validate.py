@@ -224,16 +224,21 @@ def main() -> int:
     failures += validate_planar_tails(jax, jnp)
     failures += validate_transcode(jax, jnp)
 
-    # Stream-level: bits(pallas) vs prefix, on device.
+    # Stream-level: bits(pallas) vs prefix, on device — every wire format.
     data = open(CASES[-1], "rb").read()
-    bits = DeviceStreamDecoder(host_threads=3, interchange="bits")
     prefix = DeviceStreamDecoder(host_threads=3, interchange="prefix")
-    a = bits.decode_stream([data])[0]
     b = prefix.decode_stream([data])[0]
-    diff = int(jax.device_get(
-        jnp.abs(a.astype(jnp.int16) - b.astype(jnp.int16)).max()))
-    print(f"large_image stream bits==prefix on TPU: max diff {diff}")
-    failures += diff != 0
+    for wire in ("slots", "words", "words-packed"):
+        os.environ["JPEG_TPU_WIRE"] = wire
+        bits = DeviceStreamDecoder(host_threads=3, interchange="bits")
+        a = bits.decode_stream([data])[0]
+        diff = int(jax.device_get(
+            jnp.abs(a.astype(jnp.int16) - b.astype(jnp.int16)).max()))
+        print(f"large_image stream bits({wire})==prefix on TPU: "
+              f"max diff {diff}")
+        failures += diff != 0
+    os.environ.pop("JPEG_TPU_WIRE", None)
+    bits = DeviceStreamDecoder(host_threads=3, interchange="bits")
 
     # Batched bits dispatch: merged multi-image chunk sweep + vmapped
     # assembly/reconstruction must equal the per-image path.
