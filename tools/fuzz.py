@@ -153,8 +153,23 @@ def run(iterations: int = 500, seed: int = 0, timeout_s: int = 60) -> int:
         # production caller would (the reference's DoS guard,
         # set_max_decoding_buffer_size) — both engines get the same cap, so
         # the differential stays exact.
-        d.set_max_decoding_buffer_size(64 << 20)
+        cap = 64 << 20
+        d.set_max_decoding_buffer_size(cap)
         try:
+            # The guard fires at end-of-image assembly (the reference's
+            # placement, decoder.rs:631-641) — AFTER the full entropy
+            # decode, so a 600-Mpix mutant still burns minutes before the
+            # inevitable FormatError (observed: mutant 1785, 625 Mpix in
+            # 27s uncontended). Short-circuit oversized frames up front;
+            # both engines take the identical branch, so the differential
+            # is unaffected.
+            d.read_info()
+            info = d.info()
+            if info is not None:
+                ncomp = {"L8": 1, "L16": 1, "RGB24": 3, "CMYK32": 4}.get(
+                    info.pixel_format.name, 4)
+                if info.width * info.height * ncomp > cap:
+                    return "ERR:FormatError(oversize-precheck)", d
             return d.decode(), d
         except JpegError as e:
             return f"ERR:{type(e).__name__}", d
