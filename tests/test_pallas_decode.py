@@ -232,6 +232,50 @@ def test_words_wire_matches_slots(name):
             io += nb
 
 
+def test_words_wire_corpus_packing_parity():
+    """Corpus-wide net for the default wire: for EVERY Pallas-eligible
+    reftest scan, the words-wire materialisation (numpy mirror of the
+    device gather+shift) and the compact-metadata unpack must reproduce
+    the host-packed slot tiles / metadata exactly."""
+    from conftest import reftest_files
+    from jpeg_decoder_tpu.entropy.pallas_decode import combine_packs_words
+
+    covered = 0
+    for path in reftest_files():
+        if "lossless" in str(path):
+            continue
+        try:
+            scans = _staged_scans(path)
+        except Exception:
+            continue   # malformed/progressive staging handled elsewhere
+        for staged in scans:
+            packs_s = pack_classes(staged, wire="slots")
+            packs_w = pack_classes(staged, wire="words")
+            if packs_s is None:
+                continue
+            covered += 1
+            words, sb_all, meta_all, base_all = combine_packs_words(
+                packs_w, staged.words, staged.n_words)
+            _, ab, pk = combine_packs_words(
+                packs_w, staged.words, staged.n_words, compact=True)
+            abu, pku = ab.view(np.uint32), pk.view(np.uint32)
+            assert np.array_equal((abu >> 3).view(np.int32), sb_all)
+            got_meta = ((abu & 7) | (((pku >> 5) & 0xF) << 3)
+                        | ((pku & 0x1F) << 7))
+            assert np.array_equal(got_meta.view(np.int32), meta_all), path
+            assert np.array_equal((pku >> 9).view(np.int32), base_all), path
+            io = 0
+            for ps in packs_s:
+                nb = ps.meta.size
+                got = _materialize_np(words, sb_all[io:io + nb],
+                                      ps.slot_words)
+                ref = ps.slots_t.reshape(ps.slot_words, nb)
+                assert np.array_equal(got[:, :ps.n_items],
+                                      ref[:, :ps.n_items]), path
+                io += nb
+    assert covered >= 20, covered   # the net must actually catch the corpus
+
+
 @pytest.mark.parametrize("name", ["rgb.jpg", "restarts.jpg"])
 def test_words_packed_metadata_roundtrip(name):
     """Compact 8 B/chunk wire: the device unpack (logical shifts, numpy

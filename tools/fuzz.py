@@ -168,7 +168,11 @@ def run(iterations: int = 500, seed: int = 0, timeout_s: int = 60) -> int:
             if info is not None:
                 ncomp = {"L8": 1, "L16": 1, "RGB24": 3, "CMYK32": 4}.get(
                     info.pixel_format.name, 4)
-                if info.width * info.height * ncomp > cap:
+                # Tighter than the decode cap: a 46M-sample mutant passes
+                # the 64M cap but the pure-Python oracle needs minutes on
+                # it (observed: mutant 5816, 15.3 Mpix in 0.9s native /
+                # >60s oracle). Every real seed is <= 10.3M samples.
+                if info.width * info.height * ncomp > 16 << 20:
                     return "ERR:FormatError(oversize-precheck)", d
             return d.decode(), d
         except JpegError as e:
