@@ -50,8 +50,8 @@ class ClassPack:
 
     wire="slots": H2D per item = slot bytes + 8 (meta + block base): meta
     packs the entry bit offset (3b), MCU-pattern slot (4b) and block budget
-    (4b) into one int32; the block-base array doubles as the rowmap's
-    `starts`.
+    (5b — K_CAP up to 31) into one int32; the block-base array doubles as
+    the rowmap's `starts`.
 
     wire="words": slots_t stays None and `ab` holds each chunk's absolute
     entry BIT offset into the scan's word stream; the device materialises
@@ -81,7 +81,7 @@ def _bucket_items(n: int) -> int:
 def pack_classes(staged: AnchoredScan, wire: str = "slots"):
     """Partition chunks into slot-size classes; None if Pallas-ineligible.
 
-    wire="words" skips the host slot fill entirely (see ClassPack.sb)."""
+    wire="words" skips the host slot fill entirely (see ClassPack.ab)."""
     if staged.chunk_end is None or staged.tab_maxcode is None:
         return None
     if len(staged.tab_maxcode) > MAX_TABS:
@@ -182,10 +182,13 @@ WORDS_PAD = SLOT_CLASSES[-1] // 4 + 1   # row-gather slack: max slot_words + 1
 
 
 def _bucket_words(n: int) -> int:
-    """Word-count buckets for the wire: finer-grained (~6% steps) than the
-    staging bucket because these bytes ride the throttled link."""
+    """Word-count buckets for the wire: finer-grained than the 1.3x staging
+    bucket because these bytes ride the throttled link — but each distinct
+    padded length keys a fresh compile of the whole fused pipeline, so the
+    step is a compromise (1.125x: ~6% mean zero-pad, half the executables
+    of the 1.0625x it replaced)."""
     from .device_scan import _bucket_up
-    return _bucket_up(n, floor=1024, factor=1.0625)
+    return _bucket_up(n, floor=1024, factor=1.125)
 
 
 def combine_packs_words(packs, words, n_words: int = 0,
@@ -282,6 +285,21 @@ def merge_image_packs_words(entries, nb_image: int):
     compact 8 B/chunk wire (arity distinguishes; see combine_packs_words)."""
     compact = len(entries[0][0]) == 3
     total_blocks = len(entries) * nb_image
+    word_total = sum(len(e[0][0]) for e in entries)
+    assert word_total < (1 << 27), "merged word stream exceeds 512 MB"
+    if compact and total_blocks >= (1 << 23):
+        # Batch offsets would push base past its 23 compact bits and wrap
+        # mod 2^23 into wrong-but-valid block indices — degrade the merge
+        # to the 12 B/chunk layout (the host unpack mirrors the device's).
+        def _to_legacy(items):
+            ab, pk = items
+            abu, pku = ab.view(np.uint32), pk.view(np.uint32)
+            return ((abu >> 3).view(np.int32),
+                    ((abu & 7) | (((pku >> 5) & 0xF) << 3)
+                     | ((pku & 0x1F) << 7)).view(np.int32),
+                    (pku >> 9).view(np.int32))
+        entries = [((e[0][0], *_to_legacy(e[0][1:])), e[1]) for e in entries]
+        compact = False
     if compact:
         # entry bit offset (wraps like uint32) / budget|slot0|base<<9
         shift = lambda arrs, i, off: (  # noqa: E731

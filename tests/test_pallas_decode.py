@@ -345,6 +345,27 @@ def test_merge_image_packs_words_compact_layout():
     assert np.array_equal((pku >> 9).view(np.int32), base)
 
 
+def test_merge_compact_degrades_past_base_bits():
+    """A merge whose batch offsets would overflow the compact wire's 23
+    base bits must degrade to the 12 B/chunk layout instead of wrapping
+    into wrong-but-valid block indices."""
+    from jpeg_decoder_tpu.entropy.pallas_decode import (
+        combine_packs_words, merge_image_packs_words)
+
+    staged = _staged_scans(REFTEST_IMAGES / "mozilla/jpg-size-16x16.jpg")[0]
+    packs = pack_classes(staged, wire="words")
+    shapes = tuple((p.slot_words, p.s_max, p.meta.size, p.n_items)
+                   for p in packs)
+    comp = combine_packs_words(packs, staged.words, staged.n_words,
+                               compact=True)
+    big_nb = 1 << 22   # pretend each image spans 4M blocks
+    merged, _ = merge_image_packs_words([(comp, shapes)] * 3, big_nb)
+    assert len(merged) == 4, "compact merge must degrade to legacy arity"
+    _, sb, meta, base = merged
+    real = base[base < 3 * big_nb]
+    assert real.max() >= 2 * big_nb   # third image's offsets intact
+
+
 def test_merge_image_packs_words_layout():
     """Multi-image words merge: start bytes shift by the image word base,
     block bases by i*nb_image, per-class items stay stream-ordered."""
