@@ -121,12 +121,20 @@ def pack_classes(staged: AnchoredScan, wire: str = "slots"):
         s_max = next(b for b in SYM_BUCKETS if int(syms[sel].max()) <= b)
         G = nb // 1024
 
+        def pad(arr, fill=0):
+            out = np.full(nb, fill, np.int32)
+            out[:len(sel)] = arr[sel]
+            return out.reshape(G, 8, 128)
+
         # Tile-aligned VMEM layout: loads inside the kernel must map to whole
         # (8,128) vregs — a [1, n] row slice of a 2D array forces a Mosaic
         # relayout (~microseconds per access, measured) and dominates runtime.
         slots4 = ab4 = None
         if wire == "words":
-            pass   # the device builds the tiles (ab below)
+            # No host slot fill: the device rebuilds the tiles from the
+            # compressed words at each chunk's entry bit offset.
+            ab4 = pad(staged.anchor_bits[:n].astype(np.uint32)
+                      .view(np.int32))
         elif words_u32 is not None:
             # Native transposed fill: two word loads + a constant shift per
             # slot word — replaces the numpy byte gather (~7ms/Mpix image).
@@ -145,15 +153,6 @@ def pack_classes(staged: AnchoredScan, wire: str = "slots"):
                      | (w[..., 2] << 8) | w[..., 3])
             slots4 = np.ascontiguousarray(
                 slots.T.reshape(cls // 4, G, 8, 128).view(np.int32))
-
-        def pad(arr, fill=0):
-            out = np.full(nb, fill, np.int32)
-            out[:len(sel)] = arr[sel]
-            return out.reshape(G, 8, 128)
-
-        if wire == "words":
-            ab4 = pad(staged.anchor_bits[:n].astype(np.uint32)
-                      .view(np.int32))
 
         # bit0(3b) | slot0(4b) | budget(5b — K_CAP up to 31)
         meta = ((a & 7).astype(np.int32)
