@@ -62,8 +62,12 @@ def test_pallas_matches_xla_decoder(name, device_slots):
         # test_words_wire_matches_slots), so two kernel-path cases suffice.
         pytest.skip("device_slots kernel parity sampled on two cases")
     for staged in _staged_scans(path):
+        # device_slots runs the compact 8 B/chunk wire so the interpret
+        # walk also integrates the on-device metadata unpack (its math is
+        # separately pinned vs the legacy arrays corpus-wide).
         dev = decode_anchored_pallas(staged, interpret=True,
-                                     device_slots=device_slots)
+                                     device_slots=device_slots,
+                                     compact=device_slots)
         assert dev is not None, "expected Pallas-eligible scan"
         gold = decode_anchored_device(staged)
         for c, (a, b) in enumerate(zip(dev, gold)):
