@@ -118,7 +118,14 @@ def pack_classes(staged: AnchoredScan, wire: str = "slots"):
         if len(sel) == 0:
             continue
         nb = _bucket_items(len(sel))
-        s_max = next(b for b in SYM_BUCKETS if int(syms[sel].max()) <= b)
+        cls_syms = int(syms[sel].max())
+        if cls_syms > SYM_BUCKETS[-1]:
+            # Unreachable under the shipped anchoring (S_MAX = S_TARGET + 66
+            # = 162 < 224) but an anchoring retune must degrade to the XLA
+            # decoder, not StopIteration (found by tools/experiments/
+            # starget_sweep.py at S_TARGET >= 192).
+            return None
+        s_max = next(b for b in SYM_BUCKETS if cls_syms <= b)
         G = nb // 1024
 
         def pad(arr, fill=0):
