@@ -249,30 +249,98 @@ def _idct_basis_64() -> np.ndarray:
 _IDCT_M64_T = _idct_basis_64().T.copy()  # [64(coef), 64(pixel)]
 
 
-def dequantize_and_idct_blocks_fast(coefficients, quantization_table, xp=np):
+def _scaled_float_kernel(s: np.ndarray, scale: int) -> np.ndarray:
+    """Float mirror of the Dugad-Ahuja integer kernels (_idct4x4/_idct2x2/
+    _idct1x1) with the fixed-point truncations replaced by exact division and
+    the +128 bias/clamp epilogue left out. Exactly linear in `s`, so probing
+    it with unit coefficients yields the scaled IDCT as one matmul basis.
+
+    s: float64 [B, scale, scale] dequantized top-left coefficients.
+    Returns float64 [B, scale, scale] pixels (pre-bias)."""
+    if scale == 1:
+        return s / 8.0
+    if scale == 2:
+        s00, s01 = s[:, 0, 0], s[:, 0, 1]
+        s10, s11 = s[:, 1, 0], s[:, 1, 1]
+        x0, x2 = s00 + s10, s00 - s10
+        x1, x3 = s01 + s11, s01 - s11
+        r0 = np.stack([x0 + x1, x0 - x1], axis=-1)
+        r1 = np.stack([x2 + x3, x2 - x3], axis=-1)
+        return np.stack([r0, r1], axis=-2) / 8.0
+    assert scale == 4, scale
+
+    def butterfly(s0, s1, s2, s3, up: float, down: float):
+        x0 = (s0 + s2) * up
+        x2 = (s0 - s2) * up
+        p1 = (s1 + s3) * _C0_541
+        t0 = (p1 + s3 * _CM1_847) / down
+        t2 = (p1 + s1 * _C0_765) / down
+        return np.stack([x0 + t2, x2 + t0, x2 - t0, x0 - t2], axis=-2)
+
+    # Column pass (`/root/reference/src/idct.rs:456-487`): <<2 with the
+    # (+512)>>10 rounding removed; row pass (`:489-517`): <<12 then >>17.
+    temp = butterfly(s[..., 0, :], s[..., 1, :], s[..., 2, :], s[..., 3, :],
+                     4.0, 1024.0)
+    out = butterfly(temp[..., 0], temp[..., 1], temp[..., 2], temp[..., 3],
+                    4096.0, 1.0) / 131072.0
+    return out.transpose(0, 2, 1)
+
+
+_SCALED_BASIS_CACHE: dict = {}
+
+
+def scaled_idct_basis(scale: int) -> np.ndarray:
+    """The Dugad-Ahuja scaled IDCT as a [64(coef), scale*scale(px)] float32
+    linear map (MXU formulation for the fast tier; the exact integer kernels
+    above remain the bit-parity path). Coefficient rows outside the top-left
+    scale x scale region are zero — the scaled kernels never read them
+    (`/root/reference/src/idct.rs:449-452` dequantizes only `scale` rows)."""
+    cached = _SCALED_BASIS_CACHE.get(scale)
+    if cached is not None:
+        return cached
+    probes = np.zeros((scale * scale, scale, scale), np.float64)
+    idx = np.arange(scale * scale)
+    probes[idx, idx // scale, idx % scale] = 1.0
+    px = _scaled_float_kernel(probes, scale).reshape(scale * scale, -1)
+    m = np.zeros((64, scale * scale), np.float32)
+    for v in range(scale):
+        for u in range(scale):
+            m[v * 8 + u] = px[v * scale + u].astype(np.float32)
+    _SCALED_BASIS_CACHE[scale] = m
+    return m
+
+
+def dequantize_and_idct_blocks_fast(coefficients, quantization_table, xp=np,
+                                    scale: int = 8):
     """fp32 MXU IDCT ("fast" precision mode): bit-equivalence is NOT guaranteed
     but output stays within the reference reftest tolerance (<=3 vs golden) —
     the same contract as the reference's arch SIMD kernels, which are also not
     bit-identical to its scalar path (`/root/reference/src/arch/mod.rs:13-57`,
     CHANGELOG v0.2.2 note). Exact mode remains the default for parity.
 
-    Returns uint8 [N, 8, 8].
+    scale < 8 uses the scaled_idct_basis linearization of the Dugad-Ahuja
+    kernels (worst |diff| vs the exact integer kernels = 1 on in-range
+    content; int32-wrapping divergence on adversarial magnitudes, the same
+    caveat as scale 8).
+
+    Returns uint8 [N, scale, scale].
     """
+    basis = _IDCT_M64_T if scale == 8 else scaled_idct_basis(scale)
     c = xp.asarray(coefficients).reshape(-1, 64).astype(xp.float32)
     q = xp.asarray(quantization_table).astype(xp.float32).reshape(1, 64)
     s = c * q
     if xp is np:
-        y = s @ _IDCT_M64_T
+        y = s @ basis
     else:
         import jax
         # HIGHEST keeps the MXU's f32 path full-precision; with the default
         # (bf16-decomposed) path the worst-case error vs the exact integer
         # kernel reaches the edge of the reftest tolerance.
-        y = xp.matmul(s, xp.asarray(_IDCT_M64_T),
+        y = xp.matmul(s, xp.asarray(basis),
                       preferred_element_type=xp.float32,
                       precision=jax.lax.Precision.HIGHEST)
     out = xp.clip(xp.floor(y + xp.float32(128.5)), 0, 255).astype(xp.uint8)
-    return out.reshape(-1, 8, 8)
+    return out.reshape(-1, scale, scale)
 
 
 def blocks_to_plane(block_pixels, blocks_wide: int, blocks_high: int, xp=np):

@@ -256,8 +256,6 @@ def pallas_tail_mode(geometry):
     from .color import ColorTransform
 
     comps = geometry.components
-    if any(c.dct_scale != 8 for c in comps):
-        return None
     if len(comps) == 1 and geometry.transform is None:
         return "gray"
     if geometry.transform == ColorTransform.RGB \
@@ -307,7 +305,8 @@ def reconstruct_planar_pallas(geometry, stores, qts, interpret=None):
     comps = geometry.components
     planes = []
     for comp, store, qt in zip(comps, stores, qts):
-        pixels = dequantize_and_idct_blocks_pallas(store, qt, interpret=interpret)
+        pixels = dequantize_and_idct_blocks_pallas(
+            store, qt, interpret=interpret, scale=comp.dct_scale)
         planes.append(blocks_to_plane(pixels, comp.blocks_wide,
                                       comp.blocks_high, xp=jnp))
     if mode == "gray":
@@ -328,8 +327,25 @@ def reconstruct_planar_pallas(geometry, stores, qts, interpret=None):
         geometry.out_height, geometry.out_width, interpret=interpret)
 
 
-def dequantize_and_idct_blocks_pallas(dense, qt, interpret: bool = False):
-    """Pallas dequant+IDCT: int16 [N, 64] + uint16[64] -> uint8 [N, 8, 8].
+@functools.lru_cache(maxsize=None)
+def _basis_padded(scale: int) -> np.ndarray:
+    """IDCT basis as a [64, 64] matrix regardless of scale: for scale < 8
+    the scaled_idct_basis columns are zero-padded so the kernel keeps one
+    shape (the MXU runs the same 64x64 matmul either way; callers slice the
+    first scale*scale pixel columns)."""
+    if scale == 8:
+        return _IDCT_M64_T
+    from .idct import scaled_idct_basis
+    m = np.zeros((64, 64), np.float32)
+    m[:, :scale * scale] = scaled_idct_basis(scale)
+    return m
+
+
+def dequantize_and_idct_blocks_pallas(dense, qt, interpret: bool = False,
+                                      scale: int = 8):
+    """Pallas dequant+IDCT: int16 [N, 64] + uint16[64] -> uint8
+    [N, scale, scale]. scale < 8 runs the Dugad-Ahuja linearization
+    (fast-tier contract, see ops/idct.py::scaled_idct_basis).
 
     N is padded to the block tile internally; callers pass any N.
     """
@@ -345,7 +361,7 @@ def dequantize_and_idct_blocks_pallas(dense, qt, interpret: bool = False):
             [dense, jnp.zeros((n_pad - n, 64), jnp.int16)], axis=0)
 
     qt_row = qt.astype(jnp.float32).reshape(1, 64)
-    m = jnp.asarray(_IDCT_M64_T)
+    m = jnp.asarray(_basis_padded(scale))
 
     grid = (n_pad // BLOCK_TILE,)
     out = pl.pallas_call(
@@ -361,4 +377,4 @@ def dequantize_and_idct_blocks_pallas(dense, qt, interpret: bool = False):
         interpret=interpret,
     )(dense, qt_row, m)
 
-    return out[:n].reshape(n, 8, 8)
+    return out[:n, :scale * scale].reshape(n, scale, scale)

@@ -79,13 +79,14 @@ def _reconstruct(geometry: ImageGeometry, stores, qts, xp):
 
     planes = []
     for comp, store, qt in zip(geometry.components, stores, qts):
-        if geometry.precision == "fast" and comp.dct_scale == 8:
+        if geometry.precision == "fast":
             if _pallas_tier_available(xp):
                 from .pallas_kernels import dequantize_and_idct_blocks_pallas
                 pixels = dequantize_and_idct_blocks_pallas(
-                    xp.asarray(store), xp.asarray(qt))
+                    xp.asarray(store), xp.asarray(qt), scale=comp.dct_scale)
             else:
-                pixels = dequantize_and_idct_blocks_fast(store, qt, xp=xp)
+                pixels = dequantize_and_idct_blocks_fast(
+                    store, qt, xp=xp, scale=comp.dct_scale)
         else:
             pixels = dequantize_and_idct_blocks(store, qt, comp.dct_scale, xp=xp)
         planes.append(blocks_to_plane(pixels, comp.blocks_wide, comp.blocks_high, xp=xp))

@@ -251,3 +251,57 @@ def test_stream_planar_pallas_422_and_gray():
         a = np.asarray(pp.decode_stream([data])[0])
         b = np.asarray(pl_.decode_stream([data])[0])
         assert a.shape == b.shape and (a == b).all(), name
+
+
+def test_pallas_scaled_idct_matches_fast():
+    """Scaled (4x4/2x2/1x1) Pallas IDCT == the jnp/numpy fast formulation
+    (both run the scaled_idct_basis matmul; ops/idct.py)."""
+    import jax.numpy as jnp
+    from jpeg_decoder_tpu.ops.pallas_kernels import dequantize_and_idct_blocks_pallas
+
+    rng = np.random.default_rng(11)
+    dense = rng.integers(-1000, 1000, (1100, 64)).astype(np.int16)
+    qt = rng.integers(1, 255, 64).astype(np.uint16)
+    for scale in (4, 2, 1):
+        a = np.asarray(dequantize_and_idct_blocks_pallas(
+            jnp.asarray(dense), jnp.asarray(qt), interpret=True, scale=scale))
+        b = dequantize_and_idct_blocks_fast(dense, qt, xp=np, scale=scale)
+        assert a.shape == (1100, scale, scale)
+        assert (a == b).all(), scale
+
+
+def test_fast_scaled_idct_near_exact():
+    """The Dugad-Ahuja linearization stays within 1 of the exact integer
+    kernels on in-range content (the fast-tier contract for scale < 8)."""
+    from jpeg_decoder_tpu.ops.idct import dequantize_and_idct_blocks
+
+    rng = np.random.default_rng(5)
+    for scale in (4, 2, 1):
+        worst = 0
+        for _ in range(50):
+            c = rng.normal(0, 40, size=(128, 64)).astype(np.int16)
+            qt = rng.integers(1, 64, size=64).astype(np.uint16)
+            exact = dequantize_and_idct_blocks(c, qt, scale).astype(int)
+            fast = dequantize_and_idct_blocks_fast(
+                c, qt, xp=np, scale=scale).astype(int)
+            worst = max(worst, int(np.abs(exact - fast).max()))
+        assert worst <= 1, (scale, worst)
+
+
+def test_scaled_decode_fast_within_tolerance():
+    """End-to-end scaled decode in fast precision stays within the reftest
+    tolerance of the exact path at every IDCT scale (the same <=3 contract
+    the unscaled fast path is held to)."""
+    from jpeg_decoder_tpu import Decoder
+
+    path = str(REFTEST_IMAGES / "rgb.jpg")
+    for req in ((63, 42), (125, 84), (250, 167), (500, 333)):
+        d_exact = Decoder(path, backend="numpy", precision="exact")
+        d_exact.scale(*req)
+        a = np.asarray(d_exact.decode_array()).astype(int)
+
+        d_fast = Decoder(path, backend="jax", precision="fast")
+        d_fast.scale(*req)
+        b = np.asarray(d_fast.decode_array()).astype(int)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() <= 3, req
