@@ -178,3 +178,27 @@ def test_scaled_decode_bits(decoders):
     b = bits.decode_stream([data], scale_to=(125, 84))[0]
     assert np.asarray(a).shape == (84, 125, 3)
     assert (np.asarray(a) == np.asarray(b)).all()
+
+
+@pytest.mark.parametrize("name,scale_to", [
+    ("rgb.jpg", (60, 60)),                    # dct_scale 4, H2V2 chroma
+    ("rgb.jpg", (30, 30)),                    # dct_scale 2
+    ("rgb.jpg", (8, 8)),                      # dct_scale 1 (DC only)
+    ("grayscale_square.jpg", (40, 40)),       # single-component
+    ("ycck.jpg", (40, 40)),                   # 4-component YCCK
+    ("restarts.jpg", (20, 20)),               # restart-interval stream
+])
+def test_scaled_decode_bits_small_scales(decoders, name, scale_to):
+    """Scaled bits decode at genuine 4x4/2x2/1x1 Dugad-Ahuja kernel sizes
+    (`/root/reference/src/idct.rs:454-565`) must match the numpy oracle
+    within the fast-tier tolerance (the fast scaled basis is the float
+    linearization of the exact integer kernels)."""
+    _prefix, bits = decoders
+    path = REFTEST_IMAGES / name
+    d = Decoder(str(path), backend="numpy")
+    d.scale(*scale_to)
+    ref = d.decode_array()
+    got = np.asarray(bits.decode_stream([path.read_bytes()],
+                                        scale_to=scale_to)[0])
+    assert got.shape == ref.shape
+    assert int(np.abs(got.astype(int) - ref.astype(int)).max()) <= 3
