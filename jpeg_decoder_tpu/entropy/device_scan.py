@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import numpy as np
@@ -264,6 +265,8 @@ class ScanPlan:
                                                side="right") - 1]
             self.seg_first.append(first)
 
+        self.structured = self._derive_structured(frame, scan, components)
+
         self._key = (
             frame.image_size.width, frame.image_size.height,
             tuple(scan.component_indices),
@@ -272,6 +275,78 @@ class ScanPlan:
                   for c in components),
             restart_interval, items_bucket, words_bucket, s_max,
         )
+
+    def _derive_structured(self, frame, scan, components):
+        """Express the stream<->raster maps as reshape/slice/transpose/pad
+        parameters instead of general index arrays. XLA lowers the general
+        row gathers in the assembler far below copy speed; the structured
+        form is static data movement. The derivation is *verified* element
+        for element against the general arrays built from _stream_blocks —
+        any mismatch (quirk geometry this closed form doesn't model) returns
+        None and the assembler keeps the gather path, so this is purely an
+        execution-strategy choice, never a semantics change.
+
+        Returns ((n_mcus, rows_d, cols_d, plen),
+                 per-comp (slot0, bpm, vs, hs, Hc, W, seg_blocks)) or None.
+        """
+        plen = len(self.pattern)
+        if plen == 0 or self.n_blocks % plen:
+            return None
+        n_mcus = self.n_blocks // plen
+        interleaved = len(components) > 1
+        if interleaved:
+            max_x, max_y = frame.mcu_size.width, frame.mcu_size.height
+        else:
+            max_x = components[0].block_size.width
+            max_y = components[0].block_size.height
+        w, h = frame.image_size.width, frame.image_size.height
+        # Decoded MCU grid incl. the mcu*8 >= image clip quirk
+        # (`/root/reference/src/decoder.rs:910-917`).
+        rows_d = sum(1 for my in range(max_y) if my * 8 < h)
+        cols_d = sum(1 for mx in range(max_x) if mx * 8 < w)
+        if rows_d * cols_d != n_mcus:
+            return None
+
+        specs = []
+        slot0 = 0
+        for i, comp in enumerate(components):
+            if interleaved:
+                hs = comp.horizontal_sampling_factor
+                vs = comp.vertical_sampling_factor
+            else:
+                hs = vs = 1
+            bpm = hs * vs
+            W = self.block_widths[i]
+            if W <= 0:
+                return None
+            Hc = self.store_shapes[i] // W
+            n_c = len(self.stream_idx[i])
+            if (n_c != n_mcus * bpm or Hc * W != self.store_shapes[i]
+                    or rows_d * vs > Hc or cols_d * hs > W):
+                return None
+            cand = (np.arange(n_mcus, dtype=np.int64)[:, None] * plen
+                    + slot0 + np.arange(bpm)[None, :]).reshape(-1)
+            if not np.array_equal(cand, self.stream_idx[i]):
+                return None
+            pos = np.arange(n_c, dtype=np.int64).reshape(
+                rows_d, cols_d, vs, hs).transpose(0, 2, 1, 3)
+            grid = np.full((Hc, W), n_c, np.int64)
+            grid[:rows_d * vs, :cols_d * hs] = pos.reshape(
+                rows_d * vs, cols_d * hs)
+            if not np.array_equal(grid.reshape(-1), self.raster_src[i]):
+                return None
+            if self.restart_interval > 0:
+                seg_blocks = self.restart_interval * bpm
+                cand_first = (np.arange(n_c, dtype=np.int64)
+                              // seg_blocks) * seg_blocks
+            else:
+                seg_blocks = 0
+                cand_first = np.zeros(n_c, np.int64)
+            if not np.array_equal(cand_first, self.seg_first[i]):
+                return None
+            specs.append((slot0, bpm, vs, hs, Hc, W, seg_blocks))
+            slot0 += bpm
+        return ((n_mcus, rows_d, cols_d, plen), tuple(specs))
 
     def __hash__(self):
         return hash(self._key)
@@ -745,18 +820,66 @@ def build_assembler(plan: ScanPlan, flat_stores: bool = True):
     assemble_nat = build_assembler_nat(plan, flat_stores)
 
     def assemble(codes, vals):
-        flat = jnp.zeros(n_blocks * 64, jnp.int32)
-        flat = flat.at[codes].set(vals, mode="drop")
+        # int16 scatter: exact in wrap-16 (see build_assembler_nat) and half
+        # the scatter/assembly traffic of the former int32 flat store.
+        flat = jnp.zeros(n_blocks * 64, jnp.int16)
+        flat = flat.at[codes].set(vals.astype(jnp.int16), mode="drop")
         return assemble_nat(flat.reshape(n_blocks, 64))
 
     return assemble
 
 
 def build_assembler_nat(plan: ScanPlan, flat_stores: bool = True):
-    """Assembly from a dense natural-order [n_blocks, 64] int32 tensor in
-    stream order (DC column holds diffs): segmented DC prefix sums + static
-    gathers into per-component stores."""
+    """Assembly from a dense natural-order [n_blocks, 64] tensor in stream
+    order (DC column holds diffs): segmented DC prefix sums + stream->raster
+    rearrangement into per-component stores.
+
+    Two execution strategies, identical outputs: when the plan's geometry
+    admits the verified closed form (plan.structured — every product-path
+    scan does), the stream slice and raster placement are static
+    reshape/slice/transpose/pad ops and the input is narrowed to int16 up
+    front (all tail traffic halves; DC wrap-16 semantics make the early
+    narrowing exact: wrap16(sum diffs) == wrap16(sum wrap16(diffs))).
+    Otherwise the original general row gathers run (JPEG_TPU_STRUCT_ASM=0
+    forces this path for A/B; assembler builders are lru-cached per plan, so
+    flip it only at process start)."""
     import jax.numpy as jnp
+
+    structured = plan.structured
+    if structured is not None \
+            and os.environ.get("JPEG_TPU_STRUCT_ASM", "1") == "0":
+        structured = None
+
+    if structured is not None:
+        (n_mcus, rows_d, cols_d, plen), specs = structured
+
+        def assemble_nat(nat):
+            nat16 = nat.astype(jnp.int16)
+            by_mcu = nat16.reshape(n_mcus, plen, 64)
+            stores = []
+            for (slot0, bpm, vs, hs, Hc, W, seg_blocks) in specs:
+                rows = by_mcu[:, slot0:slot0 + bpm].reshape(-1, 64)
+                n_c = n_mcus * bpm
+                cum = jnp.cumsum(rows[:, 0].astype(jnp.int32))
+                if 0 < seg_blocks < n_c:
+                    prev = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
+                    nseg = -(-n_c // seg_blocks)
+                    base = jnp.repeat(prev[:nseg * seg_blocks:seg_blocks],
+                                      seg_blocks)[:n_c]
+                    dc = cum - base
+                else:
+                    dc = cum
+                rows = rows.at[:, 0].set(dc.astype(jnp.int16))
+                grid = rows.reshape(rows_d, cols_d, vs, hs, 64)
+                grid = grid.transpose(0, 2, 1, 3, 4).reshape(
+                    rows_d * vs, cols_d * hs, 64)
+                grid = jnp.pad(grid, ((0, Hc - rows_d * vs),
+                                      (0, W - cols_d * hs), (0, 0)))
+                stores.append(grid.reshape(-1) if flat_stores
+                              else grid.reshape(Hc * W, 64))
+            return stores
+
+        return assemble_nat
 
     stream_idx = [jnp.asarray(a) for a in plan.stream_idx]
     raster_src = [jnp.asarray(a) for a in plan.raster_src]
@@ -766,10 +889,10 @@ def build_assembler_nat(plan: ScanPlan, flat_stores: bool = True):
         stores = []
         for c in range(plan.ncomp):
             rows = nat[stream_idx[c]]                     # stream order
-            cum = jnp.cumsum(rows[:, 0])
+            cum = jnp.cumsum(rows[:, 0].astype(jnp.int32))
             prev = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
             dc = cum - prev[seg_first[c]]
-            rows = rows.at[:, 0].set(dc)
+            rows = rows.at[:, 0].set(dc.astype(rows.dtype))
             rows16 = rows.astype(jnp.int16)               # wrap16 semantics
             ext_rows = jnp.concatenate(
                 [rows16, jnp.zeros((1, 64), jnp.int16)])

@@ -666,7 +666,12 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
                 base_all, (io,), (nb,)).reshape(G, 8, 128)
             starts = base.reshape(-1)
             dense = kern(slots_t, meta, base, mc, dl, vv)  # [K_CAP*64, G, 8, 128]
-            rows.append(jnp.transpose(dense, (1, 2, 3, 0)).reshape(-1, 64))
+            # Narrow to int16 at the transpose (fused by XLA): every value is
+            # exact in wrap-16 (AC coefficients directly; DC diffs modulo
+            # 2^16, which the assembler's wrapping prefix sum preserves) and
+            # the transpose write + rowmap gather traffic halves.
+            rows.append(jnp.transpose(dense, (1, 2, 3, 0))
+                        .reshape(-1, 64).astype(jnp.int16))
 
             # Per-class propagation: this class's items are stream-ordered,
             # so (start block, padded base) both increase — cummax fills

@@ -122,3 +122,42 @@ def test_full_corpus_baseline_sweep():
             assert a is not None and (a == b).all(), f"{jpg.name} comp {c}"
         ran += 1
     assert ran >= 25, f"only {ran} baseline images exercised the device engine"
+
+
+def test_structured_assembler_matches_gather():
+    """The structured (reshape/slice/transpose/pad) assembler must equal the
+    general gather assembler bit for bit on random natural-order tensors —
+    for every reftest plan shape, including DRI segmentation and int32
+    values that only agree modulo 2^16 (the wrap-16 DC contract)."""
+    import jax
+
+    from jpeg_decoder_tpu.entropy.device_scan import build_assembler_nat
+
+    rng = np.random.default_rng(42)
+    plans = []
+    for name in ("rgb.jpg", "restarts.jpg", "mjpeg.jpg", "ycck.jpg",
+                 "grayscale_16x24_sampling2x2.jpg"):
+        cap = AnchorCapture()
+        d = Decoder(str(REFTEST_IMAGES / name))
+        d._prefix_capture = cap
+        try:
+            d._decode_entropy_only()
+        except PrescanFallback:
+            continue
+        plans.extend(st.plan for st, _ in cap.scans)
+    assert plans and all(p.structured is not None for p in plans)
+
+    for plan in plans:
+        nat = rng.integers(-70000, 70000,
+                           (plan.n_blocks, 64)).astype(np.int32)
+        structured_fn = build_assembler_nat(plan)
+        # Force the gather path by temporarily hiding the spec.
+        spec, plan.structured = plan.structured, None
+        gather_fn = build_assembler_nat(plan)
+        plan.structured = spec
+        a = jax.jit(structured_fn)(nat)
+        b = jax.jit(gather_fn)(nat)
+        for c, (x, y) in enumerate(zip(a, b)):
+            assert x.dtype == y.dtype == np.int16
+            assert (np.asarray(x) == np.asarray(y)).all(), \
+                f"comp {c} of plan {plan._key}"

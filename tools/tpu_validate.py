@@ -193,6 +193,43 @@ def validate_transcode(jax, jnp) -> int:
     return failures
 
 
+SCALED_CASES = [
+    # (path, scale_to) — one per Dugad-Ahuja kernel size; compiled through
+    # Mosaic on the real chip (the fast tier's scaled_idct_basis matmul +
+    # scaled Pallas IDCT), compared on device vs the host numpy oracle.
+    ("/root/reference/tests/reftest/images/rgb.jpg", (60, 60)),    # 4x4
+    ("/root/reference/tests/reftest/images/rgb.jpg", (30, 30)),    # 2x2
+    ("/root/reference/tests/reftest/images/rgb.jpg", (8, 8)),      # 1x1
+    ("/root/reference/tests/reftest/images/grayscale_square.jpg", (40, 40)),
+]
+
+
+def validate_scaled(jax, jnp) -> int:
+    """Scaled decode (dct_scale < 8) through the bits stream on device vs
+    the host numpy oracle (fast-tier tolerance <= 3). The oracle pixels are
+    device_put (scaled outputs are tiny) and compared on device."""
+    from jpeg_decoder_tpu import Decoder
+    from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+
+    failures = 0
+    bits = DeviceStreamDecoder(host_threads=2, interchange="bits")
+    for path, scale_to in SCALED_CASES:
+        name = os.path.basename(path)
+        d = Decoder(path, backend="numpy")
+        d.scale(*scale_to)
+        ref = d.decode_array()
+        got = bits.decode_stream([open(path, "rb").read()],
+                                 scale_to=scale_to)[0]
+        ref_dev = jax.device_put(ref.reshape(got.shape).astype(np.int16))
+        diff = int(jax.device_get(
+            jnp.abs(got.astype(jnp.int16) - ref_dev).max()))
+        ok = diff <= 3
+        print(f"{name} scaled {scale_to}: max diff {diff} "
+              f"{'OK' if ok else 'MISMATCH'}")
+        failures += not ok
+    return failures
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -223,6 +260,7 @@ def main() -> int:
 
     failures += validate_planar_tails(jax, jnp)
     failures += validate_transcode(jax, jnp)
+    failures += validate_scaled(jax, jnp)
 
     # Stream-level: bits(pallas) vs prefix, on device — every wire format.
     data = open(CASES[-1], "rb").read()
