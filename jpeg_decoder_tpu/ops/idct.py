@@ -20,6 +20,8 @@ exactly as the reference does (`/root/reference/src/idct.rs:454-565`).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -286,18 +288,13 @@ def _scaled_float_kernel(s: np.ndarray, scale: int) -> np.ndarray:
     return out.transpose(0, 2, 1)
 
 
-_SCALED_BASIS_CACHE: dict = {}
-
-
+@functools.lru_cache(maxsize=None)
 def scaled_idct_basis(scale: int) -> np.ndarray:
     """The Dugad-Ahuja scaled IDCT as a [64(coef), scale*scale(px)] float32
     linear map (MXU formulation for the fast tier; the exact integer kernels
     above remain the bit-parity path). Coefficient rows outside the top-left
     scale x scale region are zero — the scaled kernels never read them
     (`/root/reference/src/idct.rs:449-452` dequantizes only `scale` rows)."""
-    cached = _SCALED_BASIS_CACHE.get(scale)
-    if cached is not None:
-        return cached
     probes = np.zeros((scale * scale, scale, scale), np.float64)
     idx = np.arange(scale * scale)
     probes[idx, idx // scale, idx % scale] = 1.0
@@ -306,7 +303,6 @@ def scaled_idct_basis(scale: int) -> np.ndarray:
     for v in range(scale):
         for u in range(scale):
             m[v * 8 + u] = px[v * scale + u].astype(np.float32)
-    _SCALED_BASIS_CACHE[scale] = m
     return m
 
 

@@ -124,12 +124,16 @@ def test_full_corpus_baseline_sweep():
     assert ran >= 25, f"only {ran} baseline images exercised the device engine"
 
 
-def test_structured_assembler_matches_gather():
+def test_structured_assembler_matches_gather(monkeypatch):
     """The structured (reshape/slice/transpose/pad) assembler must equal the
     general gather assembler bit for bit on random natural-order tensors —
     for every reftest plan shape, including DRI segmentation and int32
     values that only agree modulo 2^16 (the wrap-16 DC contract)."""
     import jax
+
+    # An ambient JPEG_TPU_STRUCT_ASM=0 would make both builders return the
+    # gather assembler and the comparison vacuous.
+    monkeypatch.delenv("JPEG_TPU_STRUCT_ASM", raising=False)
 
     from jpeg_decoder_tpu.entropy.device_scan import build_assembler_nat
 

@@ -227,6 +227,27 @@ def validate_scaled(jax, jnp) -> int:
         print(f"{name} scaled {scale_to}: max diff {diff} "
               f"{'OK' if ok else 'MISMATCH'}")
         failures += not ok
+
+    # Fused Pallas tail at scaled geometry (planar-pallas layout compiles
+    # fused_tail_pallas for dct_scale < 8 plane shapes through Mosaic —
+    # interpret-mode parity is in test_pallas.py, this is the compiled run).
+    planar = DeviceStreamDecoder(host_threads=2, interchange="bits",
+                                 layout="planar-pallas")
+    for path, scale_to in (SCALED_CASES[0], SCALED_CASES[1]):
+        name = os.path.basename(path)
+        d = Decoder(path, backend="numpy")
+        d.scale(*scale_to)
+        ref = d.decode_array()
+        got = planar.decode_stream([open(path, "rb").read()],
+                                   scale_to=scale_to)[0]
+        ref_p = np.transpose(ref, (2, 0, 1)) if ref.ndim == 3 else ref
+        ref_dev = jax.device_put(ref_p.reshape(got.shape).astype(np.int16))
+        diff = int(jax.device_get(
+            jnp.abs(got.astype(jnp.int16) - ref_dev).max()))
+        ok = diff <= 3
+        print(f"{name} scaled {scale_to} [planar-pallas]: max diff {diff} "
+              f"{'OK' if ok else 'MISMATCH'}")
+        failures += not ok
     return failures
 
 
