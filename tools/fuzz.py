@@ -233,7 +233,136 @@ def run(iterations: int = 500, seed: int = 0, timeout_s: int = 60) -> int:
     return failures
 
 
+def run_device(iterations: int = 300, seed: int = 0,
+               timeout_s: int = 60) -> int:
+    """Device-engine differential fuzz (CPU/XLA): the bits-path safety
+    property is that the prescan either FALLS BACK (host decodes, oracle
+    semantics) or ACCEPTS — and every accepted stream must produce stores
+    bit-identical to the host oracle. Mutants are biased into the entropy
+    section (header mutations mostly change the plan shape, which costs an
+    XLA compile per shape without exercising the decode kernels)."""
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from jpeg_decoder_tpu import Decoder, JpegError
+    from jpeg_decoder_tpu.entropy.device_scan import (
+        PrescanFallback,
+        decode_anchored_device,
+        prescan_baseline,
+    )
+
+    class _Hang(Exception):
+        pass
+
+    def _on_alarm(signum, frame):
+        raise _Hang(f"exceeded {timeout_s}s")
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+
+    class Cap:
+        def __init__(self):
+            self.scans = []
+
+        def wants(self, frame):
+            return True
+
+        def decode_scan(self, dec, frame, scan, fin):
+            m, st = prescan_baseline(
+                dec._cursor, frame, scan, dec._dc_huffman_tables,
+                dec._ac_huffman_tables, dec._restart_interval)
+            self.scans.append((st, list(scan.component_indices)))
+            for ci in scan.component_indices:
+                qt = dec._quantization_tables[
+                    frame.components[ci].quantization_table_index]
+                dec._pending_render[ci] = (None, qt.copy())
+            return m
+
+    # Baseline seeds only (the bits path's eligibility set).
+    seeds = [open(p, "rb").read() for p in SEEDS
+             if os.path.exists(p) and "lossless" not in p
+             and "progressive" not in p]
+    rng = random.Random(seed)
+    failures = accepted = fallbacks = errors = 0
+
+    def sos_off(b: bytes) -> int:
+        i = b.find(b"\xff\xda")
+        if i < 0:
+            return 2
+        return i + 2 + int.from_bytes(b[i + 2:i + 4], "big")
+
+    for i in range(iterations):
+        seed_bytes = rng.choice(seeds)
+        buf = bytearray(seed_bytes)
+        lo = sos_off(seed_bytes)
+        for _ in range(rng.randint(1, 8)):
+            buf[rng.randrange(lo, len(buf))] = rng.randrange(256)
+        data = bytes(buf)
+        signal.alarm(timeout_s)
+        try:
+            cap = Cap()
+            d = Decoder(data, backend="numpy")
+            d._prefix_capture = cap
+            try:
+                d._decode_entropy_only()
+            except PrescanFallback:
+                fallbacks += 1
+                continue
+            except JpegError:
+                errors += 1
+                continue
+            if not cap.scans:
+                fallbacks += 1
+                continue
+            # Host oracle stores on the same bytes.
+            o = Decoder(data, backend="numpy")
+            try:
+                o._decode_entropy_only()
+            except JpegError as e:
+                failures += 1
+                path = f"/tmp/fuzz_dev_accept_{i}.jpg"
+                open(path, "wb").write(data)
+                print(f"[{i}] PRESCAN ACCEPTED, ORACLE RAISED "
+                      f"{type(e).__name__} -> {path}")
+                continue
+            ok = True
+            for st, comp_idx in cap.scans:
+                dev = decode_anchored_device(st)
+                for pos, ci in enumerate(comp_idx):
+                    gold = np.asarray(o._pending_render[ci][0]).reshape(-1)
+                    got = np.asarray(dev[pos]).reshape(-1)
+                    if got.shape != gold.shape or (got != gold).any():
+                        ok = False
+            if not ok:
+                failures += 1
+                path = f"/tmp/fuzz_dev_diff_{i}.jpg"
+                open(path, "wb").write(data)
+                print(f"[{i}] DEVICE/ORACLE STORE DIVERGENCE -> {path}")
+            else:
+                accepted += 1
+        except Exception as e:  # noqa: BLE001 — any non-JpegError is a bug
+            failures += 1
+            path = f"/tmp/fuzz_dev_crash_{i}.jpg"
+            open(path, "wb").write(data)
+            print(f"[{i}] CRASH {type(e).__name__}: {e} -> {path}")
+        finally:
+            signal.alarm(0)
+        if (i + 1) % 100 == 0:
+            print(f"{i + 1}/{iterations} done: {accepted} accepted+verified, "
+                  f"{fallbacks} fallbacks, {errors} typed errors, "
+                  f"{failures} failures")
+
+    print(f"device fuzz complete: {iterations} mutants, {accepted} "
+          f"accepted+verified, {fallbacks} fallbacks, {errors} typed "
+          f"errors, {failures} failures")
+    return failures
+
+
 if __name__ == "__main__":
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    args = [a for a in sys.argv[1:] if a != "--device"]
+    iters = int(args[0]) if len(args) > 0 else 500
+    seed = int(args[1]) if len(args) > 1 else 0
+    if "--device" in sys.argv[1:]:
+        sys.exit(1 if run_device(iters, seed) else 0)
     sys.exit(1 if run(iters, seed) else 0)
