@@ -42,4 +42,14 @@ run "entry" env PYTHONPATH= JAX_PLATFORMS=cpu \
 # 5. Fuzz spot-check (three-way differential, 200 mutants).
 run "fuzz200" python tools/fuzz.py 200 1
 
+# 6. Device-engine differential fuzz (prescan-accepted streams must match
+#    oracle stores bit-exact; CPU/XLA engine).
+run "fuzzdev200" env PYTHONPATH= python tools/fuzz.py 200 1 --device
+
+# 7. Gather-assembler configuration (JPEG_TPU_STRUCT_ASM=0 forces the
+#    general-gather assembly path over the structured closed form).
+run "gatherasm" env JPEG_TPU_STRUCT_ASM=0 python -m pytest \
+    tests/test_device_entropy.py tests/test_stream_bits.py \
+    tests/test_pallas_decode.py -x -q "$@"
+
 exit $FAILED
