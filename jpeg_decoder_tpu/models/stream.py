@@ -165,17 +165,26 @@ def _compiled_prefix_pipeline_batched(geometry: ImageGeometry, resid_bucket: int
         out_shardings=sharded)
 
 
-def _bits_pallas_enabled() -> bool:
-    """Pallas kernel path for the bits interchange: default on for TPU
-    backends; JPEG_TPU_BITS_PALLAS=0 opts out."""
+def _bits_pallas_mode() -> str:
+    """Pallas kernel path for the bits interchange: "on" by default for TPU
+    backends; JPEG_TPU_BITS_PALLAS=0 opts out; JPEG_TPU_BITS_PALLAS=interpret
+    forces the path on any backend in Pallas interpret mode (pure-jax kernel
+    emulation — slow; CPU test harnesses only)."""
     import os
-    if os.environ.get("JPEG_TPU_BITS_PALLAS", "1") == "0":
-        return False
+    v = os.environ.get("JPEG_TPU_BITS_PALLAS", "1")
+    if v == "0":
+        return "off"
+    if v == "interpret":
+        return "interpret"
     try:
         import jax
-        return jax.default_backend() == "tpu"
+        return "on" if jax.default_backend() == "tpu" else "off"
     except Exception:
-        return False
+        return "off"
+
+
+def _bits_pallas_enabled() -> bool:
+    return _bits_pallas_mode() != "off"
 
 
 def _anchored_enabled() -> bool:
@@ -702,7 +711,8 @@ def _stage_host_decoded_bits(source, scale_to, precision: str):
 @functools.lru_cache(maxsize=128)
 def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
                             geometry: ImageGeometry, layout: str,
-                            pallas_shapes: tuple = None):
+                            pallas_shapes: tuple = None,
+                            interpret: bool = False):
     """Fused device dispatch: anchored entropy decode for every scan +
     dequant/IDCT/upsample/color — one jit, pixels stay in HBM.
 
@@ -726,6 +736,7 @@ def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
             class_shapes, n_tab, comp_to_upair, device_slots = pshape
             decoders.append(("pallas", build_pallas_decoder(
                 plan, class_shapes, n_tab, flat_stores=False,
+                interpret=interpret,
                 comp_to_upair=comp_to_upair, device_slots=device_slots)))
         else:
             decoders.append(("xla", build_anchored_decoder(
@@ -740,7 +751,8 @@ def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
                 stores[comp_i] = scan_stores[pos]
         if layout == "planar-pallas":
             from ..ops.pallas_kernels import reconstruct_planar_pallas
-            return reconstruct_planar_pallas(geometry, stores, qts)
+            return reconstruct_planar_pallas(geometry, stores, qts,
+                                             interpret=interpret or None)
         out = _reconstruct(geometry, stores, qts, jnp)
         if layout == "planar" and out.ndim == 3:
             return jnp.transpose(out, (2, 0, 1))
@@ -753,7 +765,8 @@ def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
 def _compiled_bits_pipeline_batched(plan, n_images: int, class_shapes: tuple,
                                     n_tab: int, comp_to_upair: tuple,
                                     geometry: ImageGeometry, layout: str,
-                                    device_slots: bool = False):
+                                    device_slots: bool = False,
+                                    interpret: bool = False):
     """Batched bits-interchange dispatch: one merged Pallas chunk sweep over
     n_images same-plan images (merge_image_packs), vmapped assembly +
     reconstruction. Sub-megapixel images are dominated by per-dispatch
@@ -767,6 +780,7 @@ def _compiled_bits_pipeline_batched(plan, n_images: int, class_shapes: tuple,
 
     decoder = build_pallas_decoder(plan, class_shapes, n_tab,
                                    flat_stores=False,
+                                   interpret=interpret,
                                    comp_to_upair=comp_to_upair,
                                    n_images=n_images,
                                    device_slots=device_slots)
@@ -774,7 +788,8 @@ def _compiled_bits_pipeline_batched(plan, n_images: int, class_shapes: tuple,
     def recon_one(stores, qts):
         if layout == "planar-pallas":
             from ..ops.pallas_kernels import reconstruct_planar_pallas
-            return reconstruct_planar_pallas(geometry, stores, qts)
+            return reconstruct_planar_pallas(geometry, stores, qts,
+                                             interpret=interpret or None)
         out = _reconstruct(geometry, stores, qts, jnp)
         if layout == "planar" and out.ndim == 3:
             return jnp.transpose(out, (2, 0, 1))
@@ -823,6 +838,69 @@ def _bits_group_key(st: "StagedBits", mesh_mode: bool = False):
             len(st.qts), st.pallas[0][2],
             scan.tab_maxcode.tobytes(), scan.tab_delta.tobytes(),
             scan.tab_values.tobytes(), scan.luts.shape)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_bits_pipeline_mesh_pallas(plan, kept: tuple, batch: int,
+                                        class_shapes: tuple, n_tab: int,
+                                        comp_to_upair: tuple, ncomp: int,
+                                        geometry: ImageGeometry, layout: str,
+                                        device_slots: bool, n_combined: int,
+                                        mesh, data_axis: str,
+                                        interpret: bool = False):
+    """Mesh-sharded batched bits dispatch on the PALLAS engine: per-image
+    packed class buffers stack along the image axis and shard over
+    `data_axis`; inside shard_map each device runs the single-image Pallas
+    pipeline over its local shard (a static loop — pallas_call stays
+    un-vmapped). Requires every image in the group to share the bucketed
+    class shapes and wire format (heterogeneous groups take the XLA mesh
+    path). Tables are replicated."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec
+
+    from ..entropy.pallas_decode import build_pallas_decoder
+    from ..ops.pipeline import _enable_compile_cache
+    from ..parallel.stripes import _shard_map
+    _enable_compile_cache(jax)
+    shard_map = _shard_map()
+
+    decoder = build_pallas_decoder(plan, class_shapes, n_tab,
+                                   flat_stores=False, interpret=interpret,
+                                   comp_to_upair=comp_to_upair,
+                                   device_slots=device_slots)
+    ndev = int(mesh.shape[data_axis])
+    local_b = batch // ndev
+
+    def recon_one(stores, qts):
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import reconstruct_planar_pallas
+            return reconstruct_planar_pallas(geometry, stores, qts,
+                                             interpret=interpret or None)
+        out = _reconstruct(geometry, stores, qts, jnp)
+        if layout == "planar" and out.ndim == 3:
+            return jnp.transpose(out, (2, 0, 1))
+        return out
+
+    def shard_fn(combined_l, mc, dl, vv, qts_l):
+        outs = []
+        for i in range(local_b):
+            scan_stores = decoder(tuple(a[i] for a in combined_l),
+                                  mc, dl, vv)
+            stores = [None] * ncomp
+            for pos, comp_i in kept:
+                stores[comp_i] = scan_stores[pos]
+            outs.append(recon_one(tuple(stores),
+                                  tuple(q[i] for q in qts_l)))
+        return jnp.stack(outs)
+
+    data = PartitionSpec(data_axis)
+    repl = PartitionSpec()
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=((data,) * n_combined, repl, repl, repl,
+                             (data,) * ncomp),
+                   out_specs=data)
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)
@@ -978,7 +1056,8 @@ class DeviceStreamDecoder:
 
         fn = _compiled_bits_pipeline(
             plans_with_comps, len(staged.qts), staged.geometry, layout,
-            tuple(pallas_shapes))
+            tuple(pallas_shapes),
+            interpret=_bits_pallas_mode() == "interpret")
         with self._stage("h2d_submit"):
             scan_args = []
             for (scan, _kept), entry in zip(staged.scans, per_scan):
@@ -1110,7 +1189,8 @@ class DeviceStreamDecoder:
         fn = _compiled_bits_pipeline_batched(
             scan0.plan, batch, shapes_key, len(scan0.tab_maxcode),
             scan0.comp_to_upair, group[0].geometry, layout,
-            device_slots=wire.startswith("words"))
+            device_slots=wire.startswith("words"),
+            interpret=_bits_pallas_mode() == "interpret")
 
         ncomp = len(group[0].qts)
         qts_b = tuple(
@@ -1129,7 +1209,10 @@ class DeviceStreamDecoder:
     def _decode_group_bits_mesh(self, group: list) -> list:
         """Mesh-sharded batched bits dispatch: stack the bucket-padded
         per-image anchor arrays along an image axis sharded over the data
-        axis (see _compiled_bits_pipeline_batched_mesh)."""
+        axis (see _compiled_bits_pipeline_batched_mesh). When every image
+        in the group carries Pallas packs of the same bucketed class shapes
+        and wire, the shards run the Pallas kernel engine instead
+        (_compiled_bits_pipeline_mesh_pallas)."""
         import jax
 
         scan0, kept = group[0].scans[0]
@@ -1141,6 +1224,14 @@ class DeviceStreamDecoder:
             # two never reaches divisibility for ndev like 3 or 6).
             batch = -(-batch // ndev) * ndev
         pad = batch - n
+
+        entries = [st.pallas[0] if st.pallas else None for st in group]
+        if _bits_pallas_enabled() and all(e is not None for e in entries):
+            keys = {(tuple(s[:3] for s in e[1]), e[2], len(e[0]))
+                    for e in entries}
+            if len(keys) == 1:
+                return self._decode_group_bits_mesh_pallas(
+                    group, entries, batch, kept)
         scans = [st.scans[0][0] for st in group] + [scan0] * pad
         words = np.stack([s.words for s in scans])
         a_bits = np.stack([s.anchor_bits for s in scans])
@@ -1162,6 +1253,44 @@ class DeviceStreamDecoder:
             luts = self._put_luts(scan0.luts)
         with self._stage("device_dispatch"):
             out = fn(*args, qts_b, luts)
+        return [out[i] for i in range(n)]
+
+    def _decode_group_bits_mesh_pallas(self, group: list, entries: list,
+                                       batch: int, kept: tuple) -> list:
+        """Pallas engine over the mesh: stack each image's packed class
+        buffers (uniform shapes — checked by the caller) on a sharded image
+        axis; every shard decodes its images with the single-image Pallas
+        pipeline."""
+        import jax
+
+        scan0, _ = group[0].scans[0]
+        n = len(group)
+        pad = batch - n
+        n_combined = len(entries[0][0])
+        stacked = tuple(
+            np.stack([e[0][j] for e in entries]
+                     + [entries[-1][0][j]] * pad)
+            for j in range(n_combined))
+        ncomp = len(group[0].qts)
+        qts_b = tuple(
+            np.stack([st.qts[c] for st in group]
+                     + [group[-1].qts[c]] * pad)
+            for c in range(ncomp))
+        shapes_key = tuple(s[:3] for s in entries[0][1])
+        wire = entries[0][2]
+        layout = self._effective_layout(group[0].geometry)
+        fn = _compiled_bits_pipeline_mesh_pallas(
+            scan0.plan, kept, batch, shapes_key, len(scan0.tab_maxcode),
+            scan0.comp_to_upair, ncomp, group[0].geometry, layout,
+            wire.startswith("words"), n_combined, self.mesh, self.data_axis,
+            interpret=_bits_pallas_mode() == "interpret")
+        with self._stage("h2d_submit"):
+            dev = tuple(jax.device_put(a) for a in stacked)
+            mc = self._put_cached(scan0.tab_maxcode)
+            dl = self._put_cached(scan0.tab_delta)
+            vv = self._put_cached(scan0.tab_values.view(np.int32))
+        with self._stage("device_dispatch"):
+            out = fn(dev, mc, dl, vv, qts_b)
         return [out[i] for i in range(n)]
 
     def _decode_group(self, group: list) -> list:

@@ -202,3 +202,51 @@ def test_scaled_decode_bits_small_scales(decoders, name, scale_to):
                                         scale_to=scale_to)[0])
     assert got.shape == ref.shape
     assert int(np.abs(got.astype(int) - ref.astype(int)).max()) <= 3
+
+
+def test_mesh_bits_routes_to_pallas_engine(monkeypatch):
+    """Mesh DP routing for the Pallas engine: when every image in a mesh
+    group carries Pallas packs of one bucketed shape+wire, the dispatcher
+    must take _decode_group_bits_mesh_pallas (per-image packed buffers
+    stacked on the sharded image axis). The kernel execution itself is
+    hardware-validated (tools/tpu_validate.py mesh section) — interpret
+    mode is far too slow for CI — so this test spies on the route and
+    checks outputs through the per-image fallback."""
+    import jax
+
+    import jpeg_decoder_tpu.models.stream as S
+    from jpeg_decoder_tpu.parallel import make_mesh
+
+    monkeypatch.setenv("JPEG_TPU_BITS_PALLAS", "interpret")
+    data = (REFTEST_IMAGES / "rgb.jpg").read_bytes()
+
+    st = stage_host_bits(data)
+    assert st.pallas and st.pallas[0] is not None  # staging attaches packs
+
+    called = {}
+
+    def spy(self, group, entries, batch, kept):
+        called.setdefault("groups", []).append(len(group))
+        called.setdefault("batches", []).append(batch)
+        called.setdefault("shapes", set()).update(
+            (tuple(s[:3] for s in e[1]), e[2]) for e in entries)
+        outs = []
+        for g in group:   # XLA per-image fallback for output correctness
+            g.pallas = None
+            outs.append(self.decode_one(g))
+        return outs
+
+    monkeypatch.setattr(S.DeviceStreamDecoder,
+                        "_decode_group_bits_mesh_pallas", spy)
+    mesh = make_mesh({"data": 4}, jax.devices("cpu")[:4])
+    sharded = S.DeviceStreamDecoder(host_threads=1, interchange="bits",
+                                    mesh=mesh)
+    plain = S.DeviceStreamDecoder(host_threads=1, interchange="prefix")
+    ref = np.asarray(plain.decode_stream([data])[0])
+    got = sharded.decode_stream([data] * 5, batch_size=4)
+    assert called["groups"] == [4, 1]   # full group + tail, both routed
+    assert all(b % 4 == 0 for b in called["batches"])
+    assert len(called["shapes"]) == 1   # uniformity precondition held
+    assert len(got) == 5
+    for out in got:
+        assert np.array_equal(ref, np.asarray(out))

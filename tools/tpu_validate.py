@@ -251,6 +251,43 @@ def validate_scaled(jax, jnp) -> int:
     return failures
 
 
+def validate_mesh_pallas(jax, jnp) -> int:
+    """Mesh-sharded bits dispatch on the Pallas engine, compiled through
+    Mosaic under shard_map (a 1-device mesh on the real chip — the multi-
+    chip shape is the same program over more shards; the routing/stacking
+    logic is CPU-tested). Output must equal the single-device bits path."""
+    import jpeg_decoder_tpu.models.stream as S
+    from jpeg_decoder_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"data": 1}, jax.devices()[:1])
+    data = open("/root/reference/tests/reftest/images/rgb.jpg", "rb").read()
+    plain = S.DeviceStreamDecoder(host_threads=2, interchange="bits")
+    ref = plain.decode_stream([data])[0]
+    sharded = S.DeviceStreamDecoder(host_threads=2, interchange="bits",
+                                    mesh=mesh)
+    routed = {}
+    orig = S.DeviceStreamDecoder._decode_group_bits_mesh_pallas
+
+    def spy(self, group, entries, batch, kept):
+        routed["n"] = len(group)
+        return orig(self, group, entries, batch, kept)
+
+    S.DeviceStreamDecoder._decode_group_bits_mesh_pallas = spy
+    try:
+        outs = sharded.decode_stream([data] * 3, batch_size=2)
+    finally:
+        S.DeviceStreamDecoder._decode_group_bits_mesh_pallas = orig
+    if "n" not in routed:
+        print("mesh-pallas: NOT ROUTED (fell back to XLA mesh path)")
+        return 1
+    bad = 0
+    for out in outs:
+        bad += int(jax.device_get(jnp.sum(out != ref)))
+    print(f"rgb.jpg x3 mesh(1-dev) pallas == single: "
+          f"{'OK' if bad == 0 else f'{bad} MISMATCHES'}")
+    return bad != 0
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -282,6 +319,7 @@ def main() -> int:
     failures += validate_planar_tails(jax, jnp)
     failures += validate_transcode(jax, jnp)
     failures += validate_scaled(jax, jnp)
+    failures += validate_mesh_pallas(jax, jnp)
 
     # Stream-level: bits(pallas) vs prefix, on device — every wire format.
     data = open(CASES[-1], "rb").read()
