@@ -95,6 +95,14 @@ struct Error {
 
 inline int16_t wrap16(int32_t v) { return static_cast<int16_t>(v); }
 
+// Two's-complement left shift of a possibly negative value (the successive-
+// approximation scaling `coeff << Al`): shifting a negative int32 is UB
+// before C++20, so route through uint32 — identical bits, defined behavior
+// (the reference's Rust `<<` wraps the same way).
+inline int32_t shl32(int32_t v, int32_t n) {
+  return static_cast<int32_t>(static_cast<uint32_t>(v) << n);
+}
+
 // ---------------------------------------------------------------------------
 // Bit reservoir (semantics of /root/reference/src/huffman.rs:14-160)
 //
@@ -390,7 +398,7 @@ bool decode_block(Rdr& r, Blk blk, const HuffTable* dc,
       }
     }
     *dc_pred = wrap16(static_cast<int32_t>(*dc_pred) + diff);
-    blk.set_zz(0, static_cast<int32_t>(*dc_pred) << al);
+    blk.set_zz(0, shl32(static_cast<int32_t>(*dc_pred), al));
   }
 
   int index = ss > 1 ? ss : 1;
@@ -416,7 +424,7 @@ bool decode_block(Rdr& r, Blk blk, const HuffTable* dc,
       if ((packed >> 20) != 0 && index + run < se) {
         r.consume(packed >> 20);
         index += run;
-        blk.set_zz(index, static_cast<int32_t>(static_cast<int16_t>(packed & 0xFFFF)) << al);
+        blk.set_zz(index, shl32(static_cast<int32_t>(static_cast<int16_t>(packed & 0xFFFF)), al));
         index++;
         continue;
       }
@@ -426,7 +434,7 @@ bool decode_block(Rdr& r, Blk blk, const HuffTable* dc,
     if (r.decode_fast_ac(ac, &fav, &run, err)) {
       index += run;
       if (index >= se) break;
-      blk.set_zz(index, static_cast<int32_t>(fav) << al);
+      blk.set_zz(index, shl32(static_cast<int32_t>(fav), al));
       index++;
     } else {
       if (err) return false;
@@ -452,7 +460,7 @@ bool decode_block(Rdr& r, Blk blk, const HuffTable* dc,
         if (index >= se) break;
         int v = r.receive_extend(s, err);
         if (err) return false;
-        blk.set_zz(index, static_cast<int32_t>(v) << al);
+        blk.set_zz(index, shl32(static_cast<int32_t>(v), al));
         index++;
       }
     }
@@ -722,7 +730,7 @@ static void idct8_block(const int16_t* c, const uint16_t* q, uint8_t* out,
   for (int i = 0; i < 8; i++) {
     if (c[i + 8] == 0 && c[i + 16] == 0 && c[i + 24] == 0 && c[i + 32] == 0 &&
         c[i + 40] == 0 && c[i + 48] == 0 && c[i + 56] == 0) {
-      int32_t dc = M(c[i], q[i]) << 2;
+      int32_t dc = shl32(M(c[i], q[i]), 2);
       for (int k = 0; k < 8; k++) temp[i + 8 * k] = dc;
     } else {
       int32_t s0 = M(c[i], q[i]), s1 = M(c[i + 8], q[i + 8]);
@@ -731,7 +739,7 @@ static void idct8_block(const int16_t* c, const uint16_t* q, uint8_t* out,
       int32_t s6 = M(c[i + 48], q[i + 48]), s7 = M(c[i + 56], q[i + 56]);
       int32_t p1 = M(s2 + s6, K0541);
       int32_t t2 = p1 + M(s6, KM1847), t3 = p1 + M(s2, K0765);
-      int32_t t0 = (s0 + s4) << 12, t1 = (s0 - s4) << 12;
+      int32_t t0 = shl32(s0 + s4, 12), t1 = shl32(s0 - s4, 12);
       int32_t x0 = t0 + t3 + 512, x3 = t0 - t3 + 512;
       int32_t x1 = t1 + t2 + 512, x2 = t1 - t2 + 512;
       int32_t u0 = s7, u1 = s5, u2 = s3, u3 = s1;
@@ -753,7 +761,7 @@ static void idct8_block(const int16_t* c, const uint16_t* q, uint8_t* out,
     uint8_t* o = out + r * stride;
     int32_t p1 = M(s[2] + s[6], K0541);
     int32_t t2 = p1 + M(s[6], KM1847), t3 = p1 + M(s[2], K0765);
-    int32_t t0 = (s[0] + s[4]) << 12, t1 = (s[0] - s[4]) << 12;
+    int32_t t0 = shl32(s[0] + s[4], 12), t1 = shl32(s[0] - s[4], 12);
     int32_t x0 = t0 + t3 + X_SCALE, x3 = t0 - t3 + X_SCALE;
     int32_t x1 = t1 + t2 + X_SCALE, x2 = t1 - t2 + X_SCALE;
     int32_t u0 = s[7], u1 = s[5], u2 = s[3], u3 = s[1];
@@ -779,7 +787,7 @@ static void idct4_block(const int16_t* c, const uint16_t* q, uint8_t* out,
   for (int i = 0; i < 4; i++) {
     int32_t s0 = M(c[i], q[i]), s1 = M(c[i + 8], q[i + 8]);
     int32_t s2 = M(c[i + 16], q[i + 16]), s3 = M(c[i + 24], q[i + 24]);
-    int32_t x0 = (s0 + s2) << 2, x2 = (s0 - s2) << 2;
+    int32_t x0 = shl32(s0 + s2, 2), x2 = shl32(s0 - s2, 2);
     int32_t p1 = M(s1 + s3, K0541);
     int32_t t0 = (p1 + M(s3, KM1847) + 512) >> 10;
     int32_t t2 = (p1 + M(s1, K0765) + 512) >> 10;
@@ -790,7 +798,7 @@ static void idct4_block(const int16_t* c, const uint16_t* q, uint8_t* out,
   for (int r = 0; r < 4; r++) {
     const int32_t* s = temp + r * 4;
     uint8_t* o = out + r * stride;
-    int32_t x0 = (s[0] + s[2]) << 12, x2 = (s[0] - s[2]) << 12;
+    int32_t x0 = shl32(s[0] + s[2], 12), x2 = shl32(s[0] - s[2], 12);
     int32_t p1 = M(s[1] + s[3], K0541);
     int32_t t0 = p1 + M(s[3], KM1847), t2 = p1 + M(s[1], K0765);
     x0 += (1 << 16) + (128 << 17); x2 += (1 << 16) + (128 << 17);

@@ -145,13 +145,22 @@ class _CScanParams(C.Structure):
 
 
 def _build() -> Optional[str]:
+    # JPEG_TPU_NATIVE_SO points at a prebuilt library (e.g. an ASan/UBSan
+    # instrumented build — tools/asan_check.sh); no rebuild, no mtime check.
+    override = os.environ.get("JPEG_TPU_NATIVE_SO")
+    if override:
+        return override if os.path.exists(override) else None
     with _build_lock:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_CPP):
             return _SO
         try:
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-                 "-o", _SO + ".tmp", _CPP, "-lpthread"],
+                # -fwrapv: signed overflow is DEFINED to wrap — the kernels
+                # deliberately mirror the reference's wrapping arithmetic on
+                # malicious inputs (/root/reference/src/idct.rs:1-3), so the
+                # language semantics must match, not just the usual codegen.
+                ["g++", "-O3", "-march=native", "-fwrapv", "-shared", "-fPIC",
+                 "-std=c++17", "-o", _SO + ".tmp", _CPP, "-lpthread"],
                 check=True, capture_output=True, timeout=240)
             os.replace(_SO + ".tmp", _SO)
             return _SO
