@@ -50,6 +50,11 @@ struct HuffTable {          // mirrors jpeg_decoder_tpu.huffman.HuffmanTable
   const uint8_t* fast_run;      // [1024]
   const uint8_t* fast_bits;     // [1024]
   const uint32_t* fast_packed;  // [1024]: value(u16) | run<<16 | bits<<20
+  // Fused 1-or-2-symbol AC LUT over 10-bit windows (huffman.py
+  // _build_fast2_lut): val1(i16) | val2(i16)<<16 | run1<<32 | run2<<36 |
+  // pair_consumed<<40 | eob<<45 | pair_minbits<<46 | pair<<51 | c1<<52.
+  // Null for DC tables; entry 0 = miss.
+  const uint64_t* fast2;        // [1024] or null
 };
 
 constexpr int kFastBits = 10;
@@ -408,25 +413,58 @@ bool decode_block(Rdr& r, Blk blk, const HuffTable* dc,
   }
 
   while (index < se) {
-    // 10-bit fused AC fast path; only taken when the bits are already
-    // buffered, so refill timing matches the 8-bit oracle path exactly.
-    // Run-overflow (index + run >= se) falls through to the exact path:
-    // the reference's slow path breaks there WITHOUT consuming the magnitude
-    // bits (while its 8-bit fast path consumes them), so the shortcut is only
-    // an exact shortcut in the no-overflow case.
-    // Gate at >=16 buffered bits: symbols beyond the 8-bit LUT go through the
-    // canonical decode() in the oracle, whose refill trigger is <16 — taking
-    // the shortcut with only 10-15 bits buffered would skip a refill the
-    // oracle performs (and with it the oracle's EOF/marker behavior).
-    if (!kNoFastAC && r.num_bits >= 16) {
-      uint32_t packed = ac->fast_packed[r.peek(kFastBits)];
-      int run = (packed >> 16) & 0xF;
-      if ((packed >> 20) != 0 && index + run < se) {
-        r.consume(packed >> 20);
-        index += run;
-        blk.set_zz(index, shl32(static_cast<int32_t>(static_cast<int16_t>(packed & 0xFFFF)), al));
-        index++;
-        continue;
+    // Fused 1-or-2-symbol AC fast path (huffman.py _build_fast2_lut): ONE
+    // 10-bit lookup resolves the next coefficient, and — when the following
+    // symbol (a coefficient or an EOB with rr=0) fits the same window,
+    // ~1/3 of AC symbols on photographic content — both at once.
+    // Exactness: the oracle's refill trigger is <16 buffered bits, so the
+    // single is gated at >=16 (taking it with 10-15 bits buffered would
+    // skip a refill the oracle performs, and with it the oracle's
+    // EOF/marker behavior) and the pair at >=16+c1 (per-entry minbits) so
+    // no refill the oracle performs between the two symbols is skipped
+    // either. Run-overflow (index + run >= se) falls through to the exact
+    // path: the reference's slow path breaks there WITHOUT consuming the
+    // magnitude bits (while its 8-bit fast path consumes them), so the
+    // shortcut is only an exact shortcut in the no-overflow case.
+    if (!kNoFastAC && r.num_bits >= 16 && ac->fast2) {
+      const uint64_t e = ac->fast2[r.peek(kFastBits)];
+      if (e) {
+        if (e & (1ULL << 56)) {    // EOB(rr=0): end of block
+          r.consume((e >> 52) & 0xF);
+          *eob_run = 0;
+          break;
+        }
+        const int idx1 = index + static_cast<int>((e >> 32) & 0xF);
+        if ((e & (1ULL << 51)) &&
+            r.num_bits >= static_cast<int>((e >> 46) & 0x1F)) {
+          if (e & (1ULL << 45)) {  // coeff + EOB(rr=0)
+            if (idx1 + 1 < se) {
+              r.consume((e >> 40) & 0x1F);
+              blk.set_zz(idx1, shl32(static_cast<int32_t>(
+                  static_cast<int16_t>(e & 0xFFFF)), al));
+              *eob_run = 0;
+              break;
+            }
+          } else {                 // coeff + coeff
+            const int idx2 = idx1 + 1 + static_cast<int>((e >> 36) & 0xF);
+            if (idx2 < se) {
+              r.consume((e >> 40) & 0x1F);
+              blk.set_zz(idx1, shl32(static_cast<int32_t>(
+                  static_cast<int16_t>(e & 0xFFFF)), al));
+              blk.set_zz(idx2, shl32(static_cast<int32_t>(
+                  static_cast<int16_t>((e >> 16) & 0xFFFF)), al));
+              index = idx2 + 1;
+              continue;
+            }
+          }
+        }
+        if (idx1 < se) {           // single coefficient (old fast_packed path)
+          r.consume((e >> 52) & 0xF);
+          blk.set_zz(idx1, shl32(static_cast<int32_t>(
+              static_cast<int16_t>(e & 0xFFFF)), al));
+          index = idx1 + 1;
+          continue;
+        }
       }
     }
     int16_t fav;
@@ -1000,7 +1038,7 @@ void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
 
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 12; }
+int64_t jt_abi_version() { return 13; }
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.

@@ -26,7 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 12  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 13  # bump together with jt_abi_version() in entropy.cc
 
 
 class _CHuffTable(C.Structure):
@@ -42,6 +42,7 @@ class _CHuffTable(C.Structure):
         ("fast_run", C.c_void_p),
         ("fast_bits", C.c_void_p),
         ("fast_packed", C.c_void_p),
+        ("fast2", C.c_void_p),
     ]
 
 
@@ -274,6 +275,7 @@ def _huff_ptr(table):
         fast_run=table.fast_run.ctypes.data,
         fast_bits=table.fast_bits.ctypes.data,
         fast_packed=table.fast_packed.ctypes.data,
+        fast2=table.fast2.ctypes.data if table.fast2 is not None else None,
     )
     table._c_struct = (st, refs)
     return st

@@ -56,6 +56,11 @@ class HuffmanTable:
     fast_bits: np.ndarray | None = None      # uint8[1024]
     # Single-load packing for the native kernel: value(u16)|run<<16|bits<<20.
     fast_packed: np.ndarray | None = None    # uint32[1024]
+    # Fused 2-symbol decode LUT over 12-bit windows (AC tables only): one
+    # lookup resolves TWO consecutive AC symbols — coeff+coeff or
+    # coeff+EOB(rr=0) — when both codes AND both magnitude-bit fields fit the
+    # window. Entry 0 = miss. See _build_fast2_lut for the packing.
+    fast2: np.ndarray | None = None          # uint64[4096] or None
 
     @classmethod
     def build(cls, bits: "list[int] | np.ndarray", values: "bytes | np.ndarray",
@@ -145,6 +150,7 @@ class HuffmanTable:
         fast_packed = ((fast_value.astype(np.uint32) & 0xFFFF)
                        | (fast_run.astype(np.uint32) << 16)
                        | (fast_bits.astype(np.uint32) << 20))
+        fast2 = _build_fast2_lut(huffcode, huffsize, values) if is_ac else None
 
         return cls(
             is_ac=is_ac,
@@ -159,6 +165,7 @@ class HuffmanTable:
             fast_run=fast_run,
             fast_bits=fast_bits,
             fast_packed=fast_packed,
+            fast2=fast2,
         )
 
 
@@ -213,6 +220,99 @@ def _build_fast_lut(huffcode, huffsize, values: np.ndarray, is_ac: bool):
             fast_run[idx] = run
             fast_bits[idx] = size + magnitude
     return fast_value, fast_run, fast_bits
+
+
+def _build_fast2_lut(huffcode, huffsize, values: np.ndarray) -> np.ndarray:
+    """Fused 1-or-2-symbol AC decode LUT over FAST_BITS (10-bit) windows.
+
+    The native kernel's single AC lookup: every window that resolves a first
+    coefficient (code1+mag1 <= 10, exactly the fast_packed population) gets an
+    entry; when the NEXT symbol also fits the same window — a coefficient or
+    an EOB with rr == 0 — the entry additionally carries it, so one load
+    resolves two symbols (~1/3 of AC symbols on photographic content pair
+    up). uint64 entry packing:
+
+        bits  0..15  val1 (int16, extended)
+        bits 16..31  val2 (int16, extended; 0 for the EOB case)
+        bits 32..35  run1
+        bits 36..39  run2
+        bits 40..44  pair consumed bits c1+c2 (<= FAST_BITS)
+        bit  45      second symbol is EOB(rr=0)
+        bits 46..50  pair minimum buffered bits: 16 + c1
+        bit  51      pair-capable entry
+        bits 52..55  c1 (single-symbol consumed bits)
+        bit  56      first symbol is EOB(rr=0): consume c1, end the block
+                     (EOB is ~1/5 of AC symbols — every block ends with one
+                     unless coefficient 63 is occupied — and the fast tier
+                     otherwise sends it down the canonical path)
+
+    Entry 0 = miss. Exactness: the oracle (scan_python / reference
+    decoder.rs) refills before a symbol only when fewer than 16 bits are
+    buffered, so the kernel takes the single at num_bits >= 16 (the old
+    fast_packed gate) and the pair at num_bits >= 16 + c1 — no oracle refill
+    is ever skipped, and consumption, marker and EOF timing are identical.
+    The kernel-side user is entropy.cc::decode_block.
+    """
+    n = 1 << FAST_BITS
+    # Single-symbol tables at window width: coefficient entries + EOB length.
+    val1 = np.zeros(n, np.int16)
+    run1 = np.zeros(n, np.uint8)
+    bits1 = np.zeros(n, np.uint8)
+    eob1 = np.zeros(n, np.uint8)    # consumed bits of an EOB(rr=0) code
+    for i, (code, size) in enumerate(zip(huffcode, huffsize)):
+        if size > FAST_BITS:
+            continue
+        sym = int(values[i])
+        base = code << (FAST_BITS - size)
+        if sym == 0x00:
+            eob1[base:base + (1 << (FAST_BITS - size))] = size
+            continue
+        mag = sym & 0x0F
+        if mag == 0 or size + mag > FAST_BITS:
+            continue  # ZRL / EOB-run / oversize: never fused
+        run = sym >> 4
+        mag_vals = np.arange(1 << mag, dtype=np.int32)
+        extended = np.where(mag_vals < (1 << (mag - 1)),
+                            mag_vals - (1 << mag) + 1, mag_vals)
+        span = FAST_BITS - size - mag
+        start = base + (mag_vals << span)
+        for rep in range(1 << span):
+            idx = start + rep
+            val1[idx] = extended.astype(np.int16)
+            run1[idx] = run
+            bits1[idx] = size + mag
+    # Pair fusion: shift out symbol 1, decode symbol 2 from the remainder.
+    w = np.arange(n, dtype=np.int64)
+    c1 = bits1.astype(np.int64)
+    shifted = (w << c1) & (n - 1)
+    rem = FAST_BITS - c1
+    c2 = bits1[shifted].astype(np.int64)
+    e2 = eob1[shifted].astype(np.int64)
+    has1 = c1 > 0
+    coeff2 = has1 & (c2 > 0) & (c2 <= rem)
+    eobs2 = has1 & (e2 > 0) & (e2 <= rem)  # prefix-free: disjoint from coeff2
+
+    def u64(a):
+        return a.astype(np.uint64)
+
+    v1 = u64(val1.view(np.uint16))
+    v2 = u64(val1[shifted].view(np.uint16))
+    r1 = u64(run1)
+    r2 = u64(run1[shifted])
+    minb = u64(16 + c1)
+    single = v1 | (r1 << np.uint64(32)) | (u64(c1) << np.uint64(52))
+    out = np.where(has1, single, np.uint64(0))
+    eobs1 = eob1.astype(np.int64) > 0
+    out[eobs1] = ((u64(eob1.astype(np.int64)) << np.uint64(52))
+                  | np.uint64(1 << 56))[eobs1]
+    pair_coeff = ((v2 << np.uint64(16)) | (r2 << np.uint64(36))
+                  | (u64(c1 + c2) << np.uint64(40)) | (minb << np.uint64(46))
+                  | np.uint64(1 << 51))
+    pair_eob = ((u64(c1 + e2) << np.uint64(40)) | np.uint64(1 << 45)
+                | (minb << np.uint64(46)) | np.uint64(1 << 51))
+    out[coeff2] |= pair_coeff[coeff2]
+    out[eobs2] |= pair_eob[eobs2]
+    return out
 
 
 # OpenDML K.3 default tables for MJPEG streams that omit DHT
