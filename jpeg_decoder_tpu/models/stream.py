@@ -861,7 +861,7 @@ def _compiled_bits_pipeline_mesh_pallas(plan, kept: tuple, batch: int,
 
     from ..entropy.pallas_decode import build_pallas_decoder
     from ..ops.pipeline import _enable_compile_cache
-    from ..parallel.stripes import _shard_map
+    from ..parallel.stripes import _shard_map, _shard_map_uncheck_kwargs
     _enable_compile_cache(jax)
     shard_map = _shard_map()
 
@@ -899,7 +899,8 @@ def _compiled_bits_pipeline_mesh_pallas(plan, kept: tuple, batch: int,
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=((data,) * n_combined, repl, repl, repl,
                              (data,) * ncomp),
-                   out_specs=data)
+                   out_specs=data,
+                   **_shard_map_uncheck_kwargs(shard_map))
     return jax.jit(fn)
 
 

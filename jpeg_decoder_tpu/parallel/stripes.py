@@ -35,6 +35,22 @@ def _shard_map():
     return shard_map
 
 
+def _shard_map_uncheck_kwargs(shard_map):
+    """Kwargs disabling shard_map's replication/VMA verifier, for bodies
+    containing a pallas_call: pl.pallas_call builds its out avals from
+    ShapeDtypeStructs that carry no `vma` annotation, which jax >= 0.7
+    rejects at trace time under the default check_vma=True (observed on
+    hardware; the CPU suite only traces the XLA mesh bodies). The kwarg
+    was named check_rep before the VMA rework — probe the signature."""
+    import inspect
+    params = inspect.signature(shard_map).parameters
+    if "check_vma" in params:
+        return {"check_vma": False}
+    if "check_rep" in params:
+        return {"check_rep": False}
+    return {}
+
+
 @functools.lru_cache(maxsize=32)
 def make_stripe_pipeline(geometry: ImageGeometry, mcu_rows: int, n_stripes: int,
                          mesh, stripe_axis: str = "stripe",

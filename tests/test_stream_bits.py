@@ -204,6 +204,43 @@ def test_scaled_decode_bits_small_scales(decoders, name, scale_to):
     assert int(np.abs(got.astype(int) - ref.astype(int)).max()) <= 3
 
 
+def test_mesh_pallas_pipeline_traces(monkeypatch):
+    """Trace-level regression for the shard_map + pallas_call composition:
+    jax's VMA verifier (check_vma, default on) rejects pallas_call
+    out_shapes inside a shard_map body at TRACE time — found on hardware
+    (tools/tpu_validate.py mesh section aborted), invisible to the routing
+    spy below. eval_shape drives the exact product builder through the
+    trace without executing the (far too slow) interpret-mode kernel."""
+    import jax
+
+    import jpeg_decoder_tpu.models.stream as S
+    from jpeg_decoder_tpu.parallel import make_mesh
+
+    monkeypatch.setenv("JPEG_TPU_BITS_PALLAS", "interpret")
+    data = (REFTEST_IMAGES / "rgb.jpg").read_bytes()
+    st = stage_host_bits(data)
+    assert st.pallas and st.pallas[0] is not None
+    scan0, kept = st.scans[0]
+    entry = st.pallas[0]
+    batch = ndev = 4
+
+    n_combined = len(entry[0])
+    stacked = tuple(np.stack([entry[0][j]] * batch)
+                    for j in range(n_combined))
+    ncomp = len(st.qts)
+    qts_b = tuple(np.stack([st.qts[c]] * batch) for c in range(ncomp))
+
+    mesh = make_mesh({"data": ndev}, jax.devices("cpu")[:ndev])
+    fn = S._compiled_bits_pipeline_mesh_pallas(
+        scan0.plan, kept, batch, tuple(s[:3] for s in entry[1]),
+        len(scan0.tab_maxcode), scan0.comp_to_upair, ncomp, st.geometry,
+        "interleaved", entry[2].startswith("words"), n_combined,
+        mesh, "data", interpret=True)
+    out = jax.eval_shape(fn, stacked, scan0.tab_maxcode, scan0.tab_delta,
+                         scan0.tab_values.view(np.int32), qts_b)
+    assert out.shape[0] == batch and out.dtype == np.uint8
+
+
 def test_mesh_bits_routes_to_pallas_engine(monkeypatch):
     """Mesh DP routing for the Pallas engine: when every image in a mesh
     group carries Pallas packs of one bucketed shape+wire, the dispatcher
