@@ -840,15 +840,29 @@ def build_assembler_nat(plan: ScanPlan, flat_stores: bool = True):
     reshape/slice/transpose/pad ops and the input is narrowed to int16 up
     front (all tail traffic halves; DC wrap-16 semantics make the early
     narrowing exact: wrap16(sum diffs) == wrap16(sum wrap16(diffs))).
-    Otherwise the original general row gathers run (JPEG_TPU_STRUCT_ASM=0
-    forces this path for A/B; assembler builders are lru-cached per plan, so
-    flip it only at process start)."""
+
+    Default strategy is backend-measured: on TPU the general row-gather
+    assembler wins (tools/experiments/tail_profile.py, large_image v5e:
+    gather tail +2.10 ms vs structured +5.80 ms — Mosaic/XLA lays the
+    5-D transpose out through relayouts that cost more than the one row
+    gather), while on CPU the structured form is ~25% faster end-to-end
+    (the CPU suite dropped 160 s -> 120 s). JPEG_TPU_STRUCT_ASM=1/0
+    forces structured/gather on any backend (A/B harnesses); assembler
+    builders are lru-cached per plan, so flip it only at process start."""
     import jax.numpy as jnp
 
     structured = plan.structured
-    if structured is not None \
-            and os.environ.get("JPEG_TPU_STRUCT_ASM", "1") == "0":
-        structured = None
+    mode = os.environ.get("JPEG_TPU_STRUCT_ASM")
+    if structured is not None and mode != "1":
+        if mode == "0":
+            structured = None
+        else:
+            try:
+                import jax
+                if jax.default_backend() == "tpu":
+                    structured = None
+            except Exception:
+                pass
 
     if structured is not None:
         (n_mcus, rows_d, cols_d, plen), specs = structured

@@ -131,9 +131,10 @@ def test_structured_assembler_matches_gather(monkeypatch):
     values that only agree modulo 2^16 (the wrap-16 DC contract)."""
     import jax
 
-    # An ambient JPEG_TPU_STRUCT_ASM=0 would make both builders return the
-    # gather assembler and the comparison vacuous.
-    monkeypatch.delenv("JPEG_TPU_STRUCT_ASM", raising=False)
+    # An ambient JPEG_TPU_STRUCT_ASM=0 (or a TPU default backend, where
+    # gather is the measured default) would make both builders return the
+    # gather assembler and the comparison vacuous — force the structured one.
+    monkeypatch.setenv("JPEG_TPU_STRUCT_ASM", "1")
 
     from jpeg_decoder_tpu.entropy.device_scan import build_assembler_nat
 

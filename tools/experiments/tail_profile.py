@@ -50,7 +50,11 @@ def main():
     n_tab = len(st.tab_maxcode)
     kernels = [pd._build_decode_kernel(sw, sm, n_tab, pattern, False)
                for (sw, sm, _nb) in shapes]
+    # C must be the STRUCTURED assembler regardless of the backend-measured
+    # default (gather on TPU since this harness's own numbers) — force it.
+    os.environ["JPEG_TPU_STRUCT_ASM"] = "1"
     assemble_nat = build_assembler_nat(plan, True)
+    del os.environ["JPEG_TPU_STRUCT_ASM"]
     n_blocks = plan.n_blocks
 
     class_row_base, slot_off, item_off = [], [], []
