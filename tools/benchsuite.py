@@ -65,7 +65,7 @@ def run_stream(samples: int, as_json: bool, interchange: str = "prefix") -> None
 
     data = open(f"{BENCHES}/large_image.jpg", "rb").read()
     timer = StageTimer()
-    dec = DeviceStreamDecoder(host_threads=3, timer=timer,
+    dec = DeviceStreamDecoder(host_threads=5, timer=timer,
                               interchange=interchange)
     dec.decode_stream([data] * 2)  # warm: compile + pools
     timer.reset()
