@@ -51,7 +51,10 @@ def _measure_burst(dec, data: bytes, mpix: float, n_images: int = 24) -> float:
         elapsed = time.perf_counter() - t0
         del outs
         best = max(best, n_images * mpix / elapsed)
-        if best > 100.0 and trial >= 1:
+        # Early-out only when the number is clearly healthy: the relay's
+        # burst bandwidth varies by phase (~0.6-1.5 GB/s observed), and a
+        # degraded-phase trial can read 20-40% low — keep sampling those.
+        if best > 700.0 and trial >= 1:
             break
         if elapsed > n_images * 0.1:
             time.sleep(5)
