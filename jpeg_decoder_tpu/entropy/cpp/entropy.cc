@@ -2077,6 +2077,14 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
       }
     }
     if (p > bit_limit) return;
+    // Restart-boundary underrun: if a full data byte separates the walk's
+    // end from the next RSTn, the oracle's take_marker can fail to capture
+    // the marker within its reservoir refill ("no marker found where RSTn
+    // was expected", /root/reference/src/decoder.rs:944-951) — error
+    // semantics only the host path reproduces. Leftover < 8 bits is byte-
+    // alignment padding, which the oracle always absorbs. Final segments
+    // are exempt (trailing bytes ride the tolerant end-of-scan marker scan).
+    if (si + 1 < segs.size() && sg.len * 8 - p >= 8) return;
     close_chunk();
     res.ok = true;
   };

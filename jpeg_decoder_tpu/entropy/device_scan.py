@@ -625,6 +625,13 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
                     # go through the host path for exact error parity.
                     if seg_i >= len(rst_nums) or rst_nums[seg_i] != expected_rst:
                         raise PrescanFallback("restart protocol violation")
+                    # Underrun before the marker (mirrors the C++ walk): a
+                    # full unconsumed data byte means the oracle's
+                    # take_marker may not capture the RSTn ("no marker
+                    # found...") — host path owns that error semantics.
+                    if seg_nbits - p >= 8:
+                        raise PrescanFallback(
+                            "unconsumed bytes before restart")
                     if anchors and len(chunk_ends) < len(anchors):
                         chunk_ends.append((p, seg_i))
                         chunk_syms.append(syms_since)

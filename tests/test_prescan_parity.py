@@ -139,3 +139,36 @@ def test_dri_prescan_layout_parity(shape, mode, rows, seed):
     assert native_scans and native_scans[0][1].n_items > 8, \
         "expected a multi-anchor DRI prescan"
     _assert_layout_equal(f"dri{shape}", native_scans, mirror_scans)
+
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.mark.parametrize("disable_native", [False, True])
+def test_restart_underrun_falls_back_to_oracle_error(disable_native):
+    """Fuzz regression (seed-7 mutant 624): a scan whose entropy data holds
+    a full unconsumed byte before an expected RSTn. The oracle's take_marker
+    finds data where the marker must be ("no marker found where RST3 was
+    expected", decoder.rs:944-951); the prescan used to ACCEPT the stream
+    (it walks exactly the MCU budget and ignored the unconsumed tail), so
+    the device path would render pixels where every host tier raises. Both
+    prescan mirrors must fall back so the host path owns the error."""
+    if not disable_native and native_mod.get_native() is None:
+        pytest.skip("native engine unavailable")
+    data = open(os.path.join(
+        FIXTURES, "restart_underrun_prescan.jpg"), "rb").read()
+    with pytest.raises(PrescanFallback):
+        _prescan(data, disable_native=disable_native)
+
+    from jpeg_decoder_tpu.errors import FormatError
+    if disable_native:
+        os.environ["JPEG_TPU_DISABLE_NATIVE"] = "1"
+    else:
+        os.environ.pop("JPEG_TPU_DISABLE_NATIVE", None)
+    native_mod.reset_native_cache()
+    try:
+        with pytest.raises(FormatError, match="no marker found where RST3"):
+            Decoder(data).decode_array()
+    finally:
+        os.environ.pop("JPEG_TPU_DISABLE_NATIVE", None)
+        native_mod.reset_native_cache()
