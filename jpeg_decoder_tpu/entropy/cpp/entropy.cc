@@ -2077,14 +2077,18 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
       }
     }
     if (p > bit_limit) return;
-    // Restart-boundary underrun: if a full data byte separates the walk's
-    // end from the next RSTn, the oracle's take_marker can fail to capture
-    // the marker within its reservoir refill ("no marker found where RSTn
-    // was expected", /root/reference/src/decoder.rs:944-951) — error
-    // semantics only the host path reproduces. Leftover < 8 bits is byte-
-    // alignment padding, which the oracle always absorbs. Final segments
-    // are exempt (trailing bytes ride the tolerant end-of-scan marker scan).
-    if (si + 1 < segs.size() && sg.len * 8 - p >= 8) return;
+    // Restart-boundary underrun: the oracle's take_marker is one read_bits
+    // refill (reads bytes while num_bits <= 56) + marker.take()
+    // (/root/reference/src/huffman.rs:123-160). Unconsumed data bytes before
+    // the RSTn are absorbed into the reservoir (then discarded by reset());
+    // the refill reaches the 0xFF marker iff the unconsumed data is <= 56
+    // bits — beyond that the reservoir fills first and take_marker returns
+    // None ("no marker found where RSTn was expected",
+    // /root/reference/src/decoder.rs:944-951), error semantics only the host
+    // path reproduces. MJPEG-style pad bytes (one byte, 8 bits) are within
+    // the 56-bit window and decode on-device. Final segments are exempt
+    // (trailing bytes ride the tolerant end-of-scan marker scan).
+    if (si + 1 < segs.size() && sg.len * 8 - p > 56) return;
     close_chunk();
     res.ok = true;
   };

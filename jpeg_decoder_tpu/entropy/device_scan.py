@@ -625,11 +625,17 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
                     # go through the host path for exact error parity.
                     if seg_i >= len(rst_nums) or rst_nums[seg_i] != expected_rst:
                         raise PrescanFallback("restart protocol violation")
-                    # Underrun before the marker (mirrors the C++ walk): a
-                    # full unconsumed data byte means the oracle's
-                    # take_marker may not capture the RSTn ("no marker
-                    # found...") — host path owns that error semantics.
-                    if seg_nbits - p >= 8:
+                    # Underrun before the marker (mirrors the C++ walk):
+                    # take_marker is one read_bits refill (reads bytes while
+                    # num_bits <= 56) + marker.take()
+                    # (/root/reference/src/huffman.rs:123-160). It absorbs up
+                    # to 56 unconsumed data bits before the RSTn (pad/fill
+                    # bytes, MJPEG-style) and then reset() discards them;
+                    # past 56 bits the reservoir fills before the 0xFF and
+                    # the oracle errors "no marker found..."
+                    # (/root/reference/src/decoder.rs:944-951) — host path
+                    # owns that error semantics.
+                    if seg_nbits - p > 56:
                         raise PrescanFallback(
                             "unconsumed bytes before restart")
                     if anchors and len(chunk_ends) < len(anchors):
