@@ -98,6 +98,80 @@ def _measure_sustained(dec, data: bytes, mpix: float,
     return (dn * mpix / dt) if dt > 0 and dn > 0 else 0.0
 
 
+def _measure_staging_serial(data: bytes) -> dict:
+    """Single-threaded host staging cost per interchange (median ms). Emitted
+    next to the pooled per-stage numbers so pool-contention inflation on this
+    4-core host is attributable from the JSON alone (round-2 verdict: 19 ms
+    pooled vs 8.35 ms serial was unexplained in the artifact)."""
+    from jpeg_decoder_tpu.models.stream import stage_host, stage_host_bits
+    out = {}
+    for name, fn in (("prefix", stage_host), ("bits", stage_host_bits)):
+        try:
+            fn(data)  # warm (allocators, LUT caches)
+            ts = []
+            for _ in range(7):
+                t0 = time.perf_counter()
+                fn(data)
+                ts.append((time.perf_counter() - t0) * 1e3)
+            out[name] = round(sorted(ts)[len(ts) // 2], 2)
+        except Exception:
+            out[name] = None
+    return out
+
+
+def _wire_bytes_per_px(data: bytes, mpix: float) -> dict:
+    """Host->device payload bytes per pixel for each bits wire format
+    (host-side computation, no device). sustained_bits_mpix_s should equal
+    link_h2d_post_mb_s * 1e6 / (bytes_per_px * 1e6) when the link is the
+    limiter — the reconciliation rule for BASELINE.md."""
+    import numpy as np
+    from jpeg_decoder_tpu.models import stream as sm
+    out = {}
+    saved = os.environ.get("JPEG_TPU_WIRE")
+    try:
+        for wire in ("slots", "words", "words-packed"):
+            os.environ["JPEG_TPU_WIRE"] = wire
+            try:
+                st = sm.stage_host_bits(data)
+                nbytes = 0
+                for entry in (st.pallas or ()):
+                    if entry is None:
+                        continue
+                    combined = entry[0]
+                    for leaf in combined:
+                        if isinstance(leaf, np.ndarray):
+                            nbytes += leaf.nbytes
+                out[wire] = round(nbytes / (mpix * 1e6), 4)
+            except Exception:
+                out[wire] = None
+    finally:
+        if saved is None:
+            os.environ.pop("JPEG_TPU_WIRE", None)
+        else:
+            os.environ["JPEG_TPU_WIRE"] = saved
+    return out
+
+
+def _link_probe_mb_s(n_mb: int = 8, reps: int = 3) -> float:
+    """H2D byte-rate probe (dependency-chained: a strided device sum is
+    fetched, because bare block_until_ready through the relay under-reports).
+    Run once before measuring (burst phase) and once after the sustained
+    window (throttled phase) to tell a regression from a degraded relay."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    buf = np.arange(n_mb << 20, dtype=np.uint8)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = jax.device_put(buf)
+        int(jax.device_get(jnp.sum(x[:: 1 << 16].astype(jnp.int32))))
+        dt = time.perf_counter() - t0
+        best = max(best, n_mb / dt)
+        del x
+    return round(best, 1)
+
+
 @contextlib.contextmanager
 def _deadline(seconds: int):
     """Bound an optional measurement: the relay sporadically stalls for
@@ -148,6 +222,8 @@ def main() -> None:
     have_device = _device_available()
 
     extra = {}
+    extra["staging_serial_ms"] = _measure_staging_serial(data)
+    extra["wire_bytes_per_px"] = _wire_bytes_per_px(data, mpix)
     throughput = 0.0
     if have_device:
         try:
@@ -164,9 +240,12 @@ def main() -> None:
             # persistent cache is cold; budget for that, not the steady state.
             with _deadline(900):
                 dec.decode_stream([data] * 2)  # warm: compile + pools
+                with _deadline(120):
+                    extra["link_h2d_burst_mb_s"] = _link_probe_mb_s()
                 timer.reset()
                 throughput = _measure_burst(dec, data, mpix)
                 extra["stage_ms_per_image"] = timer.per_call_ms()
+                extra["host_threads"] = 5
             if throughput == 0.0:
                 have_device = False  # wedged mid-warm: report CPU numbers
                 _WEDGED.append(True)
@@ -182,10 +261,17 @@ def main() -> None:
             with _deadline(420):
                 bits = DeviceStreamDecoder(host_threads=5, interchange="bits")
                 bits.decode_stream([data] * 2)  # warm: compile
+                extra["bits_wire"] = __import__(
+                    "jpeg_decoder_tpu.models.stream",
+                    fromlist=["_bits_wire"])._bits_wire()
                 extra["sustained_bits_mpix_s"] = round(
                     _measure_sustained(bits, data, mpix, budget_s=20.0), 3)
                 extra["burst_bits_mpix_s"] = round(
                     _measure_burst(bits, data, mpix), 3)
+            # Post-sustained probe: the throttled-phase link rate that bounds
+            # every sustained_* number (rate ~= probe / wire_bytes_per_px).
+            with _deadline(120):
+                extra["link_h2d_post_mb_s"] = _link_probe_mb_s(n_mb=4)
     else:
         from jpeg_decoder_tpu.models.service import BatchDecodeService
         service = BatchDecodeService(mesh=None, host_threads=4, backend="numpy")

@@ -1038,7 +1038,7 @@ void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
 
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 13; }
+int64_t jt_abi_version() { return 14; }
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.
@@ -1786,6 +1786,9 @@ struct PrescanParams {
   int32_t n_blocks;
   int32_t pending_marker;   // terminating marker byte or -1
   int32_t nthreads;         // in: restart segments walked in parallel
+  int32_t uniform_tables;   // in: all scan components share (dc, ac) tables
+  int32_t spec_min_bytes;   // in: speculative-split threshold; 0 = default
+                            // (256 KiB), <0 disables the speculative walk
 };
 
 enum PrescanStatus { PRESCAN_OK = 0, PRESCAN_FALLBACK = 1 };
@@ -1841,6 +1844,288 @@ inline uint32_t win32_at(const uint8_t* seg, int64_t bitpos) {
   return static_cast<uint32_t>(v >> (32 - (bitpos & 7)));
 }
 
+// Micro-LUT entry flags shared by the serial walk, the speculative walk, and
+// the 16-bit cold path (see the table build in jt_prescan_baseline).
+enum : uint16_t { P_MISS = 1 << 15, P_FB = 1 << 14, P_END = 1 << 13,
+                  P_COEFF = 1 << 12 };
+
+// Cold path for codes longer than 10 bits: resolve via the 16-bit LUT and
+// re-encode as a micro-LUT entry.
+inline uint16_t prescan_slow(const uint32_t* lut16, bool is_dc, uint32_t win) {
+  uint32_t e = lut16[win >> 16];
+  int len = (e >> 8) & 0x1F;
+  if (len == 0) return P_FB;
+  int val = e & 0xFF;
+  if (is_dc) return val > 11 ? P_FB : static_cast<uint16_t>(len + val);
+  int s = val & 0x0F;
+  if (s == 0) {
+    if (val == 0xF0) return static_cast<uint16_t>((16 << 6) | len);
+    if (val == 0) return static_cast<uint16_t>(P_END | len);
+    return P_FB;
+  }
+  return static_cast<uint16_t>(P_COEFF | (((val >> 4) + 1) << 6) | (len + s));
+}
+
+// Seekable 64-bit reservoir + one-block symbol-length decode, bit-identical
+// to the serial walk in jt_prescan_baseline (same micro-LUT hot path, same
+// 16-bit cold path, same bit_limit discipline). seek() may be called at any
+// bit position; reads stay within the segment's 24-byte zero guard plus the
+// caller-allocated slack, exactly like the serial reservoir.
+struct BlockWalker {
+  const uint8_t* sb;
+  int64_t bit_limit;
+  const uint32_t* luts;
+  const uint16_t* micro;
+  uint64_t buf = 0;
+  int navail = 0;
+  int64_t rb = 0;
+  int64_t p = 0;
+
+  inline void refill() {
+    while (navail <= 32) {
+      uint32_t w;
+      std::memcpy(&w, sb + rb, 4);
+      buf |= static_cast<uint64_t>(__builtin_bswap32(w)) << (32 - navail);
+      navail += 32;
+      rb += 4;
+    }
+  }
+  void seek(int64_t bitpos) {
+    p = bitpos;
+    const int64_t rb0 = (bitpos >> 5) << 2;
+    rb = rb0;
+    buf = 0;
+    navail = 0;
+    refill();
+    const int drop = static_cast<int>(bitpos - rb0 * 8);
+    buf <<= drop;
+    navail -= drop;
+  }
+
+  // Decode one block's symbol lengths with component ci's tables; returns
+  // the symbol count, or -1 where the serial walk bails (invalid code,
+  // coefficient overshoot, bit_limit overrun).
+  int decode_block(int32_t ci) {
+    const uint32_t* dc_lut = luts + (static_cast<int64_t>(ci) * 2) * 65536;
+    const uint32_t* ac_lut = dc_lut + 65536;
+    const uint16_t* dcp = micro + (static_cast<size_t>(ci) * 2) * 1024;
+    const uint16_t* acp = dcp + 1024;
+    if (p > bit_limit) return -1;
+    refill();
+    uint16_t e = dcp[buf >> 54];
+    if (e & P_MISS)
+      e = prescan_slow(dc_lut, true, static_cast<uint32_t>(buf >> 32));
+    if (e & P_FB) return -1;
+    int syms = 1;
+    {
+      const int c = e & 63;
+      buf <<= c;
+      navail -= c;
+      p += c;
+    }
+    int32_t k = 1;
+    while (k < 64) {
+      if (p > bit_limit) return -1;
+      refill();
+      e = acp[buf >> 54];
+      if (e & P_MISS)
+        e = prescan_slow(ac_lut, false, static_cast<uint32_t>(buf >> 32));
+      if (e & P_FB) return -1;
+      {
+        const int c = e & 63;
+        buf <<= c;
+        navail -= c;
+        p += c;
+      }
+      syms++;
+      if (e & P_END) break;
+      const int32_t kadv = (e >> 6) & 0x3F;
+      if (e & P_COEFF) {
+        if (k + kadv - 1 >= 64) return -1;
+        k += kadv;
+      } else {
+        k += 16;  // ZRL
+      }
+    }
+    return syms;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Speculative parallel prescan of ONE entropy segment (the non-DRI case).
+//
+// A non-DRI scan is a single bit-serial segment, so the per-segment task
+// parallelism above degenerates to one thread — and the host walk becomes the
+// production bottleneck (the device decodes a large_image-class scan in ~7 ms
+// while one host core walks symbols for ~6.5 ms). Huffman streams
+// self-synchronize: a decoder started at an arbitrary bit position converges
+// to the true symbol trajectory after a short wander (validated exhaustively
+// on real tables in tools/experiments/selfsync_prototype.py). This machinery
+// exploits that to walk one segment with T threads while producing outputs
+// byte-identical to the serial walk:
+//
+//   Phase A (parallel): split the segment into T byte spans. Thread 0 walks
+//   span 0 from the true entry state. Each thread t>=1 runs speculative
+//   candidate walks from its span start at bit offsets 0..7 (x slot-phase
+//   guesses when scan components use distinct Huffman tables), recording one
+//   (start_bit, nsyms) record per decoded block. A per-span open-addressing
+//   hash over block-start states (bit position, slot phase) dedups work:
+//   a candidate stepping into a state any earlier candidate visited merges
+//   and stops, so the span is walked essentially once.
+//
+//   Phase B (serial, per-block not per-symbol): an exact stitcher consumes
+//   blocks in stream order. It looks up its current state in the span's
+//   hash; on a hit it splices the entire recorded chain — valid because the
+//   walk from a given (bit, phase) state is a deterministic function of the
+//   segment bytes — and on a miss it decodes one block itself and retries.
+//   Anchor/chunk placement is replayed over the merged block stream with the
+//   serial walk's exact policy, so speculation quality only moves time,
+//   never bytes. Genuine stream errors surface exactly as in the serial
+//   walk (the spliced chains and the stitcher's own decodes are both exact).
+//
+// The reference decodes this segment strictly sequentially
+// (/root/reference/src/decoder.rs:910-1015); nothing here changes decode
+// semantics — it only parallelizes the anchor prescan.
+
+struct SpecRec {
+  uint32_t start_bit;
+  uint16_t syms;
+  uint16_t cand;
+};
+
+enum SpecKind : uint8_t { SPEC_MERGE, SPEC_STOP, SPEC_DEAD };
+
+struct SpecCand {
+  int32_t first = 0, n = 0;
+  int32_t merge_rec = -1;
+  int64_t end_p = 0;  // SPEC_STOP/SPEC_DEAD: start bit of the next unwalked
+                      // (or undecodable) block
+  uint8_t kind = SPEC_DEAD;
+};
+
+struct SpecSpan {
+  std::vector<SpecRec> recs;
+  std::vector<SpecCand> cands;
+  std::vector<uint64_t> table;  // entry = key<<24 | (rec_index+1); 0 = empty
+  uint64_t mask = 0;
+  size_t used = 0;
+
+  void init(size_t est, size_t hashed) {
+    size_t cap = 64;
+    while (cap < hashed * 2) cap <<= 1;
+    table.assign(cap, 0);
+    mask = cap - 1;
+    recs.reserve(est * 2 + 1024);
+  }
+  static inline uint64_t mix(uint64_t k) {
+    k *= 0x9E3779B97F4A7C15ull;
+    return k ^ (k >> 29);
+  }
+  // Returns the existing record index on hit; -1 when absent (*slot set for
+  // a later store); -2 when the table is too loaded to accept inserts.
+  int64_t probe(uint64_t key, size_t* slot) {
+    size_t i = static_cast<size_t>(mix(key)) & mask;
+    for (;;) {
+      const uint64_t e = table[i];
+      if (e == 0) {
+        if (used * 10 >= table.size() * 9) return -2;
+        *slot = i;
+        return -1;
+      }
+      if ((e >> 24) == key) return static_cast<int64_t>((e & 0xFFFFFF) - 1);
+      i = (i + 1) & mask;
+    }
+  }
+  void store(size_t slot, uint64_t key, uint32_t rec) {
+    table[slot] = (key << 24) | (rec + 1);
+    used++;
+  }
+};
+
+// Phase A: walk one span's candidates. `exact_start` marks thread 0, whose
+// single candidate starts from the true state (bit 0, phase 0).
+void spec_walk_span(const uint8_t* sb, int64_t bit_limit, const uint32_t* luts,
+                    const uint16_t* micro, const int32_t* pattern,
+                    int64_t plen, bool uniform, bool exact_start,
+                    int64_t span_begin_bit, int64_t span_end_bit,
+                    int64_t est_blocks, SpecSpan* out) {
+  // Merges and stitch handoffs all happen within a few blocks of the span
+  // start (measured: candidates merge in <10 blocks), so only the first
+  // HASH_LIMIT block-start states per candidate go into the dedup hash —
+  // hashing every block cost ~25% of the walk for no coverage gain. The
+  // chain records themselves always cover the full walk.
+  constexpr int64_t HASH_LIMIT = 4096;
+  out->init(static_cast<size_t>(est_blocks),
+            static_cast<size_t>(HASH_LIMIT * 2));
+  BlockWalker w{sb, bit_limit, luts, micro};
+  const int n_off = exact_start ? 1 : 8;
+  const int n_ph =
+      (exact_start || uniform) ? 1 : static_cast<int>(std::min<int64_t>(plen, 16));
+  const int64_t rec_cap = est_blocks * 2 + 4096;
+  bool have_full = false;  // some candidate already covered a long stretch
+  for (int o = 0; o < n_off; o++) {
+    for (int ph = 0; ph < n_ph; ph++) {
+      if (static_cast<int64_t>(out->recs.size()) > rec_cap) return;
+      SpecCand c;
+      c.first = static_cast<int32_t>(out->recs.size());
+      int64_t phase = ph;
+      w.seek(span_begin_bit + o);
+      int64_t budget = have_full ? 768 : (int64_t{1} << 60);
+      int64_t local = 0;
+      uint8_t kind;
+      for (;;) {
+        if (w.p >= span_end_bit || budget-- <= 0 ||
+            out->recs.size() >= (1u << 24) - 2) {
+          kind = SPEC_STOP;
+          c.end_p = w.p;
+          break;
+        }
+        size_t slot = 0;
+        bool hashed = false;
+        if (local < HASH_LIMIT) {
+          const uint64_t key =
+              (static_cast<uint64_t>(w.p) << 4) |
+              (uniform ? 0 : static_cast<uint64_t>(phase));
+          const int64_t hit = out->probe(key, &slot);
+          if (hit >= 0) {
+            kind = SPEC_MERGE;
+            c.merge_rec = static_cast<int32_t>(hit);
+            break;
+          }
+          if (hit == -1) {
+            hashed = true;
+            // Store before decoding: the key/slot pair stays valid because
+            // only this thread touches the table and the record index is
+            // reserved now; a failed decode leaves a dangling entry, but its
+            // candidate is marked SPEC_DEAD so chains resolve it safely.
+            out->store(slot, key, static_cast<uint32_t>(out->recs.size()));
+          }
+        }
+        const uint32_t sbit = static_cast<uint32_t>(w.p);
+        const int syms = w.decode_block(pattern[phase]);
+        if (syms < 0) {
+          kind = SPEC_DEAD;
+          c.end_p = sbit;
+          if (hashed) {
+            // Un-store: the record was never pushed.
+            out->table[slot] = 0;
+            out->used--;
+          }
+          break;
+        }
+        out->recs.push_back(SpecRec{sbit, static_cast<uint16_t>(syms),
+                                    static_cast<uint16_t>(out->cands.size())});
+        local++;
+        phase = phase + 1 == plen ? 0 : phase + 1;
+      }
+      c.n = static_cast<int32_t>(out->recs.size()) - c.first;
+      c.kind = kind;
+      out->cands.push_back(c);
+      if (kind == SPEC_STOP && c.n >= 1024) have_full = true;
+    }
+  }
+}
+
 }  // namespace
 
 // luts: [ncomp][2][65536] uint32 (value | len<<8), DC row then AC row.
@@ -1854,10 +2139,9 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
 
   // Hot-path micro-LUTs over 10-bit windows (2KB/table, L1-resident; the
   // full 16-bit LUTs are 256KB each and thrash the cache). Entry encodes
-  // everything the length-only walk needs; codes longer than 10 bits (rare)
-  // take the 16-bit cold path. Built per call — 1K entries/table is noise.
-  enum : uint16_t { P_MISS = 1 << 15, P_FB = 1 << 14, P_END = 1 << 13,
-                    P_COEFF = 1 << 12 };
+  // everything the length-only walk needs (P_* flags at namespace scope);
+  // codes longer than 10 bits (rare) take the 16-bit cold path. Built per
+  // call — 1K entries/table is noise.
   // kadv in bits 11..6, consumed bits in 5..0. Plain local (NOT thread_local):
   // the parallel per-segment walk reads it from worker threads, which must
   // see the instance built here, not their own empty thread-local copy.
@@ -1942,6 +2226,177 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
     segs.push_back(sg);
   }
 
+  // Phase 2s: speculative parallel walk for a single long segment (the
+  // non-DRI case, where the per-segment parallelism below degenerates to one
+  // thread). Outputs are byte-identical to the serial walk — see the design
+  // note at spec_walk_span. On genuine stream errors this returns
+  // PRESCAN_FALLBACK exactly where the serial walk would.
+  {
+    int spec_T = pp->nthreads > 0 ? pp->nthreads : 1;
+    if (spec_T > 8) spec_T = 8;
+    const int64_t spec_min =
+        pp->spec_min_bytes == 0 ? (int64_t{1} << 18)
+                                : static_cast<int64_t>(pp->spec_min_bytes);
+    const int64_t total_blocks = total_mcus * plen;
+    int T = 0;
+    if (segs.size() == 1 && pp->spec_min_bytes >= 0 && spec_T > 1 &&
+        segs[0].len >= spec_min && segs[0].len < (int64_t{1} << 33) &&
+        total_blocks < (1 << 24)) {
+      const int64_t min_span = std::max<int64_t>(spec_min / 4, 4096);
+      T = static_cast<int>(
+          std::min<int64_t>(spec_T, segs[0].len / min_span));
+      if (T > 8) T = 8;
+    }
+    if (T >= 2) {
+      const Seg& sg = segs[0];
+      const uint8_t* sb = out + sg.base;  // base == 0 for one segment
+      const int64_t bit_limit = sg.len * 8 + 128;
+      const bool uniform = pp->uniform_tables != 0;
+      std::vector<SpecSpan> spans(T);
+      std::vector<int64_t> begin_bits(T + 1);
+      for (int t = 0; t <= T; t++) begin_bits[t] = (sg.len * t / T) * 8;
+      const int64_t est = total_blocks / T + 1024;
+      {
+        std::vector<std::thread> ths;
+        for (int t = 1; t < T; t++)
+          ths.emplace_back([&, t]() {
+            spec_walk_span(sb, bit_limit, luts, micro.data(), pp->pattern,
+                           plen, uniform, false, begin_bits[t],
+                           begin_bits[t + 1], est, &spans[t]);
+          });
+        spec_walk_span(sb, bit_limit, luts, micro.data(), pp->pattern, plen,
+                       uniform, true, 0, begin_bits[1], est, &spans[0]);
+        for (auto& th : ths) th.join();
+      }
+
+      // Phase B: exact stitch + anchor replay (per block, not per symbol).
+      int64_t n_anch = 0;
+      int64_t syms_since = pp->s_target;  // force an anchor at segment entry
+      int64_t blocks_since = 0;
+      int64_t max_syms = 0;
+      bool chunk_open = false;
+      bool fb = false;
+      auto close_chunk2 = [&](int64_t at_bit) {
+        if (chunk_open) {
+          if (syms_since > max_syms) max_syms = syms_since;
+          chunk_end[n_anch - 1] = static_cast<uint32_t>(at_bit);
+          chunk_syms[n_anch - 1] = static_cast<int32_t>(syms_since);
+          chunk_open = false;
+        }
+      };
+      auto append = [&](uint32_t sbit, int64_t syms, int64_t blk) -> bool {
+        if (syms_since >= pp->s_target || blocks_since >= pp->k_cap) {
+          close_chunk2(sbit);
+          if (n_anch + 1 > anchors_cap) return false;
+          anchor_bits[n_anch] = sbit;
+          anchor_block[n_anch] = static_cast<int32_t>(blk);
+          anchor_slot[n_anch] = static_cast<int32_t>(blk % plen);
+          n_anch++;
+          chunk_open = true;
+          syms_since = 0;
+          blocks_since = 0;
+        }
+        syms_since += syms;
+        blocks_since++;
+        return true;
+      };
+      auto span_of = [&](int64_t pbit) -> int {
+        int t = T - 1;
+        while (t > 0 && pbit < begin_bits[t]) t--;
+        return t;
+      };
+      BlockWalker w{sb, bit_limit, luts, micro.data()};
+      int64_t cur_p = 0;
+      int64_t blk = 0;
+      int64_t exact_blocks = 0;
+      bool synced = false;
+      while (blk < total_blocks && !fb) {
+        SpecSpan& sp = spans[span_of(cur_p)];
+        const uint64_t key = (static_cast<uint64_t>(cur_p) << 4) |
+                             (uniform ? 0 : static_cast<uint64_t>(blk % plen));
+        size_t slot = 0;
+        const int64_t rec = sp.probe(key, &slot);
+        if (rec >= 0) {
+          // Splice the recorded chain: exact because the walk from a given
+          // (bit, phase) state is deterministic over the same bytes.
+          int64_t i = rec;
+          for (;;) {
+            const SpecCand& c = sp.cands[sp.recs[i].cand];
+            const int64_t cend = c.first + c.n;
+            while (i < cend && blk < total_blocks) {
+              if (!append(sp.recs[i].start_bit, sp.recs[i].syms, blk)) {
+                fb = true;
+                break;
+              }
+              blk++;
+              cur_p = (i + 1 < cend)
+                          ? static_cast<int64_t>(sp.recs[i + 1].start_bit)
+                          : (c.kind == SPEC_MERGE
+                                 ? static_cast<int64_t>(
+                                       sp.recs[c.merge_rec].start_bit)
+                                 : c.end_p);
+              i++;
+            }
+            if (fb || blk >= total_blocks) break;
+            if (c.kind == SPEC_MERGE) {
+              i = c.merge_rec;
+              continue;
+            }
+            break;  // STOP/DEAD: resume lookups (or exact decode) at cur_p
+          }
+          synced = false;
+          continue;
+        }
+        if (!synced || w.p != cur_p) {
+          w.seek(cur_p);
+          synced = true;
+        }
+        const uint32_t sbit = static_cast<uint32_t>(cur_p);
+        const int syms = w.decode_block(pp->pattern[blk % plen]);
+        if (syms < 0 || !append(sbit, syms, blk)) {
+          fb = true;
+          break;
+        }
+        blk++;
+        exact_blocks++;
+        cur_p = w.p;
+      }
+      if (std::getenv("JT_SPEC_DEBUG")) {
+        for (int t = 0; t < T; t++) {
+          std::fprintf(stderr, "[spec] span %d: recs=%zu cands=%zu kinds=",
+                       t, spans[t].recs.size(), spans[t].cands.size());
+          for (const auto& c : spans[t].cands)
+            std::fprintf(stderr, "%c%d,", "MSD"[c.kind], c.n);
+          std::fprintf(stderr, "\n");
+        }
+        std::fprintf(stderr, "[spec] stitch: total=%lld exact=%lld\n",
+                     static_cast<long long>(total_blocks),
+                     static_cast<long long>(exact_blocks));
+      }
+      if (fb || cur_p > bit_limit) return PRESCAN_FALLBACK;
+      close_chunk2(cur_p);
+      if (max_syms > pp->s_max) return PRESCAN_FALLBACK;
+
+      // Trailing-RST tolerance (_finish_scan), as in the serial epilogue.
+      int32_t marker = sg.marker;
+      while (marker >= 0xD0 && marker <= 0xD7) {
+        size_t sp2 = static_cast<size_t>(pos);
+        marker = read_marker(data, static_cast<size_t>(n), &sp2);
+        pos = static_cast<int64_t>(sp2);
+        if (marker < 0) {
+          marker = -1;
+          break;
+        }
+      }
+      pp->pos = pos;
+      pp->out_len = write_off;
+      pp->n_anchors = n_anch;
+      pp->n_blocks = static_cast<int32_t>(total_blocks);
+      pp->pending_marker = marker;
+      return PRESCAN_OK;
+    }
+  }
+
   // Phase 2: symbol-length walk, one task per restart segment. Anchors and
   // chunks never span a segment (a forced anchor opens every segment), so
   // per-segment results merge by concatenation in segment order.
@@ -1994,25 +2449,9 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
       }
     };
 
-    // Cold path for codes longer than 10 bits: resolve via the 16-bit LUT
-    // and re-encode as a micro entry.
-    auto slow = [&](const uint32_t* lut16, bool is_dc,
-                    uint32_t win) -> uint16_t {
-      uint32_t e = lut16[win >> 16];
-      int len = (e >> 8) & 0x1F;
-      if (len == 0) return P_FB;
-      int val = e & 0xFF;
-      if (is_dc)
-        return val > 11 ? P_FB : static_cast<uint16_t>(len + val);
-      int s = val & 0x0F;
-      if (s == 0) {
-        if (val == 0xF0) return static_cast<uint16_t>((16 << 6) | len);
-        if (val == 0) return static_cast<uint16_t>(P_END | len);
-        return P_FB;
-      }
-      return static_cast<uint16_t>(
-          P_COEFF | (((val >> 4) + 1) << 6) | (len + s));
-    };
+    // Cold path for codes longer than 10 bits: prescan_slow (shared with the
+    // speculative walker).
+    auto slow = prescan_slow;
 
     for (int64_t seq = mcu0; seq < mcu1; seq++) {
       for (int32_t slot = 0; slot < plen; slot++) {

@@ -392,6 +392,14 @@ def _prescan_geometry(frame, scan, restart_interval: int) -> dict:
         "image_w": w, "image_h": h, "restart_interval": restart_interval,
         "pattern": pattern, "est_segments": nseg,
         "est_blocks": n_mcus * len(pattern),
+        # All scan components sharing (dc, ac) table indices lets the
+        # speculative prescan key candidate states on bit position alone
+        # (slot phase cannot change the decode) — see entropy.cc
+        # spec_walk_span. Distinct indices with identical contents are
+        # conservatively treated as non-uniform.
+        "uniform_tables": int(
+            len(set(scan.dc_table_indices)) == 1
+            and len(set(scan.ac_table_indices)) == 1),
     }
 
 

@@ -26,7 +26,21 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 13  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 14  # bump together with jt_abi_version() in entropy.cc
+
+
+def _spec_min_bytes() -> int:
+    """Speculative-prescan threshold from JPEG_TPU_SPEC_PRESCAN: unset/empty
+    -> 0 (kernel default, 256 KiB); '0' disables; any other integer is the
+    minimum segment size in bytes."""
+    v = os.environ.get("JPEG_TPU_SPEC_PRESCAN", "")
+    if not v:
+        return 0
+    try:
+        n = int(v)
+    except ValueError:
+        return 0
+    return -1 if n == 0 else n
 
 
 class _CHuffTable(C.Structure):
@@ -98,6 +112,8 @@ class _CPrescanParams(C.Structure):
         ("n_blocks", C.c_int32),
         ("pending_marker", C.c_int32),
         ("nthreads", C.c_int32),
+        ("uniform_tables", C.c_int32),
+        ("spec_min_bytes", C.c_int32),
     ]
 
 
@@ -473,6 +489,8 @@ def prescan_baseline(cursor, luts: np.ndarray, geometry: dict,
     pattern = geometry["pattern"]
     pp.pattern_len = len(pattern)
     pp.nthreads = _NTHREADS
+    pp.uniform_tables = geometry.get("uniform_tables", 0)
+    pp.spec_min_bytes = _spec_min_bytes()
     for i, ci in enumerate(pattern):
         pp.pattern[i] = ci
 

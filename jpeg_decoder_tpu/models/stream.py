@@ -651,9 +651,12 @@ def _bits_wire() -> str:
     host-packed slot tiles (~1.5-1.7x the compressed stream — overlap +
     class padding); "words" ships the compressed words once plus 12 B/chunk
     and materialises the tiles on device (a row gather + shift);
-    "words-packed" further packs the chunk metadata into 8 B (entry bit +
-    budget|slot0|base<<9, reconstructed on device)."""
-    return os.environ.get("JPEG_TPU_WIRE", "words")
+    "words-packed" (default: chunk metadata is ~25% of the words wire, and
+    the sustained metric tracks wire bytes exactly) further packs the chunk
+    metadata into 8 B (entry bit + budget|slot0|base<<9, reconstructed on
+    device). All three are bit-exact vs the prefix path on hardware
+    (tools/experiments/tpu_queue.py)."""
+    return os.environ.get("JPEG_TPU_WIRE", "words-packed")
 
 
 def _attach_pallas(st: "StagedBits") -> "StagedBits":

@@ -141,6 +141,49 @@ def test_dri_prescan_layout_parity(shape, mode, rows, seed):
     _assert_layout_equal(f"dri{shape}", native_scans, mirror_scans)
 
 
+def _prescan_spec(data, spec_env: str):
+    """Native prescan with the speculative-split threshold forced."""
+    os.environ["JPEG_TPU_SPEC_PRESCAN"] = spec_env
+    try:
+        return _prescan(data, disable_native=False)
+    finally:
+        os.environ.pop("JPEG_TPU_SPEC_PRESCAN", None)
+
+
+SPEC_CASES = [
+    # (source, kwargs) — each synthesized large enough that a 4 KiB
+    # threshold splits it across all walker threads.
+    ("synth", dict(shape=(512, 768), mode="RGB")),     # 4:2:0, 2 tables
+    ("synth", dict(shape=(768, 512), mode="L")),       # grayscale, uniform
+    ("file", "/root/reference/benches/large_image.jpg"),  # 4:4:4, distinct
+]
+
+
+@pytest.mark.parametrize("kind,spec", SPEC_CASES)
+def test_speculative_prescan_layout_parity(kind, spec):
+    """The speculative parallel walk (entropy.cc spec_walk_span + stitcher)
+    must produce anchors/chunks byte-identical to the serial walk and the
+    Python mirror — speculation may only move time, never bytes."""
+    if native_mod.get_native() is None:
+        pytest.skip("native engine unavailable")
+    if kind == "file":
+        if not os.path.exists(spec):
+            pytest.skip("bench image unavailable")
+        data = open(spec, "rb").read()
+    else:
+        rng = np.random.default_rng(11)
+        shape = spec["shape"] + ((3,) if spec["mode"] == "RGB" else ())
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, spec["mode"]).save(buf, "JPEG", quality=92)
+        data = buf.getvalue()
+    spec_scans = _prescan_spec(data, "4096")
+    serial_scans = _prescan_spec(data, "0")
+    _assert_layout_equal("spec-vs-serial", spec_scans, serial_scans)
+    mirror_scans = _prescan(data, disable_native=True)
+    _assert_layout_equal("spec-vs-mirror", spec_scans, mirror_scans)
+
+
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 

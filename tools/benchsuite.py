@@ -92,7 +92,14 @@ def main() -> None:
                     help="per-stage decode-to-device stream timing")
     ap.add_argument("--interchange", default="prefix",
                     choices=["prefix", "bits"])
+    ap.add_argument("--smoke", action="store_true",
+                    help="CI gate: one sample per case + staging paths; any "
+                         "error exits non-zero (the reference CI runs its "
+                         "benches as smoke tests, rust.yml:36-40)")
     args = ap.parse_args()
+
+    if args.smoke:
+        args.samples = 1
 
     if args.stream:
         run_stream(args.samples, args.json, args.interchange)
@@ -116,8 +123,28 @@ def main() -> None:
                 if not args.json:
                     print(f"{key:>55}: ERROR {e}")
 
+    if args.smoke:
+        # Perf-path import/staging smoke: both interchange stagers must run.
+        from jpeg_decoder_tpu.models.stream import stage_host, stage_host_bits
+        data = open(f"{BENCHES}/large_image.jpg", "rb").read()
+        for name, fn in (("stage_host", stage_host),
+                         ("stage_host_bits", stage_host_bits)):
+            try:
+                fn(data)
+                results[name] = "ok"
+                if not args.json:
+                    print(f"{name:>55}: ok")
+            except Exception as e:  # noqa: BLE001
+                results[name] = f"error: {e}"
+                if not args.json:
+                    print(f"{name:>55}: ERROR {e}")
+
     if args.json:
         print(json.dumps(results))
+
+    if args.smoke and any(
+            isinstance(v, str) and v.startswith("error") for v in results.values()):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

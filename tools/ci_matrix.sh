@@ -52,4 +52,17 @@ run "gatherasm" env JPEG_TPU_STRUCT_ASM=0 python -m pytest \
     tests/test_device_entropy.py tests/test_stream_bits.py \
     tests/test_pallas_decode.py -x -q "$@"
 
+# 8. Speculative prescan forced onto every baseline stream (4 KiB threshold):
+#    anchors must stay byte-identical under the parallel split.
+run "specprescan" env JPEG_TPU_SPEC_PRESCAN=4096 python -m pytest \
+    tests/test_prescan_parity.py tests/test_device_entropy.py \
+    tests/test_stream_bits.py -x -q "$@"
+
+# 9. Benchmark smoke (the reference CI *runs* its benches,
+#    /root/reference/.github/workflows/rust.yml:36-40): a perf-path import
+#    or staging regression must fail the gate, not the next bench run.
+#    --smoke decodes each bench input once on the CPU tier.
+run "benchsmoke" env PYTHONPATH= JAX_PLATFORMS=cpu \
+    python tools/benchsuite.py --smoke
+
 exit $FAILED

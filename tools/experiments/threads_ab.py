@@ -43,8 +43,10 @@ def main():
     data = open("/root/reference/benches/large_image.jpg", "rb").read()
     mpix = 2268 * 1512 / 1e6
 
+    # Full published sweep (BASELINE.md cites 3->674, 4->712, 5->762,
+    # 6->753, 8->653 Mpix/s from this harness).
     results = {}
-    for nt in (3, 4, 5):
+    for nt in (3, 4, 5, 6, 8):
         dec = DeviceStreamDecoder(host_threads=nt)
         dec.decode_stream([data] * 2)  # warm compile + pools
         r = burst(dec, data, mpix)
