@@ -1,0 +1,33 @@
+"""Multi-process (multi-host analog) mesh execution — 2 jax.distributed
+processes x 4 CPU devices, gloo collectives over localhost TCP.
+
+SURVEY.md §4 calls for multi-host decode tests the reference cannot provide;
+the single-process virtual mesh (conftest / dryrun_multichip) never exercises
+the seams that actually break multi-host decode: assembling a global batch
+axis from process-local host staging, and halo collectives crossing the
+process boundary. tools/multiproc_mesh.py covers both; this test runs it and
+requires bit-exactness end to end.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HARNESS = os.path.join(REPO, "tools", "multiproc_mesh.py")
+
+
+@pytest.mark.timeout(420)
+def test_two_process_mesh_bit_exact():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    # The harness owns its platform/device-count env; drop the test session's.
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run([sys.executable, HARNESS, "--timeout", "360"],
+                       env=env, capture_output=True, timeout=400)
+    out = r.stdout.decode(errors="replace")
+    assert r.returncode == 0, out + r.stderr.decode(errors="replace")
+    assert out.count("MULTIPROC-MESH OK") == 2, out

@@ -35,6 +35,11 @@ for n in 4 8; do
       python -c "import __graft_entry__ as g; g.dryrun_multichip($n)"
 done
 
+# 3b. Multi-process mesh (2 jax.distributed processes, gloo on localhost):
+#     process-local staging -> global batch axis + cross-process halo
+#     collectives, bit-exact (SURVEY.md §4 multi-host decode tests).
+run "multiproc2" env PYTHONPATH= python tools/multiproc_mesh.py
+
 # 4. Compile-check the single-chip entry point.
 run "entry" env PYTHONPATH= JAX_PLATFORMS=cpu \
     python -c "import __graft_entry__ as g; fn, args = g.entry(); fn(*args)"
