@@ -140,6 +140,7 @@ class Decoder:
         # the native entropy kernel emits the zigzag-prefix + COO-residual
         # interchange format directly and no dense stores are allocated.
         self._prefix_capture = None
+        self._lossless_capture = None
 
     def _alloc_store(self, size: int) -> np.ndarray:
         if self._store_allocator is not None:
@@ -511,6 +512,14 @@ class Decoder:
         # (`/root/reference/src/decoder/lossless.rs:168-171`) — see predictors.py.
         restart_all = (self._restart_interval > 0
                        and leftover == self._restart_interval - 1)
+
+        if (self._lossless_capture is not None
+                and self._lossless_capture.wants(frame, scan)):
+            # Streaming service hook: ship the Huffman-decoded differences
+            # (the tiny lossless wire) and run the predictor reconstruction
+            # on device (models/stream.py stage_host_lossless).
+            return self._lossless_capture.capture_scan(
+                self, frame, scan, diffs, restart_all, marker)
 
         use_device = self._backend == "jax"
         for pos, comp_i in enumerate(scan.component_indices):

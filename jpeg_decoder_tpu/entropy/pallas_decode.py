@@ -231,32 +231,45 @@ def combine_packs_words(packs, words, n_words: int = 0,
     return wpad.view(np.int32), sb_all, meta_all, base_all
 
 
-def merge_image_packs(entries, nb_image: int):
+def _block_offsets(entries, nb_image):
+    """Per-image block offsets: `nb_image` is either the uniform per-image
+    block count (same-plan merge) or a sequence of per-image counts
+    (heterogeneous merge — one kernel sweep over mixed-size images)."""
+    if isinstance(nb_image, (int, np.integer)):
+        nbs = [int(nb_image)] * len(entries)
+    else:
+        nbs = [int(x) for x in nb_image]
+        assert len(nbs) == len(entries)
+    offs = np.cumsum([0] + nbs)
+    return offs[:-1], int(offs[-1])
+
+
+def merge_image_packs(entries, nb_image):
     """Merge per-image packed classes into one multi-image pack.
 
     entries: per image ((slots_all, meta_all, base_all), shapes) where
     shapes = ((slot_words, s_max, n_bucket, n_items), ...) as produced by
-    stage_host_bits. Image i's block bases shift by i * nb_image, so the
-    merged pack decodes as one scan of len(entries) * nb_image blocks —
-    chunk decode is per-item, and per-class item order stays monotone in
-    start block (per-image packs are stream-ordered, images concatenate in
-    order), which the rowmap's cummax propagation requires.
+    stage_host_bits. Image i's block bases shift by its cumulative block
+    offset (`nb_image`: uniform count or per-image sequence), so the merged
+    pack decodes as one scan of sum-of-blocks — chunk decode is per-item,
+    and per-class item order stays monotone in start block (per-image packs
+    are stream-ordered, images concatenate in order), which the rowmap's
+    cummax propagation requires.
 
     Returns (combined_arrays, merged_shapes) in the combine_packs layout.
     Padding items get meta 0 (budget 0: kernel no-op) and base =
     total_blocks (rowmap scatter drop)."""
+    offs, total_blocks = _block_offsets(entries, nb_image)
     per_class: dict = {}
     for i, ((sl, me, ba), shapes) in enumerate(entries):
         so = io = 0
         for (sw, sm, nb, ni) in shapes:
             slots = sl[so:so + sw * nb].reshape(sw, nb)[:, :ni]
             meta = me[io:io + nb][:ni]
-            base = ba[io:io + nb][:ni] + i * nb_image
+            base = ba[io:io + nb][:ni] + offs[i]
             per_class.setdefault(sw, []).append((slots, meta, base, sm))
             so += sw * nb
             io += nb
-
-    total_blocks = len(entries) * nb_image
     slots_parts, meta_parts, base_parts, shapes_out = [], [], [], []
     for sw in sorted(per_class):
         lst = per_class[sw]
@@ -282,15 +295,16 @@ def merge_image_packs(entries, nb_image: int):
     return combined, tuple(shapes_out)
 
 
-def merge_image_packs_words(entries, nb_image: int):
+def merge_image_packs_words(entries, nb_image):
     """wire="words" variant of merge_image_packs: the per-image word streams
     concatenate (each keeps its own gather pad, so in-bounds holds), chunk
-    entry offsets shift by the image's word base, block bases by
-    i * nb_image. entries: ((words, *items), shapes) per image where items
+    entry offsets shift by the image's word base, block bases by the image's
+    cumulative block offset (`nb_image`: uniform count or per-image
+    sequence). entries: ((words, *items), shapes) per image where items
     is (sb, meta, base) for the 12 B/chunk wire or (ab, packed) for the
     compact 8 B/chunk wire (arity distinguishes; see combine_packs_words)."""
     compact = len(entries[0][0]) == 3
-    total_blocks = len(entries) * nb_image
+    boffs, total_blocks = _block_offsets(entries, nb_image)
     word_total = sum(len(e[0][0]) for e in entries)
     assert word_total < (1 << 27), "merged word stream exceeds 512 MB"
     if compact and total_blocks >= (1 << 23):
@@ -311,11 +325,11 @@ def merge_image_packs_words(entries, nb_image: int):
         shift = lambda arrs, i, off: (  # noqa: E731
             (arrs[0].view(np.uint32) + np.uint32(off * 32)).view(np.int32),
             (arrs[1].view(np.uint32)
-             + (np.uint32(i * nb_image) << np.uint32(9))).view(np.int32))
+             + (np.uint32(boffs[i]) << np.uint32(9))).view(np.int32))
         fills = (0, total_blocks << 9)
     else:
         shift = lambda arrs, i, off: (  # noqa: E731
-            arrs[0] + off * 4, arrs[1], arrs[2] + i * nb_image)
+            arrs[0] + off * 4, arrs[1], arrs[2] + boffs[i])
         fills = (0, 0, total_blocks)
 
     per_class: dict = {}
@@ -575,26 +589,20 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
     return call
 
 
-def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
-                         n_tab: int, flat_stores: bool = True,
-                         interpret: bool = False,
-                         comp_to_upair: tuple = None,
-                         n_images: int = 1, device_slots: bool = False):
-    """Traceable decoder using per-class Pallas kernels + shared assembly.
+def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
+                       n_blocks: int, device_slots: bool = False,
+                       interpret: bool = False):
+    """The per-class Pallas kernel sweep + rowmap compaction, independent of
+    any per-image plan: returns fn(combined, mc, dl, vv) -> nat, an int16
+    [n_blocks, 64] coefficient tensor in stream block order. Shared by the
+    uniform batched decoder below and the heterogeneous (mixed-size) merge,
+    where one sweep decodes every image's chunks and per-plan assemblers
+    consume slices of `nat`.
 
-    class_shapes: tuple of (slot_words, s_max, n_bucket[, n_items]) per class
-    present. Returns fn(class_inputs, tab_mc, tab_dl, tab_vv) -> stores where
-    class_inputs is a tuple of (slots_t, bit0, base, budget, slot0, starts).
-
-    Each kernel emits dense [K_CAP*64] regions per chunk; the padded regions
-    compact into stream block order with one i32 row gather driven by a
-    rowmap built from per-class cummax propagation of (start block ->
-    padded row base) — no element scatter anywhere.
-
-    n_images > 1: the inputs are a merge_image_packs merge of same-plan
-    images; one kernel sweep decodes every image's chunks, the rowmap spans
-    n_images * plan.n_blocks blocks, and per-image assembly is vmapped —
-    stores gain a leading image axis.
+    `pattern` is the per-MCU slot pattern already mapped through
+    comp_to_upair; `n_blocks` may exceed the real merged block count (shape
+    bucketing) — padding block positions gather garbage rows (clamped
+    in-bounds) that callers never assemble.
     """
     import jax
     import jax.numpy as jnp
@@ -602,15 +610,9 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
     from .device_scan import K_CAP
 
     class_shapes = tuple(c[:3] for c in class_shapes)
-    # Map the per-MCU slot pattern (component positions) to unique pairs.
-    if comp_to_upair is None:
-        comp_to_upair = tuple(range(max(plan.pattern or [0]) + 1))
-    pattern = tuple(comp_to_upair[c] for c in plan.pattern)
     kernels = [
         _build_decode_kernel(sw, sm, n_tab, pattern, interpret)
         for (sw, sm, _nb) in class_shapes]
-    assemble_nat = build_assembler_nat(plan, flat_stores)
-    n_blocks = plan.n_blocks * n_images
 
     # Static padded-row base of each class's region in the concatenated rows.
     class_row_base = []
@@ -618,6 +620,7 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
     for (_sw, _sm, nb) in class_shapes:
         class_row_base.append(base)
         base += nb * K_CAP
+    rows_total = base
 
     # Static split offsets for the combined H2D buffers (one device_put for
     # all classes' slots / meta / bases — per-call RPC overhead through the
@@ -694,10 +697,50 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
             better = fb > best_fb
             best_br = jnp.where(better, br, best_br)
             best_fb = jnp.where(better, fb, best_fb)
-        rowmap = best_br + (arange_b - best_fb)
+        # Clamp: padding block positions (bucketed n_blocks) can extrapolate
+        # past a class's real rows; real blocks are in-bounds by construction.
+        rowmap = jnp.clip(best_br + (arange_b - best_fb), 0, rows_total - 1)
 
         all_rows = jnp.concatenate(rows)
-        nat = jnp.take(all_rows, rowmap, axis=0)
+        return jnp.take(all_rows, rowmap, axis=0)
+
+    return run
+
+
+def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
+                         n_tab: int, flat_stores: bool = True,
+                         interpret: bool = False,
+                         comp_to_upair: tuple = None,
+                         n_images: int = 1, device_slots: bool = False):
+    """Traceable decoder using per-class Pallas kernels + shared assembly.
+
+    class_shapes: tuple of (slot_words, s_max, n_bucket[, n_items]) per class
+    present. Returns fn(class_inputs, tab_mc, tab_dl, tab_vv) -> stores where
+    class_inputs is a tuple of (slots_t, bit0, base, budget, slot0, starts).
+
+    Each kernel emits dense [K_CAP*64] regions per chunk; the padded regions
+    compact into stream block order with one i32 row gather driven by a
+    rowmap built from per-class cummax propagation of (start block ->
+    padded row base) — no element scatter anywhere (build_pallas_sweep).
+
+    n_images > 1: the inputs are a merge_image_packs merge of same-plan
+    images; one kernel sweep decodes every image's chunks, the rowmap spans
+    n_images * plan.n_blocks blocks, and per-image assembly is vmapped —
+    stores gain a leading image axis.
+    """
+    import jax
+
+    # Map the per-MCU slot pattern (component positions) to unique pairs.
+    if comp_to_upair is None:
+        comp_to_upair = tuple(range(max(plan.pattern or [0]) + 1))
+    pattern = tuple(comp_to_upair[c] for c in plan.pattern)
+    n_blocks = plan.n_blocks * n_images
+    sweep = build_pallas_sweep(class_shapes, n_tab, pattern, n_blocks,
+                               device_slots=device_slots, interpret=interpret)
+    assemble_nat = build_assembler_nat(plan, flat_stores)
+
+    def run(combined, mc, dl, vv):
+        nat = sweep(combined, mc, dl, vv)
         if n_images > 1:
             nat = nat.reshape(n_images, plan.n_blocks, 64)
             return jax.vmap(assemble_nat)(nat)

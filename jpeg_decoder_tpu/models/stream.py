@@ -474,11 +474,17 @@ def stage_host(source, scale_to=None, precision: str = "fast",
         d._store_allocator = alloc
         capture = PrefixCapture(native)
         d._prefix_capture = capture
+    ll_cap = _LosslessCapture()
+    d._lossless_capture = ll_cap
 
     if scale_to is not None:
         d.scale(*scale_to)
     d._decode_entropy_only()
 
+    if ll_cap.scans:
+        for buf in pooled:
+            _pool.release(buf)
+        return _staged_lossless_from_capture(d, ll_cap)
     if capture is not None and capture.used:
         return _staged_from_capture(d, capture, precision, pooled)
 
@@ -613,6 +619,8 @@ def stage_host_bits(source, scale_to=None, precision: str = "fast",
     d = Decoder(source, backend="numpy")
     capture = BitstreamCapture()
     d._prefix_capture = capture
+    ll_cap = _LosslessCapture()
+    d._lossless_capture = ll_cap
     try:
         if scale_to is not None:
             d.scale(*scale_to)
@@ -622,6 +630,9 @@ def stage_host_bits(source, scale_to=None, precision: str = "fast",
         # then re-encode the stores into the bits format (transcode). Only
         # when that fails too does the image ship as prefix coefficients.
         return _stage_host_decoded_bits(source, scale_to, precision)
+    if ll_cap.scans:
+        # Lossless frame: ship the difference planes, reconstruct on device.
+        return _staged_lossless_from_capture(d, ll_cap)
     if not capture.used:
         if d.frame is not None and d.frame.coding_process \
                 == CodingProcess.DCT_PROGRESSIVE:
@@ -644,6 +655,152 @@ def stage_host_bits(source, scale_to=None, precision: str = "fast",
 
     return _attach_pallas(StagedBits(geometry, tuple(capture.scans), qts,
                                      info.width * info.height / 1e6))
+
+
+@dataclasses.dataclass
+class StagedLossless:
+    """Lossless (SOF3) image staged for device reconstruction: the host runs
+    only the Huffman difference decode (C++ jt_decode_scan_lossless); the
+    predictor recurrences run on device (ops/predictors.py closed forms, or
+    the anti-diagonal wavefront for predictors 5-7 / point transforms),
+    bit-identical to /root/reference/src/decoder/lossless.rs:108-226.
+
+    The wire is the difference plane reduced mod 2^16 (uint16, 2 B/sample):
+    every predictor computes (prediction + diff) & 0xFFFF, so only the
+    diff's low 16 bits can reach the output."""
+    diffs: np.ndarray       # uint16 [ncomp, H, W]
+    predictor: int
+    point_transform: int
+    precision: int
+    restart_all: bool       # the reference's stale phase-2 restart flag
+    out_width: int
+    out_height: int
+    mpix: float
+
+    @property
+    def group_key(self) -> tuple:
+        return ("lossless", self.diffs.shape, self.predictor,
+                self.point_transform, self.precision, self.restart_all,
+                self.out_width, self.out_height)
+
+
+class _LosslessCapture:
+    """Decoder hook (decoder.py _process_scan_lossless): captures the decoded
+    difference planes instead of reconstructing them on the host."""
+
+    def __init__(self):
+        self.scans = []
+
+    def wants(self, frame, scan) -> bool:
+        return True
+
+    def capture_scan(self, decoder, frame, scan, diffs, restart_all, marker):
+        self.scans.append((frame, scan, diffs, restart_all))
+        return marker
+
+
+def _staged_lossless_from_capture(d: Decoder, cap: _LosslessCapture
+                                  ) -> StagedLossless:
+    from ..errors import FormatError
+    from ..parser import Predictor
+
+    if len(cap.scans) != 1:
+        raise FormatError("multi-scan lossless stays host-side")
+    frame, scan, diffs, restart_all = cap.scans[0]
+    if len(scan.component_indices) != len(frame.components):
+        raise FormatError("partial-component lossless scan stays host-side")
+    predictor = scan.predictor_selection
+    pt = scan.point_transform
+    if predictor == Predictor.RA and pt != 0:
+        # The reference's Ra fast path has its own dispatch-order semantics
+        # and the pt != 0 windowed chain has no device form — host oracle
+        # owns this rare configuration (see decoder._reconstruct_lossless_device).
+        raise FormatError("Ra with point transform stays host-side")
+    out_w = frame.output_size.width
+    out_h = frame.output_size.height
+    ncomp = diffs.shape[0]
+    if ncomp == 1 and diffs.shape[1:] != (out_h, out_w):
+        raise FormatError("scaled single-component lossless stays host-side")
+    info = d.info()
+    return StagedLossless(
+        diffs=(diffs & 0xFFFF).astype(np.uint16),
+        predictor=int(predictor), point_transform=pt,
+        precision=frame.precision, restart_all=bool(restart_all),
+        out_width=out_w, out_height=out_h,
+        mpix=info.width * info.height / 1e6)
+
+
+def stage_host_lossless(source, scale_to=None, precision: str = "fast",
+                        timer=None) -> StagedLossless:
+    """Host stages for one lossless image: parse + Huffman difference decode.
+    Raises a typed FormatError for configurations the device path declines
+    (multi-scan, partial-component, Ra with point transform)."""
+    from ..errors import FormatError
+
+    if timer is not None:
+        with timer.stage("host_stage"):
+            return stage_host_lossless(source, scale_to, precision, None)
+    d = Decoder(source, backend="numpy")
+    cap = _LosslessCapture()
+    d._lossless_capture = cap
+    if scale_to is not None:
+        d.scale(*scale_to)
+    d._decode_entropy_only()
+    if not cap.scans:
+        raise FormatError("not a lossless stream")
+    return _staged_lossless_from_capture(d, cap)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_lossless_pipeline(ncomp: int, predictor_val: int, pt: int,
+                                precision: int, restart_all: bool,
+                                out_w: int, out_h: int,
+                                batch, mesh=None, data_axis: str = "data"):
+    """Device lossless reconstruction: per-component predictor recurrence +
+    interleave/narrow assembly (decoder.py _compute_image_lossless semantics,
+    /root/reference/src/decoder/lossless.rs:228-260), vmapped over the batch
+    and optionally sharded over a mesh data axis."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+    from ..ops.predictors import (device_supported,
+                                  reconstruct_lossless_device,
+                                  reconstruct_lossless_wavefront)
+    from ..parser import Predictor
+    predictor = Predictor(predictor_val)
+
+    def recon(plane):
+        if (predictor == Predictor.RA or restart_all
+                or device_supported(predictor, pt)):
+            return reconstruct_lossless_device(plane, predictor, pt,
+                                               precision, restart_all, jnp)
+        return reconstruct_lossless_wavefront(plane, predictor, pt,
+                                              precision, jnp)
+
+    def run_one(diffs):
+        planes = [recon(diffs[i]) for i in range(ncomp)]
+        if ncomp == 1:
+            img = planes[0]
+        else:
+            # Element-count-bound interleave (row-major prefix when scaling
+            # shrank output_size), mirroring lossless.rs:240-246.
+            count = out_w * out_h
+            flats = [p.reshape(-1)[:count] for p in planes]
+            img = jnp.stack(flats, axis=-1).reshape(out_h, out_w, ncomp)
+        if precision == 8:
+            return img.astype(jnp.uint8)
+        return img
+
+    if batch is None:
+        return jax.jit(run_one)
+    batched = jax.vmap(run_one)
+    if mesh is None:
+        return jax.jit(batched)
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    sharded = NamedSharding(mesh, PS(data_axis))
+    return jax.jit(batched, in_shardings=(sharded,), out_shardings=sharded)
 
 
 def _bits_wire() -> str:
@@ -803,6 +960,81 @@ def _compiled_bits_pipeline_batched(plan, n_images: int, class_shapes: tuple,
         return jax.vmap(recon_one)(tuple(stores_b), qts_b)
 
     return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_bits_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
+                         n_blocks: int, device_slots: bool, interpret: bool):
+    """One jitted kernel sweep over a (possibly mixed-plan) merged pack:
+    returns the stream-order [n_blocks, 64] int16 coefficient tensor.
+    Keyed only by bucketed shapes — a mixed stream's composition never
+    recompiles the sweep."""
+    import jax
+
+    from ..entropy.pallas_decode import build_pallas_sweep
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+    return jax.jit(build_pallas_sweep(class_shapes, n_tab, pattern, n_blocks,
+                                      device_slots=device_slots,
+                                      interpret=interpret))
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_nat_reconstruct(plan, count_bucket: int,
+                              geometry: ImageGeometry, layout: str,
+                              interpret: bool):
+    """Assembly + reconstruction of `count_bucket` same-plan images from a
+    dynamic slice of the heterogeneous sweep's coefficient tensor. The slice
+    offset is a runtime scalar, so compile keys depend only on
+    (plan, bucketed count) — not on where the images sit in the merge."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..entropy.pallas_decode import build_assembler_nat
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+
+    assemble = build_assembler_nat(plan, flat_stores=False)
+
+    def recon_one(stores, qts):
+        if layout == "planar-pallas":
+            from ..ops.pallas_kernels import reconstruct_planar_pallas
+            return reconstruct_planar_pallas(geometry, stores, qts,
+                                             interpret=interpret or None)
+        out = _reconstruct(geometry, stores, qts, jnp)
+        if layout == "planar" and out.ndim == 3:
+            return jnp.transpose(out, (2, 0, 1))
+        return out
+
+    nb = plan.n_blocks
+
+    def run(nat, off, qts_b):
+        seg = jax.lax.dynamic_slice(nat, (off, 0), (count_bucket * nb, 64))
+        stores_b = jax.vmap(assemble)(seg.reshape(count_bucket, nb, 64))
+        return jax.vmap(recon_one)(tuple(stores_b), qts_b)
+
+    return jax.jit(run)
+
+
+def _bits_hetero_key(st: "StagedBits"):
+    """Images sharing this key can merge into ONE kernel sweep even with
+    different plans/geometries (mixed sizes from the same encoder): the
+    sweep's kernels depend only on the mapped slot pattern and the Huffman
+    tables; per-plan assembly/reconstruction run from slices of the sweep
+    output (_decode_group_bits_hetero). A superset of _bits_group_key —
+    same-plan members still take the uniform vmapped path."""
+    if len(st.scans) != 1:
+        return None
+    scan, kept = st.scans[0]
+    if len(kept) != len(st.qts):
+        return None
+    if not st.pallas or st.pallas[0] is None:
+        return None
+    plan = scan.plan
+    mapped_pattern = tuple(scan.comp_to_upair[c] for c in plan.pattern)
+    return (mapped_pattern, kept, len(st.qts), st.pallas[0][2],
+            scan.tab_maxcode.tobytes(), scan.tab_delta.tobytes(),
+            scan.tab_values.tobytes())
 
 
 def _bits_group_key(st: "StagedBits", mesh_mode: bool = False):
@@ -1007,6 +1239,8 @@ class DeviceStreamDecoder:
     def decode_one(self, staged):
         if isinstance(staged, StagedBits):
             return self._decode_one_bits(staged)
+        if isinstance(staged, StagedLossless):
+            return self._decode_one_lossless(staged)
         import jax
         layout = self._effective_layout(staged.geometry)
         fn = _compiled_prefix_pipeline(staged.geometry, len(staged.resid_idx),
@@ -1018,6 +1252,44 @@ class DeviceStreamDecoder:
                     jax.device_put(staged.resid_vals))
         with self._stage("device_dispatch"):
             return fn(*args, staged.qts)
+
+    def _decode_one_lossless(self, st: "StagedLossless"):
+        import jax
+        fn = _compiled_lossless_pipeline(
+            st.diffs.shape[0], st.predictor, st.point_transform,
+            st.precision, st.restart_all, st.out_width, st.out_height,
+            batch=None)
+        with self._stage("h2d_submit"):
+            d = jax.device_put(st.diffs)
+        with self._stage("device_dispatch"):
+            return fn(d)
+
+    def _decode_group_lossless(self, group: list) -> list:
+        """One vmapped (optionally mesh-sharded) dispatch for a group of
+        same-key lossless images — the batch-DP composition the lossless
+        path previously had zero leverage from."""
+        import jax
+
+        n = len(group)
+        if n == 1 and self.mesh is None:
+            return [self.decode_one(group[0])]
+        batch = _batch_bucket(n)
+        if self.mesh is not None:
+            ndev = int(self.mesh.shape[self.data_axis])
+            if batch % ndev:
+                batch = -(-batch // ndev) * ndev
+        st0 = group[0]
+        diffs = np.stack([st.diffs for st in group]
+                         + [group[-1].diffs] * (batch - n))
+        fn = _compiled_lossless_pipeline(
+            st0.diffs.shape[0], st0.predictor, st0.point_transform,
+            st0.precision, st0.restart_all, st0.out_width, st0.out_height,
+            batch=batch, mesh=self.mesh, data_axis=self.data_axis)
+        with self._stage("h2d_submit"):
+            d = jax.device_put(diffs) if self.mesh is None else diffs
+        with self._stage("device_dispatch"):
+            out = fn(d)
+        return [out[i] for i in range(n)]
 
     # Device-resident LUT cache: Huffman tables repeat across images from the
     # same encoder; keyed by content so the 1MB-class LUT array ships once.
@@ -1118,6 +1390,7 @@ class DeviceStreamDecoder:
         outputs: list = []
         group: list = []
         bits_group: list = []
+        ll_group: list = []
         bits_key = [None]
 
         def flush():
@@ -1132,16 +1405,40 @@ class DeviceStreamDecoder:
             outputs.extend(self._decode_group_bits(bits_group))
             bits_group.clear()
 
+        def flush_ll():
+            if not ll_group:
+                return
+            outputs.extend(self._decode_group_lossless(ll_group))
+            ll_group.clear()
+
         for fut in staged_futures:
             st = resolve(fut)
             if st is None:
                 flush()
                 flush_bits()
+                flush_ll()
                 outputs.append(None)
                 continue
+            if isinstance(st, StagedLossless):
+                flush()
+                flush_bits()
+                if ll_group and (st.group_key != ll_group[0].group_key
+                                 or len(ll_group) >= batch_size):
+                    flush_ll()
+                ll_group.append(st)
+                continue
+            flush_ll()
             if isinstance(st, StagedBits):
                 flush()
-                key = _bits_group_key(st, self.mesh is not None)
+                # Non-mesh groups merge across plans (mixed sizes) on the
+                # hetero key; the mesh path still needs exact-plan stacks.
+                # JPEG_TPU_HETERO_BITS=0 reverts to exact-key grouping.
+                if self.mesh is not None:
+                    key = _bits_group_key(st, True)
+                elif os.environ.get("JPEG_TPU_HETERO_BITS", "1") == "0":
+                    key = _bits_group_key(st)
+                else:
+                    key = _bits_hetero_key(st)
                 if key is None:
                     # Multi-scan or Pallas-ineligible: per-image dispatch.
                     flush_bits()
@@ -1160,6 +1457,7 @@ class DeviceStreamDecoder:
             group.append(st)
         flush()
         flush_bits()
+        flush_ll()
         return outputs
 
     def _decode_group_bits(self, group: list) -> list:
@@ -1178,6 +1476,9 @@ class DeviceStreamDecoder:
 
         scan0, _kept = group[0].scans[0]
         n = len(group)
+        if len({_bits_group_key(st) for st in group}) > 1:
+            # Same hetero key, different plans: one sweep, per-plan assembly.
+            return self._decode_group_bits_hetero(group)
         batch = _batch_bucket(n)
         entries = [st.pallas[0] for st in group]
         entries = entries + [entries[-1]] * (batch - n)
@@ -1209,6 +1510,79 @@ class DeviceStreamDecoder:
         with self._stage("device_dispatch"):
             out = fn(dev, mc, dl, vv, qts_b)
         return [out[i] for i in range(n)]
+
+    def _decode_group_bits_hetero(self, group: list) -> list:
+        """Mixed-plan batched bits dispatch (round-3, verdict item 7): ONE
+        kernel sweep decodes every image's chunks (the per-class merge is
+        size-agnostic — chunk metadata carries absolute block bases), then
+        per-plan assemblers/reconstructors consume dynamic slices of the
+        sweep's stream-order coefficient tensor. Dispatches: 1 sweep +
+        #distinct-plans reconstructs, vs #images full pipelines before.
+
+        Compile-key discipline: the sweep is keyed by bucketed class shapes
+        + a bucketed total block count; each reconstruct by (plan, bucketed
+        count) — a mixed stream's composition order never recompiles.
+        Reconstruct slices may overrun into the next plan's rows (count
+        padding); those padding images decode garbage and are discarded."""
+        import jax
+
+        from ..entropy.pallas_decode import (merge_image_packs,
+                                             merge_image_packs_words)
+
+        scan0, _ = group[0].scans[0]
+        wire = group[0].pallas[0][2]
+        merge = (merge_image_packs_words if wire.startswith("words")
+                 else merge_image_packs)
+
+        # Group members by plan (first-seen order), remembering stream order.
+        plan_groups: dict = {}
+        for idx, st in enumerate(group):
+            scan, _kept = st.scans[0]
+            plan_groups.setdefault(
+                (scan.plan, st.geometry), []).append((idx, st))
+
+        ordered = [m for members in plan_groups.values() for m in members]
+        entries = [st.pallas[0] for _i, st in ordered]
+        nbs = [st.scans[0][0].plan.n_blocks for _i, st in ordered]
+        combined, shapes = merge([e[:2] for e in entries], nbs)
+
+        # Sweep sized to cover every (count-bucketed) reconstruct slice.
+        padded_total = sum(
+            _batch_bucket(len(members)) * plan.n_blocks
+            for (plan, _g), members in plan_groups.items())
+        nb_bucket = _bucket(padded_total, floor=4096)
+        mapped_pattern = tuple(
+            scan0.comp_to_upair[c] for c in scan0.plan.pattern)
+        interpret = _bits_pallas_mode() == "interpret"
+        sweep = _compiled_bits_sweep(
+            tuple(s[:3] for s in shapes), len(scan0.tab_maxcode),
+            mapped_pattern, nb_bucket, wire.startswith("words"), interpret)
+
+        with self._stage("h2d_submit"):
+            dev = tuple(jax.device_put(a) for a in combined)
+            mc = self._put_cached(scan0.tab_maxcode)
+            dl = self._put_cached(scan0.tab_delta)
+            vv = self._put_cached(scan0.tab_values.view(np.int32))
+        results: list = [None] * len(group)
+        with self._stage("device_dispatch"):
+            nat = sweep(dev, mc, dl, vv)
+            off = 0
+            for (plan, geometry), members in plan_groups.items():
+                cnt = len(members)
+                cb = _batch_bucket(cnt)
+                layout = self._effective_layout(geometry)
+                fn = _compiled_nat_reconstruct(plan, cb, geometry, layout,
+                                               interpret)
+                ncomp = len(members[0][1].qts)
+                qts_b = tuple(
+                    np.stack([st.qts[c] for _i, st in members]
+                             + [members[-1][1].qts[c]] * (cb - cnt))
+                    for c in range(ncomp))
+                out = fn(nat, off, qts_b)
+                for j, (idx, _st) in enumerate(members):
+                    results[idx] = out[j]
+                off += plan.n_blocks * cnt
+        return results
 
     def _decode_group_bits_mesh(self, group: list) -> list:
         """Mesh-sharded batched bits dispatch: stack the bucket-padded

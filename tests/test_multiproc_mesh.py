@@ -19,7 +19,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HARNESS = os.path.join(REPO, "tools", "multiproc_mesh.py")
 
 
-@pytest.mark.timeout(420)
 def test_two_process_mesh_bit_exact():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO

@@ -35,7 +35,7 @@ CASES = [
 
 
 def _staged_scans(path):
-    d = Decoder(str(path))
+    d = Decoder(path if isinstance(path, bytes) else str(path))
     cap = AnchorCapture()
     d._prefix_capture = cap
     d._decode_entropy_only()
@@ -396,3 +396,144 @@ def test_merge_image_packs_words_layout():
     # words buffer holds N copies of the per-image padded stream
     for i in range(N):
         assert np.array_equal(words[i * wlen:(i + 1) * wlen], combined[0])
+
+
+def _synth_jpeg(w, h, seed=0, quality=90, mode="RGB"):
+    import io
+
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if mode == "RGB" else (h, w)
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    buf = io.BytesIO()
+    kw = {"subsampling": 2} if mode == "RGB" else {}
+    Image.fromarray(arr, mode).save(buf, "JPEG", quality=quality, **kw)
+    return buf.getvalue()
+
+
+def test_merge_hetero_block_offsets():
+    """merge_image_packs(_words) with per-image block counts: image i's
+    bases shift by the cumulative block offset (heterogeneous merge)."""
+    from jpeg_decoder_tpu.entropy.pallas_decode import (
+        combine_packs_words, merge_image_packs, merge_image_packs_words)
+
+    a = _staged_scans(_synth_jpeg(32, 16, seed=1))[0]
+    b = _staged_scans(_synth_jpeg(48, 32, seed=2))[0]
+    nbs = [a.plan.n_blocks, b.plan.n_blocks]
+    total = sum(nbs)
+
+    ea, eb = _entry_for(a), _entry_for(b)
+    (slots, meta, base), mshapes = merge_image_packs([ea, eb], nbs)
+    real = base[base < total]
+    assert real.min() >= 0
+    assert (real >= nbs[0]).any() and (real < nbs[0]).any()
+    # every second-image base is the first-image domain shifted by nbs[0]
+    n_real = sum(s[3] for s in mshapes)
+    assert n_real == sum(s[3] for s in ea[1]) + sum(s[3] for s in eb[1])
+
+    def wentry(st):
+        packs = pack_classes(st, wire="words")
+        shapes = tuple((p.slot_words, p.s_max, p.meta.size, p.n_items)
+                       for p in packs)
+        return (combine_packs_words(packs, st.words, st.n_words), shapes)
+
+    merged, _ = merge_image_packs_words([wentry(a), wentry(b)], nbs)
+    _w, _sb, _m, wbase = merged
+    realw = wbase[wbase < total]
+    assert set(np.unique(realw < nbs[0])) <= {True, False}
+    assert (realw >= nbs[0]).any()
+
+
+@slow
+def test_hetero_sweep_decodes_mixed_images():
+    """One kernel sweep over a mixed-size merge + per-plan assembly slices
+    (the round-3 heterogeneous batched-bits path) reproduces every image's
+    stores exactly (interpret mode, tiny grayscale images, shared encoder
+    tables — color pairs would double the interpret walk's cost)."""
+    from jpeg_decoder_tpu.entropy.pallas_decode import (build_assembler_nat,
+                                                        build_pallas_sweep,
+                                                        merge_image_packs)
+    import jax
+
+    a = _staged_scans(_synth_jpeg(16, 16, seed=3, mode="L"))[0]
+    b = _staged_scans(_synth_jpeg(24, 16, seed=4, mode="L"))[0]
+    assert a.tab_maxcode.tobytes() == b.tab_maxcode.tobytes()
+    pat_a = tuple(a.comp_to_upair[c] for c in a.plan.pattern)
+    pat_b = tuple(b.comp_to_upair[c] for c in b.plan.pattern)
+    assert pat_a == pat_b
+
+    nbs = [a.plan.n_blocks, b.plan.n_blocks]
+    combined, shapes = merge_image_packs([_entry_for(a), _entry_for(b)], nbs)
+    total = sum(nbs)
+    nb_bucket = total + 7   # deliberately bucketed past the real count
+    sweep = build_pallas_sweep(tuple(s[:3] for s in shapes),
+                               len(a.tab_maxcode), pat_a, nb_bucket,
+                               interpret=True)
+    nat = np.asarray(sweep(combined, a.tab_maxcode, a.tab_delta,
+                           a.tab_values.view(np.int32)))
+    off = 0
+    for st in (a, b):
+        assemble = build_assembler_nat(st.plan, flat_stores=False)
+        seg = nat[off:off + st.plan.n_blocks]
+        stores = jax.jit(assemble)(seg)
+        gold = decode_anchored_device(st)
+        for c, s in enumerate(stores):
+            assert (np.asarray(s).reshape(-1) == np.asarray(gold[c])).all(), c
+        off += st.plan.n_blocks
+
+
+def test_mixed_size_stream_routes_hetero(monkeypatch):
+    """decode_stream groups mixed-size same-encoder images under the hetero
+    key and dispatches them through _decode_group_bits_hetero (routing spy —
+    compiled-mode correctness runs on hardware via tools/tpu_validate.py)."""
+    from jpeg_decoder_tpu.models import stream as sm
+
+    monkeypatch.setenv("JPEG_TPU_BITS_PALLAS", "interpret")
+    imgs = [_synth_jpeg(32, 16, seed=5), _synth_jpeg(48, 32, seed=6),
+            _synth_jpeg(32, 16, seed=7)]
+    staged = [sm.stage_host_bits(d) for d in imgs]
+    keys = {sm._bits_hetero_key(st) for st in staged}
+    assert len(keys) == 1 and None not in keys, \
+        "same-encoder mixed sizes must share the hetero group key"
+    exact = {sm._bits_group_key(st) for st in staged}
+    assert len(exact) == 2, "plans differ, exact keys must split"
+
+    # Execute the REAL dispatch body (merge, plan grouping, offsets, qts
+    # stacking, stream-order scatter) with only the jitted device stages
+    # faked — compiled correctness runs on hardware (tpu_validate) and in
+    # the slow interpret sweep test above.
+    import jax.numpy as jnp
+
+    sweeps = []
+    recons = []
+
+    def fake_sweep(class_shapes, n_tab, pattern, n_blocks, device_slots,
+                   interpret):
+        sweeps.append((class_shapes, n_blocks, device_slots))
+
+        def run(combined, mc, dl, vv):
+            return jnp.zeros((n_blocks, 64), jnp.int16)
+        return run
+
+    def fake_recon(plan, count_bucket, geometry, layout, interpret):
+        def run(nat, off, qts_b):
+            recons.append((plan.n_blocks, count_bucket, int(off)))
+            return jnp.full((count_bucket, geometry.out_height,
+                             geometry.out_width, 3), plan.n_blocks % 251,
+                            jnp.uint8)
+        return run
+
+    monkeypatch.setattr(sm, "_compiled_bits_sweep", fake_sweep)
+    monkeypatch.setattr(sm, "_compiled_nat_reconstruct", fake_recon)
+    dec = sm.DeviceStreamDecoder(host_threads=1, interchange="bits")
+    outs = dec.decode_stream(imgs, batch_size=4)
+    assert len(sweeps) == 1, "mixed sizes must take ONE kernel sweep"
+    assert len(recons) == 2, "one reconstruct per distinct plan"
+    # Offsets are cumulative real block counts in plan-group order.
+    nb_small = min(r[0] for r in recons)
+    offs = sorted(r[2] for r in recons)
+    assert offs[0] == 0 and offs[1] in (2 * nb_small, recons[0][0] * 2,
+                                        recons[1][0] * 2)
+    # Outputs return in stream order with per-plan fill values.
+    vals = [int(np.asarray(o)[0, 0, 0]) for o in outs]
+    assert vals[0] == vals[2] != vals[1], vals

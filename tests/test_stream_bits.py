@@ -131,19 +131,71 @@ def test_progressive_transcodes_to_bits():
     assert isinstance(staged, StagedBits)
 
 
-def test_lossless_stays_host_side():
-    """Lossless frames are outside the DCT stream service (transcoder
-    declines; the prefix staging has no lossless assembly either) — the
-    pre-existing typed error is preserved."""
+def test_lossless_stages_for_device():
+    """Lossless frames stage as StagedLossless (round 3): the host ships only
+    the Huffman-decoded differences (mod-2^16 uint16 wire) and the predictor
+    recurrence runs on device."""
     import pytest
 
-    from jpeg_decoder_tpu.errors import FormatError
+    from jpeg_decoder_tpu.models.stream import StagedLossless
 
     path = REFTEST_IMAGES / "lossless" / "1" / "jpeg_lossless_sel1.jpg"
     if not path.exists():
         pytest.skip("lossless corpus image missing")
-    with pytest.raises(FormatError):
-        stage_host_bits(str(path))
+    st = stage_host_bits(str(path))
+    assert isinstance(st, StagedLossless)
+    assert st.diffs.dtype == np.uint16
+
+
+def _lossless_corpus():
+    root = REFTEST_IMAGES / "lossless"
+    return sorted(root.rglob("*.jpg")) if root.exists() else []
+
+
+def test_lossless_stream_corpus_bit_exact(decoders):
+    """Every lossless corpus image (predictors sel1-7, 8/12/16-bit, DICOM
+    MR4/XA1) through the streaming service == host oracle, bit-exact
+    (/root/reference/src/decoder/lossless.rs semantics; the reftest bar for
+    lossless is diff == 0). No host-side fallbacks allowed on this corpus."""
+    prefix, bits = decoders
+    files = _lossless_corpus()
+    if not files:
+        import pytest
+        pytest.skip("lossless corpus missing")
+    for f in files:
+        data = f.read_bytes()
+        ref = Decoder(data, backend="numpy").decode_array()
+        for dec in (prefix, bits):
+            got = np.asarray(dec.decode_stream([data])[0])
+            assert got.shape == ref.shape, f.name
+            assert (got == ref).all(), \
+                f"{f.name}: {int((got != ref).sum())} mismatches"
+
+
+def test_lossless_batch_and_mesh_parity(decoders):
+    """Same-geometry lossless batches merge into one vmapped device dispatch
+    (and shard over a mesh data axis), bit-exact vs the host oracle."""
+    prefix, _ = decoders
+    files = _lossless_corpus()
+    if not files:
+        import pytest
+        pytest.skip("lossless corpus missing")
+    data = files[0].read_bytes()
+    ref = Decoder(data, backend="numpy").decode_array()
+    outs = prefix.decode_stream([data] * 5, batch_size=4)
+    assert len(outs) == 5
+    for o in outs:
+        assert (np.asarray(o) == ref).all()
+
+    import jax
+    if len(jax.devices()) >= 4:
+        from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+        from jpeg_decoder_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh({"data": 4})
+        sharded = DeviceStreamDecoder(host_threads=2, mesh=mesh)
+        outs = sharded.decode_stream([data] * 4, batch_size=4)
+        for o in outs:
+            assert (np.asarray(o) == ref).all()
 
 
 def test_corpus_stream_bits_sweep(decoders):

@@ -359,10 +359,197 @@ def run_device(iterations: int = 300, seed: int = 0,
     return failures
 
 
+
+
+# ---------------------------------------------------------------------------
+# Coverage-guided mode (the AFL-analog feedback loop the random scheduler
+# lacks — round-3, verdict item 8).
+
+
+class _LineCoverage:
+    """Line-coverage collector over jpeg_decoder_tpu's Python layers via
+    sys.monitoring (PEP 669). The callback DISABLEs each (code, line) event
+    after its first firing, so after warm-up only genuinely NEW lines fire —
+    per-run overhead is near zero and "events fired this run" IS the
+    new-coverage count, exactly the AFL feedback signal."""
+
+    TOOL = 3  # sys.monitoring.OPTIMIZER_ID slot (unused in CPython today)
+
+    def __init__(self, prefix: str):
+        import sys as _sys
+        self.mon = _sys.monitoring
+        self.prefix = prefix
+        self.total: set = set()
+        self.run_new = 0
+        self.mon.use_tool_id(self.TOOL, "jt-fuzz-coverage")
+        self.mon.register_callback(self.TOOL, self.mon.events.LINE,
+                                   self._on_line)
+        self.mon.set_events(self.TOOL, self.mon.events.LINE)
+
+    def _on_line(self, code, line):
+        if not code.co_filename.startswith(self.prefix):
+            return self.mon.DISABLE
+        key = (id(code), line)
+        if key not in self.total:
+            self.total.add(key)
+            self.run_new += 1
+        return self.mon.DISABLE
+
+    def begin_run(self):
+        self.run_new = 0
+
+    def reset(self):
+        """Re-arm every DISABLEd event and forget coverage (for the
+        random-vs-guided comparison phases)."""
+        self.total.clear()
+        self.mon.restart_events()
+
+    def close(self):
+        self.mon.set_events(self.TOOL, 0)
+        self.mon.free_tool_id(self.TOOL)
+
+
+AFL_CORPUS_DIR = "/root/reference/fuzz-afl/in"
+
+
+def _guided_seeds(max_bytes: int = 1 << 16):
+    paths = [p for p in SEEDS if os.path.exists(p)]
+    if os.path.isdir(AFL_CORPUS_DIR):
+        paths += [os.path.join(AFL_CORPUS_DIR, f)
+                  for f in sorted(os.listdir(AFL_CORPUS_DIR))
+                  if f.endswith(".jpg")]
+    out = []
+    for p in paths:
+        data = open(p, "rb").read()
+        if len(data) <= max_bytes:
+            out.append(data)
+    return out
+
+
+def run_guided(iterations: int = 2000, seed: int = 0,
+               out_json: str = "/tmp/fuzz_guided_curve.json",
+               timeout_s: int = 20) -> int:
+    """Coverage-feedback fuzzing of the Python decode layers (parser, driver,
+    oracle entropy, device prescan mirror): inputs that light up new lines
+    join the live corpus and get preferentially re-mutated. Runs the same
+    budget with the flat random scheduler first and writes both coverage
+    curves to `out_json` — the measured guided-vs-random comparison.
+
+    The Python oracle is forced (JPEG_TPU_DISABLE_NATIVE) so the feedback
+    signal sees the decode layers; crash/differential verification of any
+    corpus this mode grows stays with run()/run_device()."""
+    import json
+
+    os.environ["JPEG_TPU_DISABLE_NATIVE"] = "1"
+    import jpeg_decoder_tpu.entropy.native as native_mod
+    native_mod.reset_native_cache()
+    from jpeg_decoder_tpu import Decoder, JpegError
+
+    import jpeg_decoder_tpu as pkg
+    prefix = os.path.dirname(os.path.abspath(pkg.__file__))
+
+    class _Hang(Exception):
+        pass
+
+    def _on_alarm(signum, frame):
+        raise _Hang()
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+
+    cov = _LineCoverage(prefix)
+    seeds = _guided_seeds()
+    crashes = []
+
+    def decode_one(data: bytes) -> None:
+        signal.alarm(timeout_s)
+        try:
+            d = Decoder(data, backend="numpy")
+            d.set_max_decoding_buffer_size(1 << 24)
+            d.decode()
+        except JpegError:
+            pass
+        except _Hang:
+            pass
+        except Exception as e:  # noqa: BLE001 — a genuine fuzz find
+            path = f"/tmp/fuzz_guided_crash_{len(crashes)}.jpg"
+            open(path, "wb").write(data)
+            crashes.append((type(e).__name__, str(e)[:120], path))
+        finally:
+            signal.alarm(0)
+
+    def phase(guided: bool):
+        rng = random.Random(seed)
+        corpus = [bytearray(s) for s in seeds]
+        energy = [1.0] * len(corpus)
+        curve = []
+        # Baseline: the seeds themselves.
+        for s in corpus:
+            cov.begin_run()
+            decode_one(bytes(s))
+        for i in range(iterations):
+            if guided:
+                # Energy-weighted parent choice (productive parents breed).
+                total = sum(energy)
+                r = rng.random() * total
+                acc = 0.0
+                pi = 0
+                for pi, e in enumerate(energy):
+                    acc += e
+                    if acc >= r:
+                        break
+                parent = corpus[pi]
+            else:
+                pi = rng.randrange(len(seeds))
+                parent = corpus[pi]
+            data = mutate(bytes(parent), rng)
+            cov.begin_run()
+            decode_one(data)
+            if guided and cov.run_new > 0:
+                corpus.append(bytearray(data))
+                energy.append(1.0 + cov.run_new)
+                energy[pi] += 0.5
+            if (i + 1) % 100 == 0:
+                curve.append((i + 1, len(cov.total)))
+        curve.append((iterations, len(cov.total)))
+        return curve, len(corpus) - len(seeds)
+
+    random_curve, _ = phase(guided=False)
+    random_total = len(cov.total)
+    cov.reset()
+    guided_curve, grown = phase(guided=True)
+    guided_total = len(cov.total)
+    cov.close()
+    os.environ.pop("JPEG_TPU_DISABLE_NATIVE", None)
+    native_mod.reset_native_cache()
+
+    result = {
+        "iterations": iterations,
+        "seed": seed,
+        "seeds": len(seeds),
+        "random_final_lines": random_total,
+        "guided_final_lines": guided_total,
+        "guided_corpus_grown": grown,
+        "random_curve": random_curve,
+        "guided_curve": guided_curve,
+        "crashes": crashes,
+    }
+    with open(out_json, "w") as f:
+        json.dump(result, f)
+    print(f"guided fuzz: {iterations} iters x2 phases, seeds {len(seeds)}; "
+          f"lines random {random_total} -> guided {guided_total} "
+          f"(+{guided_total - random_total}), corpus grew {grown}; "
+          f"crashes {len(crashes)} -> {out_json}")
+    for c in crashes:
+        print("CRASH", c)
+    return len(crashes)
+
+
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--device"]
+    args = [a for a in sys.argv[1:] if a not in ("--device", "--guided")]
     iters = int(args[0]) if len(args) > 0 else 500
     seed = int(args[1]) if len(args) > 1 else 0
+    if "--guided" in sys.argv[1:]:
+        sys.exit(1 if run_guided(iters, seed) else 0)
     if "--device" in sys.argv[1:]:
         sys.exit(1 if run_device(iters, seed) else 0)
     sys.exit(1 if run(iters, seed) else 0)

@@ -288,6 +288,85 @@ def validate_mesh_pallas(jax, jnp) -> int:
     return bad != 0
 
 
+def validate_hetero_bits(jax, jnp) -> int:
+    """Mixed-size batched-bits merge (round 3): one kernel sweep + per-plan
+    assembly slices. A synthesized same-encoder mixed stream must route
+    through _decode_group_bits_hetero and match per-image bits decodes."""
+    import io
+
+    from PIL import Image
+
+    import jpeg_decoder_tpu.models.stream as S
+
+    def synth(w, h, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG", quality=88, subsampling=2)
+        return buf.getvalue()
+
+    imgs = [synth(320, 240, 1), synth(640, 480, 2), synth(320, 240, 3),
+            synth(1024, 768, 4)]
+    plain = S.DeviceStreamDecoder(host_threads=2, interchange="bits")
+    refs = [plain.decode_stream([d])[0] for d in imgs]
+
+    routed = {}
+    orig = S.DeviceStreamDecoder._decode_group_bits_hetero
+
+    def spy(self, group):
+        routed["n"] = len(group)
+        return orig(self, group)
+
+    S.DeviceStreamDecoder._decode_group_bits_hetero = spy
+    try:
+        dec = S.DeviceStreamDecoder(host_threads=2, interchange="bits")
+        outs = dec.decode_stream(imgs, batch_size=8)
+    finally:
+        S.DeviceStreamDecoder._decode_group_bits_hetero = orig
+    if routed.get("n") != 4:
+        print(f"hetero-bits: NOT ROUTED (group={routed.get('n')})")
+        return 1
+    bad = 0
+    for out, ref in zip(outs, refs):
+        bad += int(jax.device_get(jnp.sum(out != ref)))
+    print(f"mixed-size x4 hetero sweep == per-image bits: "
+          f"{'OK' if bad == 0 else f'{bad} MISMATCHES'}")
+    return bad != 0
+
+
+def validate_lossless_stream(jax, jnp) -> int:
+    """Lossless through the stream (round 3): device predictor closed forms /
+    wavefront vs the host oracle, bit-exact, single + batched."""
+    import glob
+
+    from jpeg_decoder_tpu import Decoder
+    from jpeg_decoder_tpu.models.stream import DeviceStreamDecoder
+
+    files = sorted(glob.glob(
+        "/root/reference/tests/reftest/images/lossless/**/*.jpg",
+        recursive=True))
+    if not files:
+        return 0
+    dec = DeviceStreamDecoder(host_threads=2)
+    bad_total = 0
+    for f in files:
+        data = open(f, "rb").read()
+        ref = Decoder(data, backend="numpy").decode_array()
+        out = dec.decode_stream([data])[0]
+        bad = int(jax.device_get(jnp.sum(out != jnp.asarray(ref))))
+        if bad:
+            print(f"lossless {os.path.basename(f)}: {bad} MISMATCHES")
+            bad_total += 1
+    data = open(files[0], "rb").read()
+    ref = Decoder(data, backend="numpy").decode_array()
+    outs = dec.decode_stream([data] * 5, batch_size=4)
+    for out in outs:
+        bad_total += int(jax.device_get(jnp.sum(out != jnp.asarray(ref)))) != 0
+    print(f"lossless stream on TPU: {len(files)} singles + batch x5 "
+          f"{'OK' if bad_total == 0 else f'{bad_total} FAILURES'}")
+    return bad_total != 0
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -320,6 +399,8 @@ def main() -> int:
     failures += validate_transcode(jax, jnp)
     failures += validate_scaled(jax, jnp)
     failures += validate_mesh_pallas(jax, jnp)
+    failures += validate_hetero_bits(jax, jnp)
+    failures += validate_lossless_stream(jax, jnp)
 
     # Stream-level: bits(pallas) vs prefix, on device — every wire format.
     data = open(CASES[-1], "rb").read()
