@@ -63,15 +63,20 @@ class ImageInfo:
     coding_process: CodingProcess
 
 
-def _make_cursor(source, max_input_bytes=None) -> "P.ByteCursor":
+def _make_cursor(source, max_input_bytes=None,
+                 streaming: bool = False) -> "P.ByteCursor":
     if isinstance(source, (bytes, bytearray, memoryview)):
         return P.ByteCursor(bytes(source), max_bytes=max_input_bytes)
     if hasattr(source, "read"):
         # Reader contract (reference analog: `Decoder<R: io::Read>`,
         # `/root/reference/src/lib.rs:56-66`): headers parse incrementally
-        # from the reader; scan decode drains the remainder into memory.
-        return P.ByteCursor(b"", source=source, max_bytes=max_input_bytes)
+        # from the reader; scan decode drains the remainder into memory
+        # unless `streaming` keeps it windowed (see Decoder.__init__).
+        return P.ByteCursor(b"", source=source, max_bytes=max_input_bytes,
+                            streaming=streaming)
     if isinstance(source, str):
+        # Paths load eagerly; pass an open file object to stream one
+        # (the caller owns the handle's lifetime, like the reference's R).
         with open(source, "rb") as f:
             return P.ByteCursor(f.read(), max_bytes=max_input_bytes)
     raise TypeError(f"unsupported source type {type(source)}")
@@ -85,7 +90,8 @@ class Decoder:
     """
 
     def __init__(self, source, backend: str = "numpy", precision: str = "exact",
-                 max_input_bytes: Optional[int] = None):
+                 max_input_bytes: Optional[int] = None,
+                 streaming: bool = False):
         """`backend` selects the reconstruction engine: "numpy" (host oracle)
         or "jax" (jitted, fused device pipeline — the TPU path). The entropy
         stage always runs on the host.
@@ -100,14 +106,24 @@ class Decoder:
         bit-for-bit (its `platform_independent` contract); "fast" uses the
         fp32 MXU IDCT, within the reference reftest tolerance but not
         bit-identical (its default-SIMD contract,
-        `/root/reference/src/arch/mod.rs:13-57`)."""
+        `/root/reference/src/arch/mod.rs:13-57`).
+
+        `streaming=True` (file-like sources only) decodes scans straight off
+        the reader with bounded buffering — the reference's `io::Read`
+        contract (`/root/reference/src/lib.rs:56-66`) for inputs larger than
+        memory (sockets, pipes). Selects the resumable oracle entropy engine
+        (bit-identical output); the default drains the stream into memory,
+        which is what buys the native/anchored segment parallelism."""
         if backend not in ("numpy", "jax", "auto"):
             raise ValueError(f"unknown backend {backend!r}")
         if precision not in ("exact", "fast"):
             raise ValueError(f"unknown precision {precision!r}")
+        if streaming and not hasattr(source, "read"):
+            raise ValueError("streaming=True requires a file-like source")
         self._backend = backend
         self._precision = precision
-        self._cursor = _make_cursor(source, max_input_bytes)
+        self._streaming = streaming
+        self._cursor = _make_cursor(source, max_input_bytes, streaming)
         self.frame: Optional[P.FrameInfo] = None
         self._dc_huffman_tables: list = [None, None, None, None]
         self._ac_huffman_tables: list = [None, None, None, None]
@@ -415,7 +431,8 @@ class Decoder:
 
     def _process_scan(self) -> Optional[int]:
         """Handle one SOS (`/root/reference/src/decoder.rs:392-481,794-1082`)."""
-        self._cursor.drain()
+        if not self._streaming:
+            self._cursor.drain()
         frame = self.frame
         scan = P.parse_sos(self._cursor, frame)
 
@@ -462,7 +479,8 @@ class Decoder:
 
         # Streaming fast path: baseline scans can emit the device interchange
         # format straight from the entropy kernel (see models/stream.py).
-        if (self._prefix_capture is not None and not is_progressive
+        if (self._prefix_capture is not None and not self._streaming
+                and not is_progressive
                 and self._prefix_capture.wants(frame)):
             return self._prefix_capture.decode_scan(self, frame, scan, finished)
 
@@ -481,10 +499,19 @@ class Decoder:
                 # Reference dummy-block case (`/root/reference/src/decoder.rs:984-986`).
                 stores.append(None)
 
-        marker = decode_scan_dct(
-            self._cursor, frame, scan,
-            self._dc_huffman_tables, self._ac_huffman_tables,
-            self._restart_interval, stores)
+        if self._streaming:
+            # Windowed cursor: only the oracle engine can refill/compact
+            # mid-scan (native kernels need the whole scan in memory).
+            from .entropy.scan_python import decode_scan_dct as _oracle_dct
+            marker = _oracle_dct(
+                self._cursor, frame, scan,
+                self._dc_huffman_tables, self._ac_huffman_tables,
+                self._restart_interval, stores)
+        else:
+            marker = decode_scan_dct(
+                self._cursor, frame, scan,
+                self._dc_huffman_tables, self._ac_huffman_tables,
+                self._restart_interval, stores)
 
         # Snapshot components completed by this scan (the reference IDCTs them
         # during the scan via workers; a deferred batched render over the
@@ -505,8 +532,16 @@ class Decoder:
         if any(self._dc_huffman_tables[i] is None for i in scan.dc_table_indices):
             raise FormatError("scan makes use of unset dc huffman table")
 
-        marker, diffs, leftover = decode_scan_lossless(
-            self._cursor, frame, scan, self._dc_huffman_tables, self._restart_interval)
+        if self._streaming:
+            from .entropy.scan_python import (
+                decode_scan_lossless as _oracle_ll)
+            marker, diffs, leftover = _oracle_ll(
+                self._cursor, frame, scan, self._dc_huffman_tables,
+                self._restart_interval)
+        else:
+            marker, diffs, leftover = decode_scan_lossless(
+                self._cursor, frame, scan, self._dc_huffman_tables,
+                self._restart_interval)
 
         # Reference quirk: phase 2 reads the stale phase-1 restart counter
         # (`/root/reference/src/decoder/lossless.rs:168-171`) — see predictors.py.

@@ -37,6 +37,26 @@ class BitReader:
         self.bits = 0
         self.num_bits = 0
 
+    def compact(self) -> None:
+        """Streaming-mode compaction point: discard consumed cursor bytes and
+        resync the cached buffer. Callers must be between `_read_bits` calls
+        (cursor.pos authoritative), e.g. at MCU-row boundaries."""
+        self.cursor.compact()
+        self.data = self.cursor.data
+
+    def _grow(self, pos: int):
+        """Slow path on buffer exhaustion: pull more bytes from the cursor's
+        source (the reference reads its `io::Read` inside the bit loop,
+        `/root/reference/src/huffman.rs:123-160`; this is the analog for
+        streaming cursors). Returns the refreshed (data, len)."""
+        cursor = self.cursor
+        if cursor.data is not self.data:
+            self.data = cursor.data  # external compaction happened
+        if len(self.data) <= pos:
+            cursor._ensure(pos + 1)
+            self.data = cursor.data
+        return self.data, len(self.data)
+
     def _read_bits(self) -> None:
         """Refill reservoir to >56 bits (`/root/reference/src/huffman.rs:123-160`)."""
         data = self.data
@@ -54,7 +74,9 @@ class BitReader:
                 if pos >= n:
                     cursor.pos = pos
                     self.bits, self.num_bits = bits, num_bits
-                    raise IoError()
+                    data, n = self._grow(pos)
+                    if pos >= n:
+                        raise IoError()
                 byte = data[pos]
                 pos += 1
 
@@ -62,7 +84,9 @@ class BitReader:
                     if pos >= n:
                         cursor.pos = pos
                         self.bits, self.num_bits = bits, num_bits
-                        raise IoError()
+                        data, n = self._grow(pos)
+                        if pos >= n:
+                            raise IoError()
                     next_byte = data[pos]
                     pos += 1
                     if next_byte != 0x00:
@@ -71,7 +95,9 @@ class BitReader:
                             if pos >= n:
                                 cursor.pos = pos
                                 self.bits, self.num_bits = bits, num_bits
-                                raise IoError()
+                                data, n = self._grow(pos)
+                                if pos >= n:
+                                    raise IoError()
                             next_byte = data[pos]
                             pos += 1
                         if next_byte == 0x00:

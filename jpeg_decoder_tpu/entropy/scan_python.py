@@ -273,10 +273,16 @@ def decode_scan_dct(cursor, frame, scan, dc_tables, ac_tables, restart_interval:
 
     image_w = frame.image_size.width
     image_h = frame.image_size.height
+    streaming = getattr(cursor, "streaming", False)
 
     for mcu_y in range(max_mcu_y):
         if mcu_y * 8 >= image_h:
             break
+        if streaming:
+            # Bounded-memory contract: consumed entropy bytes are dropped at
+            # every MCU row (the reference never buffers more than its
+            # io::Read window, `/root/reference/src/lib.rs:56-66`).
+            reader.compact()
         for mcu_x in range(max_mcu_x):
             if mcu_x * 8 >= image_w:
                 break
@@ -334,8 +340,11 @@ def decode_scan_lossless(cursor, frame, scan, dc_tables, restart_interval: int):
 
     dc_tbl = [dc_tables[scan.dc_table_indices[i]] for i in range(ncomp)]
     diffs = np.zeros((ncomp, height, width), dtype=np.int32)
+    streaming = getattr(cursor, "streaming", False)
 
     for y in range(height):
+        if streaming:
+            reader.compact()
         for x in range(width):
             if restart_interval > 0:
                 if mcus_left_until_restart == 0:

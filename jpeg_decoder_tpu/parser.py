@@ -30,33 +30,54 @@ class ByteCursor:
     incrementally in small chunks, while entropy decode requires the full
     remaining stream in memory (`drain()`), because the entropy pre-scan and
     restart-segment splitter index it randomly — that random access is what
-    buys the segment/anchor parallelism. `max_bytes` bounds how much a feeder
-    may buffer (DoS guard for untrusted readers); exceeding it raises
-    FormatError.
+    buys the segment/anchor parallelism. `streaming=True` restores the
+    reference's bounded-memory reader contract instead: scan decode refills
+    on demand and `compact()` discards consumed bytes, so only a small
+    window is ever buffered (`Decoder(reader, streaming=True)` selects the
+    resumable oracle entropy engine to drive it). `max_bytes` bounds the
+    CUMULATIVE bytes a feeder may supply (DoS guard for untrusted readers);
+    exceeding it raises FormatError.
     """
 
-    __slots__ = ("data", "pos", "_source", "_max")
+    __slots__ = ("data", "pos", "_source", "_max", "streaming", "base",
+                 "buffered_hwm", "chunk")
 
     def __init__(self, data: bytes = b"", pos: int = 0, source=None,
-                 max_bytes: "Optional[int]" = None):
+                 max_bytes: "Optional[int]" = None, streaming: bool = False,
+                 chunk: int = 65536):
         self.data = data
         self.pos = pos
         self._source = source
         self._max = max_bytes
+        self.streaming = streaming
+        self.chunk = chunk         # refill granularity (window size bound)
+        self.base = 0              # absolute offset of data[0] in the stream
+        self.buffered_hwm = len(data)  # high-water mark of the buffer
         if max_bytes is not None and len(data) > max_bytes:
             raise FormatError("input exceeds max_input_bytes")
 
     def _ensure(self, end: int) -> None:
         while self._source is not None and len(self.data) < end:
-            want = max(65536, end - len(self.data))
+            want = max(self.chunk, end - len(self.data))
             chunk = self._source.read(want)
             if not chunk:
                 self._source = None
                 break
             self.data = self.data + chunk
-            if self._max is not None and len(self.data) > self._max:
+            if len(self.data) > self.buffered_hwm:
+                self.buffered_hwm = len(self.data)
+            if self._max is not None and self.base + len(self.data) > self._max:
                 self._source = None
                 raise FormatError("input exceeds max_input_bytes")
+
+    def compact(self) -> None:
+        """Streaming mode: drop consumed bytes so buffered memory stays
+        bounded by the refill window. No-op unless streaming (positions in
+        `data` are only stable across calls when nobody compacts)."""
+        if self.streaming and self.pos > 0:
+            self.base += self.pos
+            self.data = self.data[self.pos:]
+            self.pos = 0
 
     def drain(self) -> None:
         """Buffer the entire remaining stream (required before scan decode)."""
@@ -66,7 +87,9 @@ class ByteCursor:
                 self._source = None
                 break
             self.data = self.data + chunk
-            if self._max is not None and len(self.data) > self._max:
+            if len(self.data) > self.buffered_hwm:
+                self.buffered_hwm = len(self.data)
+            if self._max is not None and self.base + len(self.data) > self._max:
                 self._source = None
                 raise FormatError("input exceeds max_input_bytes")
 
