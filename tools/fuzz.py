@@ -178,6 +178,38 @@ def run(iterations: int = 500, seed: int = 0, timeout_s: int = 60) -> int:
         except JpegError as e:
             return f"ERR:{type(e).__name__}", d
 
+    class _Chunks:
+        """Non-seekable capped reader (socket stand-in) for the streaming leg."""
+
+        def __init__(self, data: bytes):
+            self._d, self._p = data, 0
+
+        def read(self, n: int) -> bytes:
+            n = min(n, 4096)
+            c = self._d[self._p:self._p + n]
+            self._p += len(c)
+            return c
+
+    def decode_streaming(data: bytes):
+        """Third leg: the windowed streaming decode (refill/compact bit loop)
+        must agree with the drained oracle on every mutant — same pixels or
+        the same typed-error class. Skips (returns None) above 4M samples:
+        this leg doubles the pure-Python oracle cost under the shared alarm,
+        and small mutants exercise the refill/compact logic just as fully."""
+        d = Decoder(_Chunks(data), streaming=True)
+        d.set_max_decoding_buffer_size(64 << 20)
+        try:
+            d.read_info()
+            info = d.info()
+            if info is not None:
+                ncomp = {"L8": 1, "L16": 1, "RGB24": 3, "CMYK32": 4}.get(
+                    info.pixel_format.name, 4)
+                if info.width * info.height * ncomp > 4 << 20:
+                    return None, d
+            return d.decode(), d
+        except JpegError as e:
+            return f"ERR:{type(e).__name__}", d
+
     for i in range(iterations):
         seed_bytes = rng.choice(seeds)
         if rng.random() < 0.3:
@@ -194,6 +226,7 @@ def run(iterations: int = 500, seed: int = 0, timeout_s: int = 60) -> int:
         try:
             a, da = decode(data, disable_native=False)
             b, _ = decode(data, disable_native=True)
+            c, _ = decode_streaming(data)
             verdict = None
             if isinstance(a, bytes):
                 verdict = compare_with_pil(a, da, data)
@@ -210,6 +243,11 @@ def run(iterations: int = 500, seed: int = 0, timeout_s: int = 60) -> int:
             path = f"/tmp/fuzz_diff_{i}.jpg"
             open(path, "wb").write(data)
             print(f"[{i}] NATIVE/ORACLE DIVERGENCE -> {path}")
+        if c is not None and c != b:
+            failures += 1
+            path = f"/tmp/fuzz_stream_{i}.jpg"
+            open(path, "wb").write(data)
+            print(f"[{i}] STREAMING/ORACLE DIVERGENCE -> {path}")
         if verdict is not None:
             pil_compared += 1
             if verdict is not True:
