@@ -4,7 +4,10 @@
 presence, converts CMYK to RGB for viewing, writes a PNG.
 
 Usage: python examples/decode.py input.jpg [output.png] [--backend jax]
-       [--precision fast|exact] [--scale WxH]
+       [--precision fast|exact] [--scale WxH] [--streaming]
+
+--streaming decodes from the file handle with bounded buffering (the
+reference's `io::Read` contract) instead of loading the input up front.
 """
 
 import argparse
@@ -33,9 +36,16 @@ def main() -> None:
     ap.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
     ap.add_argument("--precision", default="exact", choices=["exact", "fast"])
     ap.add_argument("--scale", default=None, help="WxH requested size (1/8..1 IDCT scaling)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="bounded-memory decode straight off the file handle")
     args = ap.parse_args()
 
-    decoder = Decoder(args.input, backend=args.backend, precision=args.precision)
+    if args.streaming:
+        decoder = Decoder(open(args.input, "rb"), backend=args.backend,
+                          precision=args.precision, streaming=True)
+    else:
+        decoder = Decoder(args.input, backend=args.backend,
+                          precision=args.precision)
     if args.scale:
         w, h = map(int, args.scale.lower().split("x"))
         print("scaled to:", decoder.scale(w, h))
