@@ -33,6 +33,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import sys
 from typing import Optional
 
 import numpy as np
@@ -419,17 +420,21 @@ def _staged_from_layout(frame, scan, restart_interval, luts, out_bytes,
                         a_end=None, a_syms=None) -> "AnchoredScan":
     """Common tail: pack the padded byte layout into u32 words, bucket the
     shapes, and attach the (cached) static plan."""
+    out_bytes = np.asarray(out_bytes, np.uint8)
     pad = (-len(out_bytes)) % 4 + 8
-    padded = np.concatenate([np.asarray(out_bytes, np.uint8),
-                             np.zeros(pad, np.uint8)])
-    wb = padded.reshape(-1, 4).astype(np.uint32)
-    words = (wb[:, 0] << 24) | (wb[:, 1] << 16) | (wb[:, 2] << 8) | wb[:, 3]
+    n_words = (len(out_bytes) + pad) // 4
 
     n_items = len(a_bits)
     items_bucket = _bucket_up(n_items)
-    words_bucket = _bucket_up(len(words), 1024)
+    words_bucket = _bucket_up(n_words, 1024)
+    # Big-endian word packing in two passes: write the stream into the padded
+    # buffer's byte view, then byteswap the populated words in place (zeros
+    # beyond stay zero). Replaces a concatenate + reshape + 4x u32 widen +
+    # 3 shift-or passes over the whole stream.
     wpad = np.zeros(words_bucket, np.uint32)
-    wpad[:len(words)] = words
+    wpad.view(np.uint8)[:len(out_bytes)] = out_bytes
+    if sys.byteorder == "little":
+        wpad[:n_words].byteswap(inplace=True)
 
     anchor_bits = np.zeros(items_bucket, np.uint32)
     anchor_bits[:n_items] = a_bits
@@ -453,7 +458,7 @@ def _staged_from_layout(frame, scan, restart_interval, luts, out_bytes,
                         anchor_block=anchor_block, anchor_slot=anchor_slot,
                         luts=luts, n_blocks=n_blocks, plan=plan,
                         chunk_end=chunk_end, chunk_syms=chunk_syms,
-                        n_items=n_items, n_words=len(words))
+                        n_items=n_items, n_words=n_words)
 
 
 _PLAN_CACHE: dict = {}
@@ -485,21 +490,38 @@ def _plan_for(frame, scan, restart_interval, items_bucket, words_bucket,
     return plan
 
 
+_SCAN_LUTS_CACHE: dict = {}
+
+
 def scan_decode_luts(scan, dc_tables, ac_tables):
     """Fused 16-bit decode LUTs in the C prescan's wire layout — per scan
     component, a (dc, ac) pair of [65536] rows, concatenated to
     [2*ncomp, 65536]. The ONLY place this layout is defined; both the
     device-prescan path and the host anchored-staging path feed it to
-    jt_prescan_baseline. Returns None when any referenced table is unset."""
-    rows = []
+    jt_prescan_baseline. Returns None when any referenced table is unset.
+
+    The concatenated array is cached by table content: images from one
+    encoder share tables, and restacking ~0.5 MB of (already-cached) LUT
+    rows per image was a measurable slice of serial staging."""
+    tabs = []
     for i in range(len(scan.component_indices)):
         dct = dc_tables[scan.dc_table_indices[i]]
         act = ac_tables[scan.ac_table_indices[i]]
         if dct is None or act is None:
             return None
-        rows.append(np.stack([build_decode_lut16(dct),
-                              build_decode_lut16(act)]))
-    return np.concatenate(rows)
+        tabs.append((dct, act))
+    key = tuple(t.values.tobytes() + t.maxcode.tobytes() + t.delta.tobytes()
+                for pair in tabs for t in pair)
+    cached = _SCAN_LUTS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = np.concatenate([np.stack([build_decode_lut16(dct),
+                                    build_decode_lut16(act)])
+                          for dct, act in tabs])
+    if len(_SCAN_LUTS_CACHE) > 64:
+        _SCAN_LUTS_CACHE.clear()
+    _SCAN_LUTS_CACHE[key] = out
+    return out
 
 
 def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,

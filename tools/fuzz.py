@@ -466,7 +466,7 @@ def _guided_seeds(max_bytes: int = 1 << 16):
 
 def run_guided(iterations: int = 2000, seed: int = 0,
                out_json: str = "/tmp/fuzz_guided_curve.json",
-               timeout_s: int = 20) -> int:
+               timeout_s: int = 20, lean_seeds: bool = False) -> int:
     """Coverage-feedback fuzzing of the Python decode layers (parser, driver,
     oracle entropy, device prescan mirror): inputs that light up new lines
     join the live corpus and get preferentially re-mutated. Runs the same
@@ -495,7 +495,14 @@ def run_guided(iterations: int = 2000, seed: int = 0,
     signal.signal(signal.SIGALRM, _on_alarm)
 
     cov = _LineCoverage(prefix)
-    seeds = _guided_seeds()
+    if lean_seeds:
+        # One minimal seed: coverage starts unsaturated, so the guided-vs-
+        # random delta measures the feedback loop itself (with the full AFL
+        # corpus as seeds, both schedulers start from ~saturated coverage
+        # and the curves overlap — see tools/artifacts/).
+        seeds = [open(SEEDS[0], "rb").read()]
+    else:
+        seeds = _guided_seeds()
     crashes = []
 
     def decode_one(data: bytes) -> None:
@@ -583,11 +590,16 @@ def run_guided(iterations: int = 2000, seed: int = 0,
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a not in ("--device", "--guided")]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--device", "--guided", "--lean-seeds")]
     iters = int(args[0]) if len(args) > 0 else 500
     seed = int(args[1]) if len(args) > 1 else 0
     if "--guided" in sys.argv[1:]:
-        sys.exit(1 if run_guided(iters, seed) else 0)
+        lean = "--lean-seeds" in sys.argv[1:]
+        out = ("/tmp/fuzz_guided_curve_lean.json" if lean
+               else "/tmp/fuzz_guided_curve.json")
+        sys.exit(1 if run_guided(iters, seed, out_json=out,
+                                 lean_seeds=lean) else 0)
     if "--device" in sys.argv[1:]:
         sys.exit(1 if run_device(iters, seed) else 0)
     sys.exit(1 if run(iters, seed) else 0)
