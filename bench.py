@@ -178,14 +178,22 @@ def _deadline(seconds: int):
     minutes; auxiliary metrics must never wedge the headline output."""
     def _raise(signum, frame):
         raise TimeoutError()
+    import time as _time
     old = signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(seconds)
+    remaining = signal.alarm(seconds)  # seconds left on any enclosing deadline
+    t0 = _time.monotonic()
     try:
         yield
     except TimeoutError:
         pass
     finally:
-        signal.alarm(0)
+        # Re-arm the enclosing deadline (minus time we consumed) instead of
+        # cancelling it: alarm(0) here would leave the rest of an outer
+        # _deadline block unguarded against relay stalls.
+        if remaining:
+            signal.alarm(max(1, remaining - int(_time.monotonic() - t0)))
+        else:
+            signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
 
 

@@ -2226,6 +2226,12 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
     segs.push_back(sg);
   }
 
+  // The anchored wire carries bit offsets as uint32 (anchor_bits/chunk_end
+  // here, AnchoredScan on the Python side): any layout of 2^29 bytes or more
+  // would wrap them silently. Far beyond any real scan — but route such
+  // streams to the host path instead of mis-anchoring.
+  if (write_off >= (int64_t{1} << 29)) return PRESCAN_FALLBACK;
+
   // Phase 2s: speculative parallel walk for a single long segment (the
   // non-DRI case, where the per-segment parallelism below degenerates to one
   // thread). Outputs are byte-identical to the serial walk — see the design
@@ -2240,7 +2246,7 @@ int jt_prescan_baseline(const uint8_t* data, int64_t n, PrescanParams* pp,
     const int64_t total_blocks = total_mcus * plen;
     int T = 0;
     if (segs.size() == 1 && pp->spec_min_bytes >= 0 && spec_T > 1 &&
-        segs[0].len >= spec_min && segs[0].len < (int64_t{1} << 33) &&
+        segs[0].len >= spec_min && segs[0].len < (int64_t{1} << 29) &&
         total_blocks < (1 << 24)) {
       const int64_t min_span = std::max<int64_t>(spec_min / 4, 4096);
       T = static_cast<int>(

@@ -604,6 +604,11 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
         # The oracle always errors on scans not terminated by a marker
         # (take_marker's refill hits EOF); reproduce via the host path.
         raise PrescanFallback("EOF inside scan")
+    if sum(len(s) + 24 for s in segments) >= (1 << 29):  # incl. per-seg pad
+        # Anchor bit offsets ride the wire as uint32 (AnchoredScan /
+        # jt_prescan_baseline, same guard): a >=2^29-byte layout would wrap
+        # them silently.
+        raise PrescanFallback("scan too large for uint32 anchor offsets")
 
     def seg_words(seg: bytes) -> "tuple[np.ndarray, int]":
         pad = seg + b"\x00" * ((-len(seg)) % 4 + 24)
