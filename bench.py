@@ -197,24 +197,33 @@ def _deadline(seconds: int):
         signal.signal(signal.SIGALRM, old)
 
 
-def _device_available(timeout_s: int = 240) -> bool:
+def _device_available(timeout_s: int = 300, attempts: int = 2) -> bool:
     """Probe the TPU backend in a subprocess with a hard wall-clock bound.
 
     During relay-tunnel outages `jax.devices()` HANGS inside native code in
     some failure modes (observed 2026-08-18), where an in-process SIGALRM
     cannot interrupt it — only a subprocess kill bounds the probe reliably.
-    The generous timeout covers cold-pool session init (~2 min)."""
+    The generous timeout covers cold-pool session init (~2 min); the probe
+    enables the persistent compile cache (a cold remote compile through a
+    degraded relay can alone exceed the budget) and retries once — the first
+    attempt's session init warms the pool for the second."""
     import subprocess
     import sys
-    code = ("import jax, jax.numpy as jnp; "
+    code = ("import jax; "
+            "jax.config.update('jax_compilation_cache_dir', "
+            "'/tmp/jpeg_tpu_jax_cache'); "
+            "import jax.numpy as jnp; "
             "assert jax.default_backend() == 'tpu'; "
             "float(jnp.ones((8, 128)).sum())")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return r.returncode == 0
-    except Exception:
-        return False
+    for _ in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def main() -> None:
