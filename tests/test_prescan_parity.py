@@ -215,3 +215,58 @@ def test_restart_underrun_falls_back_to_oracle_error(disable_native):
     finally:
         os.environ.pop("JPEG_TPU_DISABLE_NATIVE", None)
         native_mod.reset_native_cache()
+
+
+def test_oversize_scan_layout_falls_back(monkeypatch):
+    """Anchor bit offsets ride the wire as uint32: a >=2^29-byte unstuffed
+    layout must route to the host path in the Python mirror (entropy.cc
+    carries the same guard on write_off), not wrap silently."""
+    import jpeg_decoder_tpu.entropy.device_scan as ds
+    import jpeg_decoder_tpu.entropy.native as native_pkg
+
+    # Force the Python-mirror walk: the native path would run its own
+    # (C-side) guard against the REAL stream and never see the fake segs.
+    monkeypatch.setattr(native_pkg, "get_native", lambda: None)
+
+    data = open(f"{REFTEST_IMAGES}/rgb.jpg", "rb").read()
+    d = Decoder(data, backend="numpy")
+
+    class _FakeSeg:
+        """len() reports huge without allocating 512 MB."""
+
+        def __init__(self, n):
+            self._n = n
+
+        def __len__(self):
+            return self._n
+
+    real_unstuff = ds.unstuff_scan
+
+    def fake_unstuff(buf, pos):
+        segments, rst_nums, end_pos, pending, hit_eof = real_unstuff(buf, pos)
+        return ([_FakeSeg(1 << 29)] + list(segments[1:]),
+                rst_nums, end_pos, pending, hit_eof)
+
+    monkeypatch.setattr(ds, "unstuff_scan", fake_unstuff)
+
+    captured = _Capture()
+    d._prefix_capture = None
+
+    class _Probe:
+        def wants(self, frame):
+            return True
+
+        def decode_scan(self, decoder, frame, scan, finished):
+            with pytest.raises(PrescanFallback, match="uint32 anchor"):
+                prescan_baseline(
+                    decoder._cursor, frame, scan,
+                    decoder._dc_huffman_tables, decoder._ac_huffman_tables,
+                    decoder._restart_interval)
+            raise _Done()
+
+    class _Done(Exception):
+        pass
+
+    d._prefix_capture = _Probe()
+    with pytest.raises(_Done):
+        d._decode_entropy_only()
