@@ -458,6 +458,30 @@ def main() -> int:
     print(f"large_image pallas decode+assembly: {per * 1e3:.2f} ms "
           f"({3.43 / per:.0f} Mpix/s, device-resident)")
 
+    # Relay-phase-immune variant: the SAME n iterations inside one jitted
+    # fori_loop — a single dispatch RPC, so degraded relay round-trips
+    # (observed 4-65 ms each, which poisons the loop above) cannot pollute
+    # the number. Two device copies of the inputs alternate by iteration
+    # parity so XLA cannot hoist the loop-invariant decode out of the loop.
+    ca = combined
+    cb = jax.device_put(combine_packs(packs))
+
+    @jax.jit
+    def chained(ca, cb, mc, dl, vv):
+        def body(i, acc):
+            c = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(i % 2 == 0, a, b), ca, cb)
+            outs = fn(c, mc, dl, vv)
+            return acc + outs[0].astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    int(jax.device_get(chained(ca, cb, *tabs)))  # warm (compile)
+    t0 = time.perf_counter()
+    int(jax.device_get(chained(ca, cb, *tabs)))
+    per1 = (time.perf_counter() - t0) / n
+    print(f"large_image pallas decode+assembly (1-dispatch fori_loop): "
+          f"{per1 * 1e3:.2f} ms ({3.43 / per1:.0f} Mpix/s, device-resident)")
+
     print("TPU VALIDATION:", "FAIL" if failures else "OK")
     return 1 if failures else 0
 
