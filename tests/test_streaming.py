@@ -16,6 +16,7 @@ import pathlib
 import numpy as np
 import pytest
 
+import jpeg_decoder_tpu as jd
 from jpeg_decoder_tpu import Decoder
 from jpeg_decoder_tpu.errors import FormatError, IoError, JpegError
 
@@ -124,3 +125,33 @@ def test_streaming_io_bytesio():
     got = Decoder(io.BytesIO(data), backend="numpy", precision="exact",
                   streaming=True).decode_array()
     assert np.array_equal(got, want)
+
+
+def _outcome(fn):
+    try:
+        out = fn()
+        return ("ok", None if out is None else bytes(np.asarray(out).data))
+    except JpegError as e:
+        return ("err", type(e).__name__)
+
+
+def test_streaming_crashtest_corpus():
+    """The whole malformed-input corpus through the windowed reader: every
+    file must error-or-decode exactly like the drained oracle (same pixels
+    or same typed-error class), never crash. This is the crashtest contract
+    (`/root/reference/tests/crashtest/mod.rs:8-17`) applied to the streaming
+    refill/compact bit loop."""
+    from conftest import crashtest_files
+
+    mismatches = []
+    for jpg in crashtest_files():
+        data = jpg.read_bytes()
+        want = _outcome(lambda: jd.Decoder(
+            data, backend="numpy", precision="exact").decode_array())
+        got = _outcome(lambda: jd.Decoder(
+            ChunkReader(data), backend="numpy", precision="exact",
+            streaming=True).decode_array())
+        if want != got:
+            mismatches.append((jpg.name, want[0], want[1] if want[0] == "err"
+                               else "<pixels>", got))
+    assert not mismatches, mismatches[:5]
