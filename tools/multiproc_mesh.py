@@ -237,6 +237,36 @@ def child(rank: int, port: int) -> None:
     print(f"[rank {rank}] 3. real-JPEG stream, process-local staging: "
           f"bit-exact", flush=True)
 
+    # 4. Lossless (SOF3) over the same global data axis: each rank stages
+    #    the uint16 difference planes for its rows only; the device runs the
+    #    predictor reconstruction, sharded (round-3 StagedLossless path).
+    from jpeg_decoder_tpu import Decoder
+    from jpeg_decoder_tpu.models.stream import (_compiled_lossless_pipeline,
+                                                stage_host_lossless)
+    ll_path = ("/root/reference/tests/reftest/images/lossless/1/"
+               "jpeg_lossless_sel1.jpg")
+    if os.path.exists(ll_path):
+        lldata = open(ll_path, "rb").read()
+        ll = stage_host_lossless(lldata)
+        llfn = _compiled_lossless_pipeline(
+            ll.diffs.shape[0], ll.predictor, ll.point_transform,
+            ll.precision, ll.restart_all, ll.out_width, ll.out_height,
+            batch=batch, mesh=mesh, data_axis="data")
+        g_diffs = _assemble(
+            sharded, (batch,) + ll.diffs.shape,
+            lambda idx: np.stack(
+                [ll.diffs for _ in range(*idx[0].indices(batch))]))
+        llout = llfn(g_diffs)
+        want_ll = Decoder(lldata, backend="numpy",
+                          precision="exact").decode_array()
+        _local_shards_equal(
+            llout,
+            lambda idx: np.stack(
+                [want_ll for _ in range(*idx[0].indices(batch))]),
+            "lossless-dp")
+        print(f"[rank {rank}] 4. lossless diffs, process-local staging: "
+              f"bit-exact", flush=True)
+
     print(f"[rank {rank}] {MARK}", flush=True)
 
 
