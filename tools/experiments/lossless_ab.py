@@ -51,8 +51,11 @@ def main(n: int = 16, path: str = DEFAULT) -> int:
           f"({host_s / n * 1e3:.2f} ms/img)")
 
     # Device stream: host difference decode + batched device predictors.
+    # Warm with the SAME batch size: each batch bucket is its own compile,
+    # and a remote compile through a degraded relay (~60 s) inside the timed
+    # region once mis-read as a 3.9 s/img path.
     dec = DeviceStreamDecoder(host_threads=4)
-    dec.decode_stream([data] * 2, batch_size=2)  # warm: compile + pools
+    dec.decode_stream([data] * n, batch_size=16)  # warm: compile + pools
     t0 = time.perf_counter()
     outs = dec.decode_stream([data] * n, batch_size=16)
     # Dependency chain (relay-safe timing): one scalar per dispatch group —

@@ -15,6 +15,14 @@ dispatch per distinct plan. This harness measures images/s on a mixed
      groups stack per-image arrays and take the XLA engine).
 
 TPU only (compiled Pallas). Timing is dependency-chained per dispatch group.
+
+NB: the hetero-vs-per-key comparison is RTT-COUNT sensitive — hetero issues
+1 sweep + #plans reconstruct dispatches (plus separate H2D puts) where
+per-key issues #plans fused pipelines. In a degraded relay phase (per-RPC
+RTT observed 4-65 ms vs nominal ~0.1 ms) the extra dispatches dominate and
+hetero measures slower (0.85x on 2026-08-19); compare only in a nominal
+phase (check bench.py link_h2d_* first).
+
 Usage: python tools/experiments/mixed_ab.py [repeat]
 """
 
