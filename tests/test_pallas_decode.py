@@ -49,6 +49,19 @@ slow = pytest.mark.skipif(
            "tools/tpu_validate.py for compiled parity")
 
 
+@pytest.fixture(autouse=True)
+def _drop_giant_traces():
+    """Interpret-mode cases each leave ~6 GB of tracing/executable caches;
+    after several in one process the XLA-CPU compiler aborts mid-compile
+    (observed 2026-08-19, each case passes alone). Dropping jax's caches
+    between tests keeps the process viable; ci_matrix additionally runs the
+    slow cases one-process-per-case."""
+    yield
+    if os.environ.get("JPEG_TPU_SLOW_TESTS"):
+        import jax
+        jax.clear_caches()
+
+
 @slow
 @pytest.mark.parametrize("device_slots", [False, True])
 @pytest.mark.parametrize("name", CASES)

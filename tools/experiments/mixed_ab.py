@@ -86,6 +86,27 @@ def main(repeat: int = 3) -> int:
     os.environ.pop("JPEG_TPU_HETERO_BITS", None)
     print(f"hetero vs per-key: {results['per-key'] / results['hetero']:.2f}x")
 
+    # Scenario 2 — many SMALL mixed images (the merge's motivating case:
+    # dispatch-count amortization; same-key merging measured 1.65x here in
+    # round 2, mixed sizes previously degenerated to per-plan groups).
+    sizes2 = [(192, 160), (256, 224), (320, 256), (384, 320)] * 8
+    imgs2 = [synth(w, h, 100 + i) for i, (w, h) in enumerate(sizes2)]
+    mpix2 = sum(w * h for (w, h) in sizes2) / 1e6
+    print(f"small-mixed stream: {len(imgs2)} imgs, {mpix2:.2f} Mpix, "
+          f"{len(set(sizes2))} plans")
+    for tag, env in (("hetero", "1"), ("per-key", "0")):
+        os.environ["JPEG_TPU_HETERO_BITS"] = env
+        dec = S.DeviceStreamDecoder(host_threads=4, interchange="bits")
+        timed_stream(dec, imgs2, 32, jax, jnp)  # warm
+        best = min(timed_stream(dec, imgs2, 32, jax, jnp)[0]
+                   for _ in range(repeat))
+        results["s2-" + tag] = best
+        print(f"{tag:>8}: {len(imgs2) / best:6.1f} img/s  "
+              f"{mpix2 / best:6.1f} Mpix/s  ({best * 1e3:.0f} ms)")
+    os.environ.pop("JPEG_TPU_HETERO_BITS", None)
+    print(f"small-mixed hetero vs per-key: "
+          f"{results['s2-per-key'] / results['s2-hetero']:.2f}x")
+
     # Mesh engines on a uniform group: Pallas engine vs forced-XLA
     # (what a heterogeneous mesh group falls back to).
     from jpeg_decoder_tpu.parallel import make_mesh
