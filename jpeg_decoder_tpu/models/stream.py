@@ -1431,14 +1431,24 @@ class DeviceStreamDecoder:
             if isinstance(st, StagedBits):
                 flush()
                 # Non-mesh groups merge across plans (mixed sizes) on the
-                # hetero key; the mesh path still needs exact-plan stacks.
-                # JPEG_TPU_HETERO_BITS=0 reverts to exact-key grouping.
+                # hetero key — but only for small images: the merge's extra
+                # intermediate (the stream-order coefficient tensor written
+                # between sweep and reconstructs) plus the extra dispatches
+                # beat per-plan fused pipelines only when dispatch
+                # amortization dominates. Measured (mixed_ab.py, nominal
+                # relay phase): 1.12x on a 32-image <=0.12 Mpix mixed
+                # stream, 0.84x with >=0.5 Mpix members. The mesh path
+                # still needs exact-plan stacks. JPEG_TPU_HETERO_BITS:
+                # ''/'1' = default (<=0.25 Mpix merge across plans),
+                # '0' = exact-key only, other float = Mpix threshold.
                 if self.mesh is not None:
                     key = _bits_group_key(st, True)
-                elif os.environ.get("JPEG_TPU_HETERO_BITS", "1") == "0":
-                    key = _bits_group_key(st)
                 else:
-                    key = _bits_hetero_key(st)
+                    v = os.environ.get("JPEG_TPU_HETERO_BITS", "1")
+                    thr = 0.0 if v == "0" else (0.25 if v in ("", "1")
+                                                else float(v))
+                    key = (_bits_hetero_key(st) if st.mpix <= thr
+                           else _bits_group_key(st))
                 if key is None:
                     # Multi-scan or Pallas-ineligible: per-image dispatch.
                     flush_bits()

@@ -74,7 +74,7 @@ def main(repeat: int = 3) -> int:
           f"{len({(w, h) for (w, h, _s) in sizes})} plans")
 
     results = {}
-    for tag, env in (("hetero", "1"), ("per-key", "0")):
+    for tag, env in (("hetero", "999"), ("per-key", "0")):
         os.environ["JPEG_TPU_HETERO_BITS"] = env
         dec = S.DeviceStreamDecoder(host_threads=4, interchange="bits")
         timed_stream(dec, imgs, 8, jax, jnp)  # warm: compiles
@@ -94,7 +94,7 @@ def main(repeat: int = 3) -> int:
     mpix2 = sum(w * h for (w, h) in sizes2) / 1e6
     print(f"small-mixed stream: {len(imgs2)} imgs, {mpix2:.2f} Mpix, "
           f"{len(set(sizes2))} plans")
-    for tag, env in (("hetero", "1"), ("per-key", "0")):
+    for tag, env in (("hetero", "999"), ("per-key", "0")):
         os.environ["JPEG_TPU_HETERO_BITS"] = env
         dec = S.DeviceStreamDecoder(host_threads=4, interchange="bits")
         timed_stream(dec, imgs2, 32, jax, jnp)  # warm
