@@ -190,14 +190,17 @@ def _bits_pallas_enabled() -> bool:
 def _anchored_enabled() -> bool:
     """Host-parallel anchored entropy decode for non-DRI baseline scans
     (entropy.cc jt_decode_scan_dct_prefix_anchored): prescan walk + N-thread
-    re-decode from MCU-aligned anchors. A net win only when threads outnumber
-    the ~2.5x prescan-vs-decode speed ratio, so default-on at >=6 cores;
+    re-decode from MCU-aligned anchors. Round 2 gated this to >=6 cores
+    (the prescan walk alone cost ~0.8x a serial decode); the round-3
+    speculative prescan split changed the economics — re-measured 1.64x on
+    THIS 4-core host (tools/experiments/anchored4_ab.py: 11.7 -> 7.1 ms
+    serial prefix staging), so default-on at >=4 cores now.
     JPEG_TPU_ANCHORED=1 forces it on (0 off) regardless."""
     import os
     v = os.environ.get("JPEG_TPU_ANCHORED")
     if v is not None:
         return v not in ("0", "", "off")
-    return (os.cpu_count() or 1) >= 6
+    return (os.cpu_count() or 1) >= 4
 
 
 def _batch_bucket(n: int) -> int:
@@ -274,9 +277,10 @@ class PrefixCapture:
     on the host, roughly quartering per-image host memory traffic (the staging
     stage is DRAM-bandwidth-bound at multi-worker rates)."""
 
-    def __init__(self, native, k: int = PREFIX_K):
+    def __init__(self, native, k: int = PREFIX_K, pool_width: int = 1):
         self.native = native
         self.k = k
+        self.pool_width = max(1, pool_width)
         self.prefix_arrays: dict = {}   # frame comp index -> int16 [nblocks, K]
         self.bases: list = []
         self.sizes: list = []
@@ -364,7 +368,11 @@ class PrefixCapture:
                                            _prescan_geometry,
                                            scan_decode_luts)
         geometry = _prescan_geometry(frame, scan, 0)
-        nt = min(os.cpu_count() or 1, 8)
+        # Cores available to THIS image's intra-image threads: siblings in
+        # the staging pool already decode other images concurrently, and
+        # oversubscribing on top measurably loses (pooled 5-worker burst
+        # 678 -> 464 Mpix/s with anchored forced on, 4 cores).
+        nt = min((os.cpu_count() or 1) // self.pool_width, 8)
         n_mcus = geometry["est_blocks"] // len(geometry["pattern"])
         if nt < 2 or n_mcus < 8 * nt:
             return None
@@ -450,15 +458,16 @@ def _staged_from_capture(d: Decoder, capture: PrefixCapture, precision: str,
 
 
 def stage_host(source, scale_to=None, precision: str = "fast",
-               timer=None) -> StagedImage:
+               timer=None, pool_width: int = 1) -> StagedImage:
     """Host stages for one image: parse + entropy + prefix/residual pack.
 
     `timer` (a `utils.timing.StageTimer`) records this as the "host_stage"
     stage — the per-stage observability layer the reference lacks
-    (SURVEY.md §5)."""
+    (SURVEY.md §5). `pool_width` tells the anchored intra-image threads how
+    many sibling staging workers share the cores (see _try_anchored)."""
     if timer is not None:
         with timer.stage("host_stage"):
-            return stage_host(source, scale_to, precision, None)
+            return stage_host(source, scale_to, precision, None, pool_width)
     from ..entropy.native import get_native
     native = get_native()
 
@@ -472,7 +481,7 @@ def stage_host(source, scale_to=None, precision: str = "fast",
             pooled.append(buf)
             return buf
         d._store_allocator = alloc
-        capture = PrefixCapture(native)
+        capture = PrefixCapture(native, pool_width=pool_width)
         d._prefix_capture = capture
     ll_cap = _LosslessCapture()
     d._lossless_capture = ll_cap
@@ -1212,6 +1221,7 @@ class DeviceStreamDecoder:
         if interchange not in ("prefix", "bits"):
             raise ValueError(f"unknown interchange {interchange!r}")
         self.pool = cf.ThreadPoolExecutor(max_workers=host_threads)
+        self.host_threads = host_threads
         self.precision = precision
         self.layout = layout
         self.timer = timer
@@ -1370,10 +1380,18 @@ class DeviceStreamDecoder:
         """
         from ..errors import JpegError
 
-        stage_fn = stage_host_bits if self.interchange == "bits" else stage_host
-        staged_futures = [self.pool.submit(stage_fn, s, scale_to,
-                                           self.precision, self.timer)
-                          for s in sources]
+        if self.interchange == "bits":
+            staged_futures = [self.pool.submit(stage_host_bits, s, scale_to,
+                                               self.precision, self.timer)
+                              for s in sources]
+        else:
+            # pool_width gates the intra-image anchored threads: 5 workers
+            # x 4 anchored threads thrash 4 cores (pooled burst measured
+            # 678 -> 464 Mpix/s with anchored forced on).
+            staged_futures = [self.pool.submit(stage_host, s, scale_to,
+                                               self.precision, self.timer,
+                                               self.host_threads)
+                              for s in sources]
 
         def resolve(fut):
             if on_error == "raise":
