@@ -614,16 +614,18 @@ class BitstreamCapture:
 
 
 def stage_host_bits(source, scale_to=None, precision: str = "fast",
-                    timer=None):
+                    timer=None, pool_width: int = 1):
     """Stage one image in the compressed-bits interchange; falls back to the
     prefix interchange (stage_host) when the stream needs host entropy
-    semantics (progressive, lossless, malformed, quirk paths)."""
+    semantics (progressive, lossless, malformed, quirk paths). `pool_width`
+    reaches the fallback's anchored-thread gate (see stage_host)."""
     from ..entropy.device_scan import PrescanFallback
     from ..errors import FormatError
 
     if timer is not None:
         with timer.stage("host_stage"):
-            return stage_host_bits(source, scale_to, precision, None)
+            return stage_host_bits(source, scale_to, precision, None,
+                                   pool_width)
 
     d = Decoder(source, backend="numpy")
     capture = BitstreamCapture()
@@ -651,7 +653,8 @@ def stage_host_bits(source, scale_to=None, precision: str = "fast",
             st = transcode_decoded(d, precision)
             if st is not None:
                 return _attach_pallas(st)
-        return stage_host(source, scale_to, precision)
+        return stage_host(source, scale_to, precision,
+                          pool_width=pool_width)
 
     frame = d.frame
     n = len(frame.components)
@@ -1382,7 +1385,8 @@ class DeviceStreamDecoder:
 
         if self.interchange == "bits":
             staged_futures = [self.pool.submit(stage_host_bits, s, scale_to,
-                                               self.precision, self.timer)
+                                               self.precision, self.timer,
+                                               self.host_threads)
                               for s in sources]
         else:
             # pool_width gates the intra-image anchored threads: 5 workers
