@@ -550,3 +550,36 @@ def test_mixed_size_stream_routes_hetero(monkeypatch):
     # Outputs return in stream order with per-plan fill values.
     vals = [int(np.asarray(o)[0, 0, 0]) for o in outs]
     assert vals[0] == vals[2] != vals[1], vals
+
+
+def test_hetero_grouping_is_size_aware(monkeypatch):
+    """Images above the hetero Mpix threshold must group on the exact key
+    (per-plan fused pipelines measured 1.19x better with >=0.5 Mpix members,
+    tools/experiments/mixed_ab.py), small ones on the hetero key."""
+    from jpeg_decoder_tpu.models import stream as sm
+
+    small = sm.stage_host_bits(_synth_jpeg(320, 256, seed=11))
+    big = sm.stage_host_bits(_synth_jpeg(1024, 768, seed=12))
+    assert small.mpix <= 0.25 < big.mpix
+
+    routed = []
+    real_hetero = sm._bits_hetero_key
+
+    def spy_hetero(st):
+        routed.append(("hetero", st.mpix))
+        return real_hetero(st)
+
+    def fake_dispatch(self, group):
+        return [None] * len(group)
+
+    monkeypatch.setattr(sm, "_bits_hetero_key", spy_hetero)
+    monkeypatch.setattr(sm.DeviceStreamDecoder, "_decode_group_bits",
+                        fake_dispatch)
+    dec = sm.DeviceStreamDecoder(host_threads=1)
+    dec.interchange = "bits"
+    outs = dec.decode_stream([_synth_jpeg(320, 256, seed=11),
+                              _synth_jpeg(1024, 768, seed=12)], batch_size=4)
+    assert len(outs) == 2
+    # Exactly the small image consulted the hetero key.
+    assert [r[0] for r in routed] == ["hetero"]
+    assert routed[0][1] <= 0.25
