@@ -80,6 +80,12 @@ run "specprescan" env JPEG_TPU_SPEC_PRESCAN=4096 python -m pytest \
     tests/test_prescan_parity.py tests/test_device_entropy.py \
     tests/test_stream_bits.py -x -q "$@"
 
+# 8b. ...and under mutation: the spec splicer must accept-or-fallback with
+#     bit-exact stores on malformed streams too (the default 256 KiB
+#     threshold means plain fuzzdev never reaches the splice logic).
+run "fuzzdev-spec" env PYTHONPATH= JPEG_TPU_SPEC_PRESCAN=4096 \
+    python tools/fuzz.py 150 11 --device
+
 # 9. Benchmark smoke (the reference CI *runs* its benches,
 #    /root/reference/.github/workflows/rust.yml:36-40): a perf-path import
 #    or staging regression must fail the gate, not the next bench run.
