@@ -317,12 +317,17 @@ def validate_hetero_bits(jax, jnp) -> int:
         routed["n"] = len(group)
         return orig(self, group)
 
+    # The default policy is size-aware (hetero merge only <= 0.25 Mpix,
+    # measured in tools/experiments/mixed_ab.py); force the threshold up so
+    # this section exercises the full mixed-plan sweep + slice machinery.
+    os.environ["JPEG_TPU_HETERO_BITS"] = "999"
     S.DeviceStreamDecoder._decode_group_bits_hetero = spy
     try:
         dec = S.DeviceStreamDecoder(host_threads=2, interchange="bits")
         outs = dec.decode_stream(imgs, batch_size=8)
     finally:
         S.DeviceStreamDecoder._decode_group_bits_hetero = orig
+        os.environ.pop("JPEG_TPU_HETERO_BITS", None)
     if routed.get("n") != 4:
         print(f"hetero-bits: NOT ROUTED (group={routed.get('n')})")
         return 1
