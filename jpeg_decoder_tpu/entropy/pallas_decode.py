@@ -373,26 +373,256 @@ def merge_image_packs_words(entries, nb_image):
     return combined, tuple(shapes_out)
 
 
-def materialize_slots(words, sb, sw: int):
-    """Build one class's slot words on device from the compressed stream:
-    a [nb, sw+1] row gather at each chunk's word index, then the constant
-    per-chunk byte-misalignment shift — exactly the host jt_pack_slots
-    layout (pad items gather window 0, dropped by base=n_blocks). Returns
-    [sw, nb]; the caller tiles to the kernel's (sw, G, 8, 128) layout.
+DELTA_BITS = 23   # anchor-bit delta field of the 4 B/chunk wire
 
-    This IS the production wire="words" path (tested directly by
-    tests/test_pallas_decode.py against the host-packed tiles)."""
+
+def pack_delta(staged: AnchoredScan):
+    """wire="delta": 4 B/chunk metadata — ONE uint32 per chunk, in stream
+    order: anchor-bit delta (23b) | block budget (5b) | entry slot (4b).
+    The device reconstructs everything else with vector ops
+    (build_pallas_sweep): absolute anchor bits = cumsum of deltas, block
+    bases = exclusive cumsum of budgets (chunks partition the scan's
+    blocks), slot-size class membership from the span implied by the NEXT
+    delta, and the per-class stream-ordered partition with one stable
+    argsort + row gather. Halves the words-packed chunk metadata — the
+    sustained H2D metric tracks wire bytes 1:1 (BASELINE.md).
+
+    Returns ((words, dm, cnts), shapes) or None when the scan is
+    Pallas-ineligible or any field would overflow (callers degrade to the
+    words-packed wire): words int32 [bucketed] — the compressed stream;
+    dm int32 [n_pad] — the per-chunk words, entry n = a budget-0
+    terminator carrying the closing delta (the last real chunk's span),
+    then zeros; cnts int32 [n_classes] — per-class real-item counts
+    (runtime values; the bucketed shapes are the static compile key).
+    shapes: ((slot_words, s_max, n_bucket, n_items), ...) ascending class.
+    """
+    if staged.chunk_end is None or staged.tab_maxcode is None:
+        return None
+    if len(staged.tab_maxcode) > MAX_TABS:
+        return None
+    n = staged.n_items
+    if n == 0:
+        return None
+    ab = staged.anchor_bits[:n].astype(np.int64)
+    end_last = int(staged.chunk_end[:n][-1])
+    budgets = (staged.anchor_block[1:n + 1]
+               - staged.anchor_block[:n]).astype(np.int64)
+    slot0 = staged.anchor_slot[:n].astype(np.int64)
+    d = np.empty(n + 1, np.int64)
+    d[0] = ab[0]
+    d[1:n] = ab[1:] - ab[:-1]
+    d[n] = end_last - ab[-1]
+    if d.min() < 0 or d.max() >= (1 << DELTA_BITS):
+        return None
+    if budgets.min() < 1 or budgets.max() > 31 or slot0.max() > 15:
+        return None
+    if int(staged.anchor_block[0]) != 0:
+        # Device bases come from the budget cumsum, which assumes chunk 0
+        # starts at block 0.
+        return None
+    # Span EXACTLY as the device computes it: from consecutive anchor
+    # deltas, not chunk_end — for non-final chunks the next anchor can sit
+    # past this chunk's last symbol (restart gaps), which only widens the
+    # window (a chunk may land one class up; both sides agree).
+    span = ((ab + d[1:]) >> 3) - (ab >> 3) + 9
+    if span.max() > SLOT_CLASSES[-1]:
+        return None
+    # The delta-implied window must cover every chunk's true symbol span
+    # (the kernel reads up to chunk_end + 8 bytes); violated only if a
+    # chunk's recorded end ran PAST the next anchor — degrade, don't risk.
+    true_span = (staged.chunk_end[:n].astype(np.int64) >> 3) - (ab >> 3) + 9
+    if (span < true_span).any():
+        return None
+    syms = staged.chunk_syms[:n]
+    cls_idx = np.searchsorted(np.asarray(SLOT_CLASSES), span)
+
+    shapes = []
+    cnts = []
+    cum = 0
+    max_need = 0
+    for ci, cbytes in enumerate(SLOT_CLASSES):
+        sel = cls_idx == ci
+        cnt = int(sel.sum())
+        if cnt == 0:
+            continue
+        cls_syms = int(syms[sel].max())
+        if cls_syms > SYM_BUCKETS[-1]:
+            return None
+        s_max = next(b for b in SYM_BUCKETS if cls_syms <= b)
+        nb = _bucket_items(cnt)
+        shapes.append((cbytes // 4, s_max, nb, cnt))
+        cnts.append(cnt)
+        max_need = max(max_need, cum + nb)
+        cum += cnt
+    # dm must cover the terminator AND every class's [off, off + nb)
+    # dynamic-slice window (padded tails read dead rows, masked on device).
+    n_pad = _bucket_items(max(n + 1, max_need))
+    dm = np.zeros(n_pad, np.uint32)
+    dm[:n] = ((d[:n].astype(np.uint32) << 9)
+              | (budgets.astype(np.uint32) << 4)
+              | slot0.astype(np.uint32))
+    dm[n] = d[n].astype(np.uint32) << 9   # terminator: budget 0 = dead
+    wpad = np.zeros(_bucket_words(staged.n_words + WORDS_PAD), np.uint32)
+    wpad[:staged.n_words] = np.ascontiguousarray(
+        staged.words[:staged.n_words], dtype=np.uint32)
+    return ((wpad.view(np.int32), dm.view(np.int32),
+             np.asarray(cnts, np.int32)), tuple(shapes))
+
+
+def merge_image_packs_delta(entries, nb_image):
+    """wire="delta" merge: per-image word streams concatenate (each keeps
+    its gather pad); the per-chunk delta arrays concatenate with each
+    image's FIRST delta rebased to the absolute gap from the previous
+    image's terminator (word offsets are whole words, so every span — and
+    with it the class partition and counts — is invariant). Block bases
+    need no explicit offsets at all: each image's budgets sum to its block
+    count, so the device's global budget cumsum lands image i's chunks at
+    its cumulative block offset by construction. `nb_image` is accepted
+    for signature parity with the other merges and only sanity-checked.
+
+    Returns ((words, dm, cnts), shapes) or None on delta overflow at an
+    image boundary / oversize merged stream (callers degrade the group to
+    the words-packed merge)."""
+    word_total = sum(len(e[0][0]) for e in entries)
+    if word_total >= (1 << 26):
+        # Absolute anchor bits must fit the device's int32 cumsum.
+        return None
+    per_class: dict = {}
+    dm_parts = []
+    word_off = 0
+    prev_end = 0
+    words_parts = []
+    total_real = 0
+    for (words, dm, cnts), shapes in entries:
+        dmu = dm.view(np.uint32)
+        n = int(cnts.sum())
+        d = (dmu[:n + 1] >> 9).astype(np.int64)
+        rest = dmu[:n + 1] & 0x1FF
+        first_abs = d[0] + word_off * 32
+        d0 = first_abs - prev_end
+        if d0 < 0 or d0 >= (1 << DELTA_BITS):
+            return None
+        dd = d.copy()
+        dd[0] = d0
+        dm_parts.append(((dd.astype(np.uint32) << 9)
+                         | rest.astype(np.uint32)))
+        prev_end = first_abs + int(d[1:].sum())
+        total_real += n
+        for (sw, sm, _nb, ni) in shapes:
+            c0, s0 = per_class.get(sw, (0, 0))
+            per_class[sw] = (c0 + ni, max(s0, sm))
+        words_parts.append(words)
+        word_off += len(words)
+
+    shapes_out = []
+    cnts_out = []
+    cum = 0
+    max_need = 0
+    for sw in sorted(per_class):
+        cnt, sm = per_class[sw]
+        nb = _bucket_items(cnt)
+        shapes_out.append((sw, sm, nb, cnt))
+        cnts_out.append(cnt)
+        max_need = max(max_need, cum + nb)
+        cum += cnt
+    dm_real = np.concatenate(dm_parts)
+    n_pad = _bucket_items(max(len(dm_real), max_need))
+    dm_all = np.zeros(n_pad, np.uint32)
+    dm_all[:len(dm_real)] = dm_real
+    wcat = np.zeros(_bucket_words(word_off), np.int32)
+    pos = 0
+    for w in words_parts:
+        wcat[pos:pos + len(w)] = w
+        pos += len(w)
+    return ((wcat, dm_all.view(np.int32), np.asarray(cnts_out, np.int32)),
+            tuple(shapes_out))
+
+
+def unpack_delta_classes(combined, class_shapes: tuple, n_blocks: int):
+    """Device-side reconstruction of the 4 B/chunk delta wire (pack_delta):
+    returns per present class (sb [nb], meta [nb], base [nb]) vectors in the
+    host-packed layout (pad rows: sb 0 / meta 0 / base n_blocks — kernel
+    no-op + rowmap drop).
+
+    All vector ops: absolute anchor bits = cumsum of deltas; block bases =
+    exclusive cumsum of budgets (chunks partition the blocks, so
+    image-merge offsets emerge for free); class membership from the span
+    implied by the NEXT delta (the same rule pack_delta classified with);
+    the per-class stream-ordered partition = ONE stable argsort (budget-0
+    terminators/pads sort past every class) + ONE 4-lane row gather +
+    per-class dynamic slices at runtime count offsets."""
+    import jax
+    import jax.numpy as jnp
+
+    _words, dm, cnts = combined
+    d = jax.lax.shift_right_logical(dm, 9)
+    budget = jax.lax.shift_right_logical(dm, 4) & 0x1F
+    sl0 = dm & 0xF
+    ab = jnp.cumsum(d, dtype=jnp.int32)
+    sbv = jax.lax.shift_right_logical(ab, 3)
+    d_next = jnp.concatenate([d[1:], jnp.zeros((1,), d.dtype)])
+    spanb = jax.lax.shift_right_logical(ab + d_next, 3) - sbv + 9
+    cls = sum((spanb > c).astype(jnp.int32) for c in SLOT_CLASSES)
+    order = jnp.argsort(   # jnp.argsort is stable — within-class stream
+        jnp.where(budget > 0, cls,   # order survives, which the rowmap's
+                  jnp.int32(len(SLOT_CLASSES) + 1)))  # cummax requires
+    basev = jnp.cumsum(budget, dtype=jnp.int32) - budget
+    metav = (ab & 7) | (sl0 << 3) | (budget << 7)
+    M = jnp.stack([sbv, metav, basev, jnp.zeros_like(sbv)], axis=1)
+    Ms = jnp.take(M, order, axis=0)
+    coff = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnts, dtype=jnp.int32)])
+    out = []
+    for ci, (_sw, _sm, nb) in enumerate(tuple(c[:3] for c in class_shapes)):
+        seg = jax.lax.dynamic_slice(Ms, (coff[ci], 0), (nb, 4))
+        real = jnp.arange(nb, dtype=jnp.int32) < cnts[ci]
+        out.append((jnp.where(real, seg[:, 0], 0),
+                    jnp.where(real, seg[:, 1], 0),
+                    jnp.where(real, seg[:, 2], jnp.int32(n_blocks))))
+    return out
+
+
+def materialize_slots(words, sb, sw: int):
+    """Build one class's slot words on device from the compressed stream —
+    exactly the host jt_pack_slots layout (pad items read window 0, dropped
+    by base=n_blocks). Returns [sw, nb]; the caller tiles to the kernel's
+    (sw, G, 8, 128) layout.
+
+    Formulation (round 4): the obvious [nb, sw+1] XLA gather over the 1-D
+    word stream lowers to the per-element gather path (~26M elem/s measured
+    on v5e = 9 ms/large_image — slower than the decode kernel it feeds).
+    Instead: (1) ONE fast row gather of the aligned 64-word rows covering
+    each chunk's window from the [R, 64]-reshaped stream (2 rows for
+    classes up to 256 B, 3 for the 512 B class), (2) a 6-stage barrel
+    rotate (select + static lane roll, o = start & 63) aligns the window
+    to lane 0 — row count is chosen so o + sw < n_rows * 64 and
+    wrap-around lanes are never read, (3) the constant per-chunk
+    byte-misalignment shift. ~0.3 ms/large_image (was 9 ms as a 1-D XLA
+    gather); bit-identical output (tested against the host-packed tiles by
+    tests/test_pallas_decode.py, including a synthetic 512 B-class case).
+    """
     import jax
     import jax.numpy as jnp
 
     b0 = jax.lax.shift_right_logical(sb, 2)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(),
-        start_index_map=(0,), operand_batching_dims=(),
-        start_indices_batching_dims=())
-    win = jax.lax.gather(
-        words, b0[:, None], dnums, slice_sizes=(sw + 1,),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    n = words.shape[0]
+    # Enough 64-word rows that a window starting at lane offset <= 63 still
+    # fits: 63 + (sw + 1) <= n_rows * 64 (sw up to 128 for the 512 B class).
+    n_rows = -(-(sw + 65) // 64)
+    rows = -(-n // 64) + n_rows - 1
+    w2 = jnp.concatenate(
+        [words, jnp.zeros((rows * 64 - n,), words.dtype)]).reshape(rows, 64)
+    # Real windows always satisfy r0 + n_rows - 1 <= rows - 1 (the wire pads
+    # WORDS_PAD words past the last window, and `rows` adds n_rows - 1 rows
+    # of zeros); the clip only sanitizes pad items' don't-care starts.
+    r0 = jnp.minimum(jax.lax.shift_right_logical(b0, 6), rows - n_rows)
+    idx = r0[:, None] + jnp.arange(n_rows, dtype=b0.dtype)[None, :]
+    cat = jnp.take(w2, idx, axis=0, mode="clip").reshape(-1, n_rows * 64)
+    o = b0 & 63
+    for bshift in (32, 16, 8, 4, 2, 1):
+        cat = jnp.where((o & bshift)[:, None] != 0,
+                        jnp.roll(cat, -bshift, axis=1), cat)
+    win = cat[:, :sw + 1]
     m = ((sb & 3) * 8)[:, None]
     hi = jax.lax.shift_left(win[:, :sw], m)
     lo = jax.lax.shift_right_logical(win[:, 1:], (32 - m) & 31)
@@ -635,7 +865,12 @@ def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
         io += nb
 
     def run(combined, mc, dl, vv):
-        if device_slots and len(combined) == 3:
+        per_class_delta = None
+        if device_slots == "delta":
+            per_class_delta = unpack_delta_classes(combined, class_shapes,
+                                                   n_blocks)
+            words = combined[0]
+        elif device_slots and len(combined) == 3:
             # Compact 8 B/chunk metadata: (entry bit, budget|slot0<<5|base<<9)
             # — reconstruct the kernel's sb/meta/base with elementwise ops
             # (all shifts logical; values ride the uint32 wrap discipline).
@@ -653,20 +888,30 @@ def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
         first_blks = []
         base_rows_all = []
         arange_b = jnp.arange(n_blocks, dtype=jnp.int32)
-        for kern, (sw, _sm, nb), row0, so, io in zip(
-                kernels, class_shapes, class_row_base, slot_off, item_off):
+        for ci, (kern, (sw, _sm, nb), row0, so, io) in enumerate(zip(
+                kernels, class_shapes, class_row_base, slot_off, item_off)):
             G = nb // 1024
-            if device_slots:
+            if device_slots == "delta":
+                sb, meta, base = per_class_delta[ci]
+                meta = meta.reshape(G, 8, 128)
+                base = base.reshape(G, 8, 128)
+                slots_t = materialize_slots(words, sb, sw).reshape(
+                    sw, G, 8, 128)
+            elif device_slots:
                 sb = jax.lax.dynamic_slice(sb_all, (io,), (nb,))
                 slots_t = materialize_slots(words, sb, sw).reshape(
                     sw, G, 8, 128)
+                meta = jax.lax.dynamic_slice(
+                    meta_all, (io,), (nb,)).reshape(G, 8, 128)
+                base = jax.lax.dynamic_slice(
+                    base_all, (io,), (nb,)).reshape(G, 8, 128)
             else:
                 slots_t = jax.lax.dynamic_slice(
                     slots_all, (so,), (sw * nb,)).reshape(sw, G, 8, 128)
-            meta = jax.lax.dynamic_slice(
-                meta_all, (io,), (nb,)).reshape(G, 8, 128)
-            base = jax.lax.dynamic_slice(
-                base_all, (io,), (nb,)).reshape(G, 8, 128)
+                meta = jax.lax.dynamic_slice(
+                    meta_all, (io,), (nb,)).reshape(G, 8, 128)
+                base = jax.lax.dynamic_slice(
+                    base_all, (io,), (nb,)).reshape(G, 8, 128)
             starts = base.reshape(-1)
             dense = kern(slots_t, meta, base, mc, dl, vv)  # [K_CAP*64, G, 8, 128]
             # Narrow to int16 at the transpose (fused by XLA): every value is
@@ -765,18 +1010,34 @@ def _compiled_pallas_decoder(plan: ScanPlan, class_shapes: tuple, n_tab: int,
 
 def decode_anchored_pallas(staged: AnchoredScan, interpret: bool = False,
                            device_slots: bool = False,
-                           compact: bool = False):
-    """Standalone: stores via the Pallas kernels; None if ineligible."""
-    wire = "words" if device_slots else "slots"
-    packs = pack_classes(staged, wire=wire)
+                           compact: bool = False, wire: str = None):
+    """Standalone: stores via the Pallas kernels; None if ineligible.
+    `wire` overrides the legacy bool flags: "slots" | "words" |
+    "words-packed" | "delta"."""
+    if wire is None:
+        wire = (("words-packed" if compact else "words") if device_slots
+                else "slots")
+    if wire == "delta":
+        packed = pack_delta(staged)
+        if packed is None:
+            return None
+        combined, shapes = packed
+        fn = _compiled_pallas_decoder(
+            staged.plan, tuple(s[:3] for s in shapes),
+            len(staged.tab_maxcode), interpret, staged.comp_to_upair,
+            "delta")
+        return fn(combined, staged.tab_maxcode, staged.tab_delta,
+                  staged.tab_values.view(np.int32))
+    packs = pack_classes(staged, wire="words" if wire.startswith("words")
+                         else "slots")
     if packs is None:
         return None
     shapes = tuple((p.slot_words, p.s_max, p.meta.size) for p in packs)
     fn = _compiled_pallas_decoder(
         staged.plan, shapes, len(staged.tab_maxcode), interpret,
-        staged.comp_to_upair, device_slots)
+        staged.comp_to_upair, wire.startswith("words"))
     combined = (combine_packs_words(packs, staged.words, staged.n_words,
-                                    compact=compact)
-                if device_slots else combine_packs(packs))
+                                    compact=wire == "words-packed")
+                if wire.startswith("words") else combine_packs(packs))
     return fn(combined, staged.tab_maxcode, staged.tab_delta,
               staged.tab_values.view(np.int32))

@@ -820,12 +820,21 @@ def _bits_wire() -> str:
     host-packed slot tiles (~1.5-1.7x the compressed stream — overlap +
     class padding); "words" ships the compressed words once plus 12 B/chunk
     and materialises the tiles on device (a row gather + shift);
-    "words-packed" (default: chunk metadata is ~25% of the words wire, and
-    the sustained metric tracks wire bytes exactly) further packs the chunk
-    metadata into 8 B (entry bit + budget|slot0|base<<9, reconstructed on
-    device). All three are bit-exact vs the prefix path on hardware
-    (tools/experiments/tpu_queue.py)."""
-    return os.environ.get("JPEG_TPU_WIRE", "words-packed")
+    "words-packed" packs the chunk metadata into 8 B (entry bit +
+    budget|slot0|base<<9, reconstructed on device); "delta" (default since
+    round 4: the sustained metric tracks wire bytes 1:1) packs it into
+    4 B — anchor-bit delta | budget | slot0 in one u32, everything else
+    rebuilt on device by cumsum/argsort (pack_delta). Scans a narrower
+    wire can't encode degrade to the next wider one per scan. All wires
+    are bit-exact vs the prefix path on hardware
+    (tools/experiments/tpu_queue.py, wire_ab.py)."""
+    return os.environ.get("JPEG_TPU_WIRE", "delta")
+
+
+def _wire_flag(wire: str):
+    """Map a wire name to build_pallas_sweep's device_slots parameter
+    (legacy bool for slots/words wires, the string for delta)."""
+    return "delta" if wire == "delta" else wire.startswith("words")
 
 
 def _attach_pallas(st: "StagedBits") -> "StagedBits":
@@ -834,14 +843,21 @@ def _attach_pallas(st: "StagedBits") -> "StagedBits":
     if not _bits_pallas_enabled():
         return st
     from ..entropy.pallas_decode import (combine_packs, combine_packs_words,
-                                         pack_classes)
+                                         pack_classes, pack_delta)
     wire = _bits_wire()
-    words_wire = wire.startswith("words")
+    words_wire = wire.startswith("words") or wire == "delta"
     # base<<9 must stay within the uint32 wrap discipline incl. batch-merge
     # offsets (23 bits); effectively unreachable (8.3M blocks = 530 Mpix)
     # but a quirk-size stream degrades gracefully to the 12 B/chunk wire.
     per_scan = []
     for scan, _kept in st.scans:
+        if wire == "delta":
+            packed = pack_delta(scan)
+            if packed is not None:
+                per_scan.append((packed[0], packed[1], "delta"))
+                continue
+            # Delta-ineligible scan (overflowing field / quirk spans):
+            # degrade this scan to the 8 B/chunk wire.
         packs = pack_classes(scan, wire="words" if words_wire else "slots")
         if packs is None:
             per_scan.append(None)
@@ -849,16 +865,15 @@ def _attach_pallas(st: "StagedBits") -> "StagedBits":
             shapes = tuple(
                 (p.slot_words, p.s_max, p.meta.size, p.n_items)
                 for p in packs)
-            eff_wire = wire
             if words_wire:
-                compact = (wire == "words-packed"
-                           and scan.n_blocks < (1 << 22))
-                if wire == "words-packed" and not compact:
-                    eff_wire = "words"
+                want_packed = wire in ("words-packed", "delta")
+                compact = want_packed and scan.n_blocks < (1 << 22)
+                eff_wire = "words-packed" if compact else "words"
                 combined = combine_packs_words(packs, scan.words,
                                                scan.n_words,
                                                compact=compact)
             else:
+                eff_wire = wire
                 combined = combine_packs(packs)
             per_scan.append((combined, shapes, eff_wire))
     st.pallas = tuple(per_scan)
@@ -1322,7 +1337,10 @@ class DeviceStreamDecoder:
             self._lut_cache[key] = dev
         return dev
 
-    def _decode_one_bits(self, staged: StagedBits):
+    def _bits_fn_args(self, staged: StagedBits):
+        """Compiled full-pipeline fn + device-resident arguments for one
+        bits-staged image. Shared by the dispatch path and the
+        device-resident benchmark (device_resident_rate)."""
         import jax
 
         layout = self._effective_layout(staged.geometry)
@@ -1341,7 +1359,7 @@ class DeviceStreamDecoder:
                 pallas_shapes.append((tuple(s[:3] for s in entry[1]),
                                       len(scan.tab_maxcode),
                                       scan.comp_to_upair,
-                                      entry[2].startswith("words")))
+                                      _wire_flag(entry[2])))
 
         fn = _compiled_bits_pipeline(
             plans_with_comps, len(staged.qts), staged.geometry, layout,
@@ -1366,8 +1384,80 @@ class DeviceStreamDecoder:
                         jax.device_put(scan.anchor_slot),
                         self._put_luts(scan.luts)))
             scan_args = tuple(scan_args)
+        return fn, scan_args
+
+    def _decode_one_bits(self, staged: StagedBits):
+        fn, scan_args = self._bits_fn_args(staged)
         with self._stage("device_dispatch"):
             return fn(scan_args, staged.qts)
+
+    def device_resident_rate(self, source, iters: int = 32, scale_to=None,
+                             reps: int = 2):
+        """Relay-phase-immune chip rate for the FULL device pipeline (entropy
+        kernel + assembly + dequant/IDCT/upsample/color): `iters` decodes run
+        inside ONE jitted lax.fori_loop over device-resident inputs, so a
+        single dispatch RTT is amortized over all iterations and degraded
+        relay round-trips (observed 4-65 ms each) cannot pollute the number.
+        Two device copies of the wire alternate by iteration parity so XLA
+        cannot hoist the loop-invariant decode out of the loop (see
+        BASELINE.md round-3: dispatch-loop 76 ms/iter vs fori_loop 5.88 in
+        the same degraded phase).
+
+        Accepts any source the stream accepts: baseline rides the bits wire,
+        progressive rides the transcode wire, lossless rides the diff wire.
+        Returns {"ms_per_image", "mpix_s", "interchange"}."""
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        staged = stage_host_bits(source, scale_to, self.precision,
+                                 pool_width=self.host_threads)
+        if isinstance(staged, StagedBits):
+            fn, args_a = self._bits_fn_args(staged)
+            _, args_b = self._bits_fn_args(staged)
+            qts = staged.qts
+            call = lambda args: fn(args, qts)  # noqa: E731
+            kind = "bits"
+        elif isinstance(staged, StagedLossless):
+            fn = _compiled_lossless_pipeline(
+                staged.diffs.shape[0], staged.predictor,
+                staged.point_transform, staged.precision,
+                staged.restart_all, staged.out_width, staged.out_height,
+                batch=None)
+            args_a = jax.device_put(staged.diffs)
+            args_b = jax.device_put(staged.diffs)
+            call = fn
+            kind = "lossless"
+        else:  # StagedImage — prefix coefficients
+            layout = self._effective_layout(staged.geometry)
+            fn = _compiled_prefix_pipeline(
+                staged.geometry, len(staged.resid_idx), layout)
+            mk = lambda: tuple(jax.device_put(x) for x in (  # noqa: E731
+                staged.dc, staged.ac, staged.resid_idx, staged.resid_vals))
+            args_a, args_b = mk(), mk()
+            qts = staged.qts
+            call = lambda args: fn(*args, qts)  # noqa: E731
+            kind = "prefix"
+
+        @jax.jit
+        def chained(aa, ab):
+            def body(i, acc):
+                args = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(i % 2 == 0, a, b), aa, ab)
+                out = call(args)
+                return acc + out.astype(jnp.int32).sum()
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        int(jax.device_get(chained(args_a, args_b)))  # warm (compile)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            int(jax.device_get(chained(args_a, args_b)))
+            best = min(best, (_time.perf_counter() - t0) / iters)
+        return {"ms_per_image": round(best * 1e3, 3),
+                "mpix_s": round(staged.mpix / best, 1),
+                "interchange": kind}
 
     def decode_stream(self, sources: Iterable, scale_to=None,
                       batch_size: int = 1, on_error: str = "raise") -> list:
@@ -1504,6 +1594,7 @@ class DeviceStreamDecoder:
         if len(group) == 1:
             return [self.decode_one(group[0])]
         from ..entropy.pallas_decode import (merge_image_packs,
+                                             merge_image_packs_delta,
                                              merge_image_packs_words)
 
         scan0, _kept = group[0].scans[0]
@@ -1515,10 +1606,15 @@ class DeviceStreamDecoder:
         entries = [st.pallas[0] for st in group]
         entries = entries + [entries[-1]] * (batch - n)
         wire = entries[0][2]
-        merge = (merge_image_packs_words if wire.startswith("words")
+        merge = (merge_image_packs_delta if wire == "delta"
+                 else merge_image_packs_words if wire.startswith("words")
                  else merge_image_packs)
-        combined, shapes = merge([e[:2] for e in entries],
-                                 scan0.plan.n_blocks)
+        merged = merge([e[:2] for e in entries], scan0.plan.n_blocks)
+        if merged is None:
+            # Delta merge overflowed an image-boundary field: decode singly
+            # (each image's own wire is already validated).
+            return [self.decode_one(st) for st in group]
+        combined, shapes = merged
 
         layout = self._effective_layout(group[0].geometry)
         # n_items varies per group; the compiled shape doesn't depend on it.
@@ -1526,7 +1622,7 @@ class DeviceStreamDecoder:
         fn = _compiled_bits_pipeline_batched(
             scan0.plan, batch, shapes_key, len(scan0.tab_maxcode),
             scan0.comp_to_upair, group[0].geometry, layout,
-            device_slots=wire.startswith("words"),
+            device_slots=_wire_flag(wire),
             interpret=_bits_pallas_mode() == "interpret")
 
         ncomp = len(group[0].qts)
@@ -1559,11 +1655,13 @@ class DeviceStreamDecoder:
         import jax
 
         from ..entropy.pallas_decode import (merge_image_packs,
+                                             merge_image_packs_delta,
                                              merge_image_packs_words)
 
         scan0, _ = group[0].scans[0]
         wire = group[0].pallas[0][2]
-        merge = (merge_image_packs_words if wire.startswith("words")
+        merge = (merge_image_packs_delta if wire == "delta"
+                 else merge_image_packs_words if wire.startswith("words")
                  else merge_image_packs)
 
         # Group members by plan (first-seen order), remembering stream order.
@@ -1576,7 +1674,10 @@ class DeviceStreamDecoder:
         ordered = [m for members in plan_groups.values() for m in members]
         entries = [st.pallas[0] for _i, st in ordered]
         nbs = [st.scans[0][0].plan.n_blocks for _i, st in ordered]
-        combined, shapes = merge([e[:2] for e in entries], nbs)
+        merged = merge([e[:2] for e in entries], nbs)
+        if merged is None:
+            return [self.decode_one(st) for st in group]
+        combined, shapes = merged
 
         # Sweep sized to cover every (count-bucketed) reconstruct slice.
         padded_total = sum(
@@ -1588,7 +1689,7 @@ class DeviceStreamDecoder:
         interpret = _bits_pallas_mode() == "interpret"
         sweep = _compiled_bits_sweep(
             tuple(s[:3] for s in shapes), len(scan0.tab_maxcode),
-            mapped_pattern, nb_bucket, wire.startswith("words"), interpret)
+            mapped_pattern, nb_bucket, _wire_flag(wire), interpret)
 
         with self._stage("h2d_submit"):
             dev = tuple(jax.device_put(a) for a in combined)
@@ -1637,7 +1738,10 @@ class DeviceStreamDecoder:
 
         entries = [st.pallas[0] if st.pallas else None for st in group]
         if _bits_pallas_enabled() and all(e is not None for e in entries):
-            keys = {(tuple(s[:3] for s in e[1]), e[2], len(e[0]))
+            # Stacking needs every per-image buffer shape equal, not just
+            # the bucketed class shapes (word/delta array buckets vary).
+            keys = {(tuple(s[:3] for s in e[1]), e[2],
+                     tuple(a.shape for a in e[0]))
                     for e in entries}
             if len(keys) == 1:
                 return self._decode_group_bits_mesh_pallas(
@@ -1692,7 +1796,7 @@ class DeviceStreamDecoder:
         fn = _compiled_bits_pipeline_mesh_pallas(
             scan0.plan, kept, batch, shapes_key, len(scan0.tab_maxcode),
             scan0.comp_to_upair, ncomp, group[0].geometry, layout,
-            wire.startswith("words"), n_combined, self.mesh, self.data_axis,
+            _wire_flag(wire), n_combined, self.mesh, self.data_axis,
             interpret=_bits_pallas_mode() == "interpret")
         with self._stage("h2d_submit"):
             dev = tuple(jax.device_put(a) for a in stacked)

@@ -202,6 +202,30 @@ def _materialize_np(words_i32, sb, sw):
     return (hi | lo).astype(np.uint32).T.view(np.int32)
 
 
+@pytest.mark.parametrize("sw", [8, 12, 32, 60, 64, 128])
+def test_materialize_slots_synthetic(sw):
+    """materialize_slots vs the numpy mirror on synthetic streams covering
+    every row-count regime of the barrel-rotate formulation (2 gathered
+    rows up to the 256 B class, 3 for the 512 B class) and all byte
+    misalignments — corpus images rarely exercise the big classes."""
+    import jax
+    import jax.numpy as jnp
+    from jpeg_decoder_tpu.entropy.pallas_decode import materialize_slots
+
+    rng = np.random.default_rng(sw)
+    n_words = 2000
+    words = rng.integers(0, 1 << 32, n_words, dtype=np.uint32).view(np.int32)
+    # Starts at every byte alignment, incl. 0 and the last legal window.
+    max_start = (n_words - (sw + 1)) * 4 - 4
+    sb = np.concatenate([
+        np.arange(4, dtype=np.int64),
+        rng.integers(0, max_start, 500),
+        [max_start]]).astype(np.int32)
+    got = np.asarray(jax.jit(functools.partial(materialize_slots, sw=sw))(
+        jnp.asarray(words), jnp.asarray(sb)))
+    assert np.array_equal(got, _materialize_np(words, sb, sw))
+
+
 @pytest.mark.parametrize("name", ["rgb.jpg", "restarts.jpg"])
 def test_words_wire_matches_slots(name):
     """wire="words" device materialisation — the production
@@ -583,3 +607,159 @@ def test_hetero_grouping_is_size_aware(monkeypatch):
     # Exactly the small image consulted the hetero key.
     assert [r[0] for r in routed] == ["hetero"]
     assert routed[0][1] <= 0.25
+
+def _delta_expected(staged):
+    """Ground truth for the 4 B/chunk delta wire, straight from the staged
+    scan: per class (in ascending SLOT_CLASSES order), the stream-ordered
+    (sb, meta, base) of its real items under the delta-span classification
+    (span from consecutive anchors — may bump an item one class above the
+    chunk_end-based pack_classes span; both sides use the same rule)."""
+    from jpeg_decoder_tpu.entropy.pallas_decode import SLOT_CLASSES
+
+    n = staged.n_items
+    ab = staged.anchor_bits[:n].astype(np.int64)
+    end_last = int(staged.chunk_end[:n][-1])
+    budgets = (staged.anchor_block[1:n + 1]
+               - staged.anchor_block[:n]).astype(np.int64)
+    slot0 = staged.anchor_slot[:n].astype(np.int64)
+    d_next = np.concatenate([ab[1:], [end_last]]) - ab
+    span = ((ab + d_next) >> 3) - (ab >> 3) + 9
+    cls = np.searchsorted(np.asarray(SLOT_CLASSES), span)
+    meta = (ab & 7) | (slot0 << 3) | (budgets << 7)
+    base = staged.anchor_block[:n].astype(np.int64)
+    out = {}
+    for ci in sorted(set(cls.tolist())):
+        sel = cls == ci
+        out[int(ci)] = (ab[sel] >> 3, meta[sel], base[sel])
+    return out
+
+
+@pytest.mark.parametrize("name", ["rgb.jpg", "restarts.jpg", "mjpeg.jpg"])
+def test_delta_wire_unpack_parity(name):
+    """wire="delta" (4 B/chunk): the jitted device reconstruction
+    (unpack_delta_classes — cumsums, span classification, stable argsort
+    partition) must reproduce the stream-ordered per-class sb/meta/base
+    exactly, and the materialised windows must match the host-packed
+    tiles at those starts."""
+    import jax
+    import jax.numpy as jnp
+    from jpeg_decoder_tpu.entropy.pallas_decode import (
+        SLOT_CLASSES, materialize_slots, pack_delta, unpack_delta_classes)
+
+    path = REFTEST_IMAGES / name
+    if not path.exists():
+        pytest.skip()
+    covered = 0
+    for staged in _staged_scans(path):
+        packed = pack_delta(staged)
+        if packed is None:
+            continue
+        covered += 1
+        combined, shapes = packed
+        got = jax.jit(functools.partial(
+            unpack_delta_classes,
+            class_shapes=tuple(s[:3] for s in shapes),
+            n_blocks=staged.plan.n_blocks))(tuple(map(jnp.asarray, combined)))
+        exp = _delta_expected(staged)
+        assert len(got) == len(exp) == len(shapes)
+        for (sw, _sm, nb, ni), (ci, (esb, emeta, ebase)), (gsb, gmeta, gbase) \
+                in zip(shapes, sorted(exp.items()), got):
+            assert sw == SLOT_CLASSES[ci] // 4
+            assert ni == len(esb)
+            assert np.array_equal(np.asarray(gsb)[:ni], esb), name
+            assert np.array_equal(np.asarray(gmeta)[:ni], emeta), name
+            assert np.array_equal(np.asarray(gbase)[:ni], ebase), name
+            # pad rows inert
+            assert np.all(np.asarray(gmeta)[ni:] == 0)
+            assert np.all(np.asarray(gbase)[ni:] == staged.plan.n_blocks)
+            # windows at those starts materialise to the true stream bytes
+            win = np.asarray(jax.jit(functools.partial(
+                materialize_slots, sw=sw))(
+                    jnp.asarray(combined[0]),
+                    jnp.asarray(esb.astype(np.int32))))
+            ref = _materialize_np(np.asarray(combined[0]),
+                                  esb.astype(np.int32), sw)
+            assert np.array_equal(win, ref)
+    assert covered, "expected at least one delta-eligible scan"
+
+
+def test_delta_wire_corpus_packing_parity():
+    """Corpus-wide net for the delta wire: every Pallas-eligible reftest
+    scan must either pack_delta (and then the numpy-mirror reconstruction
+    matches the stream metadata exactly) or explicitly degrade (None)."""
+    from conftest import reftest_files
+    from jpeg_decoder_tpu.entropy.pallas_decode import pack_delta
+
+    covered = eligible = 0
+    for path in reftest_files():
+        if "lossless" in str(path):
+            continue
+        try:
+            scans = _staged_scans(path)
+        except Exception:
+            continue
+        for staged in scans:
+            if pack_classes(staged, wire="slots") is None:
+                continue
+            eligible += 1
+            packed = pack_delta(staged)
+            if packed is None:
+                continue
+            covered += 1
+            (words, dm, cnts), shapes = packed
+            dmu = dm.view(np.uint32)
+            n = int(cnts.sum())
+            d = (dmu >> 9).astype(np.int64)
+            ab = np.cumsum(d)
+            budgets = ((dmu >> 4) & 0x1F).astype(np.int64)
+            base = np.cumsum(budgets) - budgets
+            nreal = staged.n_items
+            assert n == nreal
+            assert np.array_equal(ab[:nreal],
+                                  staged.anchor_bits[:nreal].astype(np.int64))
+            assert np.array_equal(
+                base[:nreal], staged.anchor_block[:nreal].astype(np.int64))
+            exp = _delta_expected(staged)
+            assert [len(v[0]) for v in exp.values()] == list(
+                int(c) for c in cnts)
+    assert covered >= 20, (covered, eligible)
+    # The wire must not silently regress to rare: most eligible scans pack.
+    assert covered >= eligible * 3 // 4, (covered, eligible)
+
+
+def test_delta_wire_merge_parity():
+    """merge_image_packs_delta: N copies of one image must unpack to the
+    per-image metadata with word starts shifted by each image's word base
+    and block bases by i * n_blocks (which the budget cumsum must produce
+    without any explicit offsets)."""
+    import jax
+    import jax.numpy as jnp
+    from jpeg_decoder_tpu.entropy.pallas_decode import (
+        merge_image_packs_delta, pack_delta, unpack_delta_classes)
+
+    staged = _staged_scans(REFTEST_IMAGES / "rgb.jpg")[0]
+    packed = pack_delta(staged)
+    assert packed is not None
+    N = 3
+    nb_img = staged.plan.n_blocks
+    merged = merge_image_packs_delta([packed] * N, nb_img)
+    assert merged is not None
+    combined, shapes = merged
+    words_len = len(packed[0][0])
+    got = jax.jit(functools.partial(
+        unpack_delta_classes,
+        class_shapes=tuple(s[:3] for s in shapes),
+        n_blocks=nb_img * N))(tuple(map(jnp.asarray, combined)))
+    exp = _delta_expected(staged)
+    for (sw, _sm, nb2, ni_tot), (ci, (esb, emeta, ebase)), \
+            (gsb, gmeta, gbase) in zip(shapes, sorted(exp.items()), got):
+        ni = len(esb)
+        assert ni_tot == ni * N
+        for i in range(N):
+            sl = slice(i * ni, (i + 1) * ni)
+            assert np.array_equal(np.asarray(gsb)[sl],
+                                  esb + i * words_len * 4)
+            assert np.array_equal(np.asarray(gmeta)[sl], emeta)
+            assert np.array_equal(np.asarray(gbase)[sl],
+                                  ebase + i * nb_img)
+        assert np.all(np.asarray(gbase)[ni_tot:] == nb_img * N)

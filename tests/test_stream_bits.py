@@ -104,19 +104,22 @@ def test_group_key_separates_wire_formats(monkeypatch):
     monkeypatch.setattr(S, "_bits_pallas_enabled", lambda: True)
     data = (REFTEST_IMAGES / "rgb.jpg").read_bytes()
     staged = {}
-    for wire in ("slots", "words", "words-packed"):
+    for wire in ("slots", "words", "words-packed", "delta"):
         monkeypatch.setenv("JPEG_TPU_WIRE", wire)
         staged[wire] = stage_host_bits(data)
         assert staged[wire].pallas[0] is not None
         assert staged[wire].pallas[0][2] == wire
-    # combined-array arity per wire: slots 3 (tiles), words 4, packed 3
+    # combined-array arity per wire: slots 3 (tiles), words 4, packed 3,
+    # delta 3 (words + per-chunk u32 + class counts) — the group key's wire
+    # string, not arity, keeps same-arity wires apart.
     assert len(staged["slots"].pallas[0][0]) == 3
     assert len(staged["words"].pallas[0][0]) == 4
     assert len(staged["words-packed"].pallas[0][0]) == 3
+    assert len(staged["delta"].pallas[0][0]) == 3
     keys = [S._bits_group_key(staged[w])
-            for w in ("slots", "words", "words-packed")]
+            for w in ("slots", "words", "words-packed", "delta")]
     assert all(k is not None for k in keys)
-    assert len(set(keys)) == 3
+    assert len(set(keys)) == 4
     k_words = keys[1]
     # and a same-wire restage still groups
     monkeypatch.setenv("JPEG_TPU_WIRE", "words")
@@ -286,7 +289,7 @@ def test_mesh_pallas_pipeline_traces(monkeypatch):
     fn = S._compiled_bits_pipeline_mesh_pallas(
         scan0.plan, kept, batch, tuple(s[:3] for s in entry[1]),
         len(scan0.tab_maxcode), scan0.comp_to_upair, ncomp, st.geometry,
-        "interleaved", entry[2].startswith("words"), n_combined,
+        "interleaved", S._wire_flag(entry[2]), n_combined,
         mesh, "data", interpret=True)
     out = jax.eval_shape(fn, stacked, scan0.tab_maxcode, scan0.tab_delta,
                          scan0.tab_values.view(np.int32), qts_b)
