@@ -1038,7 +1038,51 @@ void jt_upsample_color(const UpsampleSpec* comps, int32_t ncomp,
 
 // ABI handshake: Python refuses to use a library whose struct layouts don't
 // match its ctypes mirrors (guards against stale .so builds mid-upgrade).
-int64_t jt_abi_version() { return 14; }
+int64_t jt_abi_version() { return 15; }
+
+// 4 B/chunk delta-wire metadata pack (ABI 15): one pass over the prescan's
+// anchor arrays emitting the per-chunk u32 (anchor-bit delta 23 | block
+// budget 5 | entry slot 4), the budget-0 terminator word, and per-class
+// (count, max symbols) for the slot-size classes. Byte-identical to the
+// numpy mirror in entropy/pallas_decode.py::pack_delta (differentially
+// tested); returns 1 (fallback) on any field overflow or ordering quirk —
+// the caller degrades the scan to the words-packed wire.
+//   a_block has n+1 entries (prescan emits the closing block count);
+//   dm must hold n+1 words; cls_count/cls_syms hold 8 each.
+int jt_pack_delta(const uint32_t* a_bits, const int32_t* a_block,
+                  const int32_t* a_slot, const uint32_t* c_end,
+                  const int32_t* c_syms, int64_t n,
+                  uint32_t* dm, int32_t* cls_count, int32_t* cls_syms) {
+  static const int32_t kCls[7] = {32, 48, 64, 96, 128, 256, 512};
+  if (n <= 0 || a_block[0] != 0) return 1;
+  for (int i = 0; i < 8; i++) { cls_count[i] = 0; cls_syms[i] = 0; }
+  const uint32_t end_last = c_end[n - 1];
+  uint32_t prev = 0;
+  for (int64_t i = 0; i < n; i++) {
+    const uint32_t ab = a_bits[i];
+    const int64_t d = (int64_t)ab - (int64_t)prev;
+    if (d < 0 || d >= (1 << 23)) return 1;
+    const int32_t budget = a_block[i + 1] - a_block[i];
+    const int32_t slot0 = a_slot[i];
+    if (budget < 1 || budget > 31 || slot0 < 0 || slot0 > 15) return 1;
+    const uint32_t next = (i + 1 < n) ? a_bits[i + 1] : end_last;
+    if ((int64_t)next < (int64_t)ab) return 1;
+    const int32_t span = (int32_t)((next >> 3) - (ab >> 3)) + 9;
+    // The delta-implied window must cover the recorded symbol span.
+    if ((int32_t)((c_end[i] >> 3) - (ab >> 3)) + 9 > span) return 1;
+    int ci = 0;
+    while (ci < 7 && span > kCls[ci]) ci++;
+    if (ci == 7) return 1;
+    cls_count[ci]++;
+    if (c_syms[i] > cls_syms[ci]) cls_syms[ci] = c_syms[i];
+    dm[i] = ((uint32_t)d << 9) | ((uint32_t)budget << 4) | (uint32_t)slot0;
+    prev = ab;
+  }
+  const int64_t dlast = (int64_t)end_last - (int64_t)a_bits[n - 1];
+  if (dlast < 0 || dlast >= (1 << 23)) return 1;
+  dm[n] = (uint32_t)dlast << 9;
+  return 0;
+}
 
 
 // Returns Err code; on ERR_FORMAT err_msg (len >=160) holds the message.

@@ -26,7 +26,7 @@ _SO = os.path.join(_DIR, "cpp", "libjtentropy.so")
 _lib = None
 _build_lock = threading.Lock()
 _NTHREADS = max(1, os.cpu_count() or 1)
-_ABI_VERSION = 14  # bump together with jt_abi_version() in entropy.cc
+_ABI_VERSION = 15  # bump together with jt_abi_version() in entropy.cc
 
 
 def _spec_min_bytes() -> int:
@@ -254,6 +254,10 @@ def _load():
     lib.jt_pack_slots.argtypes = [
         C.c_void_p, C.c_int64, C.c_void_p, C.c_int64, C.c_int64, C.c_int32,
         C.c_void_p, C.c_int32]
+    lib.jt_pack_delta.restype = C.c_int
+    lib.jt_pack_delta.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_int64, C.c_void_p, C.c_void_p, C.c_void_p]
     lib.jt_idct_component.restype = None
     lib.jt_idct_component.argtypes = [
         C.c_void_p, C.c_void_p, C.c_int64, C.c_int64, C.c_int32, C.c_void_p,
@@ -520,6 +524,32 @@ def prescan_baseline(cursor, luts: np.ndarray, geometry: dict,
     pending = pp.pending_marker if pp.pending_marker >= 0 else None
     return (out[:pp.out_len], a_bits[:n], a_block[:n], a_slot[:n],
             pp.n_blocks, pending, a_end[:n], a_syms[:n])
+
+
+def pack_delta_meta(a_bits: np.ndarray, a_block: np.ndarray,
+                    a_slot: np.ndarray, c_end: np.ndarray,
+                    c_syms: np.ndarray, n: int, dm_out: np.ndarray):
+    """One C pass (entropy.cc jt_pack_delta, ABI 15) emitting the 4 B/chunk
+    delta-wire words into dm_out[:n+1] plus per-class (count, max syms).
+    Returns (cls_count, cls_syms) int32[8] or None on fallback. Inputs must
+    be the prescan's contiguous arrays; a_block needs n+1 entries."""
+    lib = _load()
+    assert lib is not None
+    a_bits = np.ascontiguousarray(a_bits, np.uint32)
+    a_block = np.ascontiguousarray(a_block, np.int32)
+    a_slot = np.ascontiguousarray(a_slot, np.int32)
+    c_end = np.ascontiguousarray(c_end, np.uint32)
+    c_syms = np.ascontiguousarray(c_syms, np.int32)
+    cls_count = np.zeros(8, np.int32)
+    cls_syms = np.zeros(8, np.int32)
+    assert dm_out.size >= n + 1 and dm_out.dtype == np.uint32
+    code = lib.jt_pack_delta(
+        a_bits.ctypes.data, a_block.ctypes.data, a_slot.ctypes.data,
+        c_end.ctypes.data, c_syms.ctypes.data, n,
+        dm_out.ctypes.data, cls_count.ctypes.data, cls_syms.ctypes.data)
+    if code != 0:
+        return None
+    return cls_count, cls_syms
 
 
 def transcode_scan(stores_concat: np.ndarray, geometry: dict,

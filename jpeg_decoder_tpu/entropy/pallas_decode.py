@@ -403,6 +403,61 @@ def pack_delta(staged: AnchoredScan):
     n = staged.n_items
     if n == 0:
         return None
+
+    from .native import get_native
+    native = get_native()
+    if native is not None and hasattr(native, "pack_delta_meta"):
+        dm_head = np.empty(n + 1, np.uint32)
+        res = native.pack_delta_meta(
+            staged.anchor_bits[:n], staged.anchor_block[:n + 1],
+            staged.anchor_slot[:n], staged.chunk_end[:n],
+            staged.chunk_syms[:n], n, dm_head)
+        if res is None:
+            return None
+        cls_count, cls_maxsyms = res
+    else:
+        out = pack_delta_meta_np(staged)
+        if out is None:
+            return None
+        dm_head, cls_count, cls_maxsyms = out
+
+    shapes = []
+    cnts = []
+    cum = 0
+    max_need = 0
+    for ci, cbytes in enumerate(SLOT_CLASSES):
+        cnt = int(cls_count[ci])
+        if cnt == 0:
+            continue
+        ms = int(cls_maxsyms[ci])
+        if ms > SYM_BUCKETS[-1]:
+            return None
+        s_max = next(b for b in SYM_BUCKETS if ms <= b)
+        nb = _bucket_items(cnt)
+        shapes.append((cbytes // 4, s_max, nb, cnt))
+        cnts.append(cnt)
+        max_need = max(max_need, cum + nb)
+        cum += cnt
+    # dm must cover the terminator AND every class's [off, off + nb)
+    # dynamic-slice window (padded tails read dead rows, masked on device).
+    n_pad = _bucket_items(max(n + 1, max_need))
+    dm = np.zeros(n_pad, np.uint32)
+    dm[:n + 1] = dm_head
+    wpad = np.zeros(_bucket_words(staged.n_words + WORDS_PAD), np.uint32)
+    wpad[:staged.n_words] = np.ascontiguousarray(
+        staged.words[:staged.n_words], dtype=np.uint32)
+    return ((wpad.view(np.int32), dm.view(np.int32),
+             np.asarray(cnts, np.int32)), tuple(shapes))
+
+
+def pack_delta_meta_np(staged: AnchoredScan):
+    """Numpy mirror of entropy.cc jt_pack_delta (the ABI-15 one-pass native
+    emitter): the per-chunk u32 words incl. terminator plus per-class
+    (count, max symbols). Byte-identical outputs (differentially tested) —
+    the fallback when the native library is unavailable and the oracle the
+    native pass is pinned against. Returns (dm[n+1] uint32, cls_count[8],
+    cls_syms[8]) or None on fallback."""
+    n = staged.n_items
     ab = staged.anchor_bits[:n].astype(np.int64)
     end_last = int(staged.chunk_end[:n][-1])
     budgets = (staged.anchor_block[1:n + 1]
@@ -414,7 +469,8 @@ def pack_delta(staged: AnchoredScan):
     d[n] = end_last - ab[-1]
     if d.min() < 0 or d.max() >= (1 << DELTA_BITS):
         return None
-    if budgets.min() < 1 or budgets.max() > 31 or slot0.max() > 15:
+    if budgets.min() < 1 or budgets.max() > 31 \
+            or slot0.min() < 0 or slot0.max() > 15:
         return None
     if int(staged.anchor_block[0]) != 0:
         # Device bases come from the budget cumsum, which assumes chunk 0
@@ -435,38 +491,15 @@ def pack_delta(staged: AnchoredScan):
         return None
     syms = staged.chunk_syms[:n]
     cls_idx = np.searchsorted(np.asarray(SLOT_CLASSES), span)
-
-    shapes = []
-    cnts = []
-    cum = 0
-    max_need = 0
-    for ci, cbytes in enumerate(SLOT_CLASSES):
-        sel = cls_idx == ci
-        cnt = int(sel.sum())
-        if cnt == 0:
-            continue
-        cls_syms = int(syms[sel].max())
-        if cls_syms > SYM_BUCKETS[-1]:
-            return None
-        s_max = next(b for b in SYM_BUCKETS if cls_syms <= b)
-        nb = _bucket_items(cnt)
-        shapes.append((cbytes // 4, s_max, nb, cnt))
-        cnts.append(cnt)
-        max_need = max(max_need, cum + nb)
-        cum += cnt
-    # dm must cover the terminator AND every class's [off, off + nb)
-    # dynamic-slice window (padded tails read dead rows, masked on device).
-    n_pad = _bucket_items(max(n + 1, max_need))
-    dm = np.zeros(n_pad, np.uint32)
+    cls_count = np.bincount(cls_idx, minlength=8).astype(np.int32)
+    cls_syms = np.zeros(8, np.int32)
+    np.maximum.at(cls_syms, cls_idx, syms)
+    dm = np.empty(n + 1, np.uint32)
     dm[:n] = ((d[:n].astype(np.uint32) << 9)
               | (budgets.astype(np.uint32) << 4)
               | slot0.astype(np.uint32))
     dm[n] = d[n].astype(np.uint32) << 9   # terminator: budget 0 = dead
-    wpad = np.zeros(_bucket_words(staged.n_words + WORDS_PAD), np.uint32)
-    wpad[:staged.n_words] = np.ascontiguousarray(
-        staged.words[:staged.n_words], dtype=np.uint32)
-    return ((wpad.view(np.int32), dm.view(np.int32),
-             np.asarray(cnts, np.int32)), tuple(shapes))
+    return dm, cls_count, cls_syms
 
 
 def merge_image_packs_delta(entries, nb_image):

@@ -77,7 +77,7 @@ def _tail_color(jnp, transform: str, chans):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_tail_kernel(kinds: tuple, transform: str, h2: bool):
+def _fused_tail_kernel(kinds: tuple, transform: str, h2: bool, kw: int = 0):
     """Kernel over one row tile: per-component upsample + color conversion.
 
     kinds[i]: "full" (component already at output resolution) or "up"
@@ -87,6 +87,12 @@ def _fused_tail_kernel(kinds: tuple, transform: str, h2: bool):
     job); "full" components then arrive pre-split by column parity.
     h2=False: all components share one horizontal resolution.
 
+    kw > 0: input refs may be WIDER than the output (uncropped component
+    planes — TPU block specs demand lane dims equal the array's); each is
+    lane-sliced to kw in VMEM, an offset-0 slice that costs nothing. This
+    keeps the column crop out of XLA, where slicing a u8 plane's lane dim
+    forces a full-array HBM retiling (+1.09 ms/large_image, round 4).
+
     Feeding near == far collapses the vertical taps to identity exactly
     ((4c + 2) >> 2 == c), which is how V1 modes reuse the V2 kernel; the
     same identity collapses the H2 triangle taps to the reference's H2V1
@@ -94,6 +100,9 @@ def _fused_tail_kernel(kinds: tuple, transform: str, h2: bool):
     edges included; `/root/reference/src/upsampler.rs:134-163` vs `:191-228`).
     """
     import jax.numpy as jnp
+
+    def ld(ref):
+        return ref[:, :kw] if kw and ref.shape[1] != kw else ref[:]
 
     def h2taps(near, far):
         # H2V2 horizontal taps (/root/reference/src/upsampler.rs:215-227),
@@ -119,10 +128,10 @@ def _fused_tail_kernel(kinds: tuple, transform: str, h2: bool):
                 a, b = refs[idx], refs[idx + 1]
                 idx += 2
                 if kind == "full":
-                    pairs.append((a[:].astype(jnp.int32),
-                                  b[:].astype(jnp.int32)))
+                    pairs.append((ld(a).astype(jnp.int32),
+                                  ld(b).astype(jnp.int32)))
                 else:
-                    pairs.append(h2taps(a[:], b[:]))
+                    pairs.append(h2taps(ld(a), ld(b)))
             for p in (0, 1):
                 outs = _tail_color(jnp, transform, [pr[p] for pr in pairs])
                 for c, o in enumerate(outs):
@@ -131,7 +140,7 @@ def _fused_tail_kernel(kinds: tuple, transform: str, h2: bool):
             chans = []
             for kind in kinds:
                 if kind == "full":
-                    chans.append(refs[idx][:].astype(jnp.int32))
+                    chans.append(ld(refs[idx]).astype(jnp.int32))
                     idx += 1
                 else:
                     n, f = refs[idx], refs[idx + 1]
@@ -139,7 +148,7 @@ def _fused_tail_kernel(kinds: tuple, transform: str, h2: bool):
                     # V2 vertical triangle taps
                     # (/root/reference/src/upsampler.rs:166-188).
                     chans.append(
-                        (3 * n[:].astype(jnp.int32) + f[:].astype(jnp.int32)
+                        (3 * ld(n).astype(jnp.int32) + ld(f).astype(jnp.int32)
                          + 2) >> 2)
             outs = _tail_color(jnp, transform, chans)
             for c, o in enumerate(outs):
@@ -171,23 +180,29 @@ def fused_tail_pallas(planes, comp_modes, chroma_dims, transform: str,
     hc, wc = chroma_dims if chroma_dims is not None else (out_h, out_w)
     full_w = 2 * wc if h2 else out_w
 
+    # Column crops happen in the pallas_call's input DMA (block width kw
+    # over wider arrays), never as a jnp minor-dim slice: slicing a u8
+    # plane's lane dimension forces a full-array relayout (measured
+    # +1.09 ms/large_image — the single largest recon cost, round 4).
+    # Only row ops (major-dim, free) and the h2 parity split stay in XLA.
     def near_far(p, v2: bool):
-        p2 = p[:hc, :wc]
+        p2 = p[:hc]
         if not v2:
             near = p2[:out_h]
             return near, near
         near = jnp.repeat(p2, 2, axis=0)[:out_h]
         down = jnp.concatenate([p2[:1], p2[:-1]], axis=0)
         up = jnp.concatenate([p2[1:], p2[-1:]], axis=0)
-        far = jnp.stack([down, up], axis=1).reshape(2 * hc, wc)[:out_h]
+        far = jnp.stack([down, up], axis=1).reshape(2 * hc, -1)[:out_h]
         return near, far
 
     def full_res(p):
-        p = p[:out_h, :full_w]
-        if p.shape[1] < full_w:
-            p = jnp.concatenate(
-                [p, jnp.zeros((out_h, full_w - p.shape[1]), p.dtype)], axis=1)
+        p = p[:out_h]
         if h2:
+            if p.shape[1] < full_w:
+                p = jnp.concatenate(
+                    [p, jnp.zeros((out_h, full_w - p.shape[1]), p.dtype)],
+                    axis=1)
             # Column-parity split (strided slices are XLA's job); pad the odd
             # half when full_w is odd.
             return p[:, 0::2], p[:, 1::2]
@@ -212,11 +227,15 @@ def fused_tail_pallas(planes, comp_modes, chroma_dims, transform: str,
     n_out = len(planes) * (2 if h2 else 1)
 
     grid = (h_pad // row_tile,)
-    spec = pl.BlockSpec((row_tile, kw), lambda i: (i, 0))
+    # Per-input block widths span each FULL (possibly wider-than-kw) array —
+    # TPU block specs demand the lane dim divide 128 or equal the array's —
+    # and the kernel lane-slices to kw in VMEM (see _fused_tail_kernel.ld).
+    in_specs = [pl.BlockSpec((row_tile, int(a.shape[1])), lambda i: (i, 0))
+                for a in inputs]
     out = pl.pallas_call(
-        _fused_tail_kernel(kinds, transform, h2),
+        _fused_tail_kernel(kinds, transform, h2, kw),
         grid=grid,
-        in_specs=[spec] * len(inputs),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((n_out, row_tile, kw), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_out, h_pad, kw), jnp.uint8),
         interpret=interpret,

@@ -763,3 +763,43 @@ def test_delta_wire_merge_parity():
             assert np.array_equal(np.asarray(gbase)[sl],
                                   ebase + i * nb_img)
         assert np.all(np.asarray(gbase)[ni_tot:] == nb_img * N)
+
+
+def test_pack_delta_native_matches_numpy_mirror():
+    """ABI-15 jt_pack_delta vs the numpy mirror, corpus-wide: identical dm
+    words (incl. terminator), class counts, class max-syms — and identical
+    fallback decisions."""
+    from conftest import reftest_files
+    from jpeg_decoder_tpu.entropy.native import get_native
+    from jpeg_decoder_tpu.entropy.pallas_decode import pack_delta_meta_np
+
+    native = get_native()
+    if native is None or not hasattr(native, "pack_delta_meta"):
+        pytest.skip("native library unavailable")
+    covered = 0
+    for path in reftest_files():
+        if "lossless" in str(path):
+            continue
+        try:
+            scans = _staged_scans(path)
+        except Exception:
+            continue
+        for staged in scans:
+            if staged.chunk_end is None or staged.n_items == 0:
+                continue
+            n = staged.n_items
+            ref = pack_delta_meta_np(staged)
+            dm = np.empty(n + 1, np.uint32)
+            got = native.pack_delta_meta(
+                staged.anchor_bits[:n], staged.anchor_block[:n + 1],
+                staged.anchor_slot[:n], staged.chunk_end[:n],
+                staged.chunk_syms[:n], n, dm)
+            assert (got is None) == (ref is None), path
+            if ref is None:
+                continue
+            covered += 1
+            rdm, rcnt, rsyms = ref
+            assert np.array_equal(dm, rdm), path
+            assert np.array_equal(got[0], rcnt), path
+            assert np.array_equal(got[1], rsyms), path
+    assert covered >= 20, covered

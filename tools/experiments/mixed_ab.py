@@ -107,6 +107,32 @@ def main(repeat: int = 3) -> int:
     print(f"small-mixed hetero vs per-key: "
           f"{results['s2-per-key'] / results['s2-hetero']:.2f}x")
 
+    # Scenario 3 (round-4 verdict item 8 — SECOND mixed profile): serving
+    # thumbnails alongside 2 Mpix hero images. Validates the size-aware
+    # threshold on a distribution shaped unlike scenario 1/2: with the
+    # default policy the heroes dispatch per-key fused pipelines while the
+    # thumbnails hetero-merge; "always" forces the heroes into the sweep
+    # too; "never" is the round-2 per-plan behavior.
+    sizes3 = ([(160, 120)] * 6 + [(1600, 1280)] + [(208, 160)] * 6
+              + [(1600, 1280)] + [(160, 120)] * 6 + [(1600, 1280)])
+    imgs3 = [synth(w, h, 200 + i) for i, (w, h) in enumerate(sizes3)]
+    mpix3 = sum(w * h for (w, h) in sizes3) / 1e6
+    print(f"thumbs+hero stream: {len(imgs3)} imgs, {mpix3:.2f} Mpix, "
+          f"{len(set(sizes3))} plans")
+    for tag, env in (("default", None), ("always", "999"), ("never", "0")):
+        if env is None:
+            os.environ.pop("JPEG_TPU_HETERO_BITS", None)
+        else:
+            os.environ["JPEG_TPU_HETERO_BITS"] = env
+        dec = S.DeviceStreamDecoder(host_threads=4, interchange="bits")
+        timed_stream(dec, imgs3, 32, jax, jnp)  # warm
+        best = min(timed_stream(dec, imgs3, 32, jax, jnp)[0]
+                   for _ in range(repeat))
+        results["s3-" + tag] = best
+        print(f"{tag:>8}: {len(imgs3) / best:6.1f} img/s  "
+              f"{mpix3 / best:6.1f} Mpix/s  ({best * 1e3:.0f} ms)")
+    os.environ.pop("JPEG_TPU_HETERO_BITS", None)
+
     # Mesh engines on a uniform group: Pallas engine vs forced-XLA
     # (what a heterogeneous mesh group falls back to).
     from jpeg_decoder_tpu.parallel import make_mesh

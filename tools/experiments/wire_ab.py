@@ -5,6 +5,9 @@
   words: compressed words shipped once + 12 B/chunk; slot tiles materialised
          on device by a row gather + constant shift (build_pallas_decoder
          device_slots=True).
+  words-packed: 8 B/chunk compact metadata.
+  delta: 4 B/chunk (round 4) — anchor-bit delta | budget | slot0 in one u32,
+         everything else rebuilt on device (pack_delta/unpack_delta_classes).
 
 Reports per-path wire bytes/pixel, device-decode parity (on-device compare,
 D2H scalars only), and the sustained (post-burst) stream rate through the
@@ -61,30 +64,32 @@ def main():
     print(f"large_image: {len(data)} B source ({len(data) / px:.3f} B/px), "
           f"{mpix:.2f} Mpix")
 
-    for wire in ("slots", "words"):
+    WIRES = ("slots", "words", "words-packed", "delta")
+    for wire in WIRES:
         wb = wire_bytes(data, wire)
         print(f"wire={wire}: H2D {wb} B = {wb / px:.3f} B/px")
 
     # Parity: decode through both wires, compare ON DEVICE.
     outs = {}
-    for wire in ("slots", "words"):
+    for wire in WIRES:
         dec = fresh_decoder(wire)
         t0 = time.perf_counter()
         outs[wire] = dec.decode_stream([data])[0]
         outs[wire].block_until_ready()
         print(f"wire={wire}: first decode (incl compile) "
               f"{time.perf_counter() - t0:.1f}s")
-    same = bool(jnp.array_equal(outs["slots"], outs["words"]))
-    print("parity slots == words:", same)
-    if not same:
-        diff = int(jnp.abs(outs["slots"].astype(jnp.int32)
-                           - outs["words"].astype(jnp.int32)).max())
-        print("MAX DIFF:", diff)
-        sys.exit(1)
+    for wire in WIRES[1:]:
+        same = bool(jnp.array_equal(outs["slots"], outs[wire]))
+        print(f"parity slots == {wire}:", same)
+        if not same:
+            diff = int(jnp.abs(outs["slots"].astype(jnp.int32)
+                               - outs[wire].astype(jnp.int32)).max())
+            print("MAX DIFF:", diff)
+            sys.exit(1)
     del outs
 
     from bench import _deadline, _measure_sustained
-    order = ["words", "slots"]
+    order = ["delta", "words-packed", "slots"]
     if "--reverse" in sys.argv:
         order.reverse()
     results = {}
@@ -95,7 +100,9 @@ def main():
             results[wire] = _measure_sustained(dec, data, mpix, budget_s=20.0)
         print(f"sustained {wire}: {results.get(wire, 0.0):.1f} Mpix/s")
     if results.get("slots"):
-        print(f"speedup: {results['words'] / results['slots']:.2f}x")
+        print(f"delta vs slots: {results['delta'] / results['slots']:.2f}x; "
+              f"delta vs words-packed: "
+              f"{results['delta'] / results['words-packed']:.2f}x")
 
 
 if __name__ == "__main__":
