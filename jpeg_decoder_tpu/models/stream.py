@@ -1392,7 +1392,8 @@ class DeviceStreamDecoder:
             return fn(scan_args, staged.qts)
 
     def device_resident_rate(self, source, iters: int = 32, scale_to=None,
-                             reps: int = 2):
+                             reps: int = 2, pad_output: bool = False,
+                             batch: int = 1):
         """Relay-phase-immune chip rate for the FULL device pipeline (entropy
         kernel + assembly + dequant/IDCT/upsample/color): `iters` decodes run
         inside ONE jitted lax.fori_loop over device-resident inputs, so a
@@ -1405,7 +1406,15 @@ class DeviceStreamDecoder:
 
         Accepts any source the stream accepts: baseline rides the bits wire,
         progressive rides the transcode wire, lossless rides the diff wire.
-        Returns {"ms_per_image", "mpix_s", "interchange"}."""
+
+        pad_output=True keeps the block-padded physical width (no exact
+        crop) — measured ~neutral on v5e (the output materialization costs
+        the same either way); kept for layout experiments. batch>1 merges
+        `batch` copies into one kernel sweep + vmapped recon per iteration
+        (the serving shape; amortizes the single-image pipeline's small
+        per-class kernel grids).
+        Returns {"ms_per_image", "mpix_s", "interchange"} (per image)."""
+        import dataclasses as _dc
         import time as _time
 
         import jax
@@ -1413,7 +1422,58 @@ class DeviceStreamDecoder:
 
         staged = stage_host_bits(source, scale_to, self.precision,
                                  pool_width=self.host_threads)
-        if isinstance(staged, StagedBits):
+        if pad_output and isinstance(staged, StagedBits):
+            g = staged.geometry
+            wp = min(c.blocks_wide * c.dct_scale * c.h_scale
+                     for c in g.components)
+            hp = min(c.blocks_high * c.dct_scale * c.v_scale
+                     for c in g.components)
+            if (wp, hp) != (g.out_width, g.out_height):
+                staged = _dc.replace(
+                    staged, geometry=_dc.replace(
+                        g, out_width=wp, out_height=hp,
+                        components=tuple(
+                            _dc.replace(c, size_width=min(
+                                c.size_width + 7 & ~7, c.blocks_wide
+                                * c.dct_scale),
+                                size_height=min(
+                                    c.size_height + 7 & ~7, c.blocks_high
+                                    * c.dct_scale))
+                            for c in g.components)))
+        if batch > 1 and isinstance(staged, StagedBits) \
+                and staged.pallas and staged.pallas[0] is not None \
+                and len(staged.scans) == 1:
+            # Batched variant (the serving shape): `batch` copies merged into
+            # ONE kernel sweep + vmapped assembly/recon per iteration —
+            # amortizes the single-image pipeline's small per-class grids.
+            from ..entropy.pallas_decode import (merge_image_packs,
+                                                 merge_image_packs_delta,
+                                                 merge_image_packs_words)
+            scan0, _kept = staged.scans[0]
+            entry = staged.pallas[0]
+            wire = entry[2]
+            merge = (merge_image_packs_delta if wire == "delta"
+                     else merge_image_packs_words if wire.startswith("words")
+                     else merge_image_packs)
+            combined, shapes = merge([entry[:2]] * batch,
+                                     scan0.plan.n_blocks)
+            layout = self._effective_layout(staged.geometry)
+            fn = _compiled_bits_pipeline_batched(
+                scan0.plan, batch, tuple(s[:3] for s in shapes),
+                len(scan0.tab_maxcode), scan0.comp_to_upair,
+                staged.geometry, layout, device_slots=_wire_flag(wire),
+                interpret=_bits_pallas_mode() == "interpret")
+            ncomp = len(staged.qts)
+            qts_b = tuple(np.stack([staged.qts[c]] * batch)
+                          for c in range(ncomp))
+            mc = self._put_cached(scan0.tab_maxcode)
+            dl = self._put_cached(scan0.tab_delta)
+            vv = self._put_cached(scan0.tab_values.view(np.int32))
+            args_a = tuple(jax.device_put(a) for a in combined)
+            args_b = tuple(jax.device_put(a) for a in combined)
+            call = lambda args: fn(args, mc, dl, vv, qts_b)  # noqa: E731
+            kind = f"bits-batch{batch}"
+        elif isinstance(staged, StagedBits):
             fn, args_a = self._bits_fn_args(staged)
             _, args_b = self._bits_fn_args(staged)
             qts = staged.qts
@@ -1455,8 +1515,9 @@ class DeviceStreamDecoder:
             t0 = _time.perf_counter()
             int(jax.device_get(chained(args_a, args_b)))
             best = min(best, (_time.perf_counter() - t0) / iters)
-        return {"ms_per_image": round(best * 1e3, 3),
-                "mpix_s": round(staged.mpix / best, 1),
+        per_image = best / max(batch, 1)
+        return {"ms_per_image": round(per_image * 1e3, 3),
+                "mpix_s": round(staged.mpix / per_image, 1),
                 "interchange": kind}
 
     def decode_stream(self, sources: Iterable, scale_to=None,

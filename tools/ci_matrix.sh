@@ -86,7 +86,15 @@ run "specprescan" env JPEG_TPU_SPEC_PRESCAN=4096 python -m pytest \
 run "fuzzdev-spec" env PYTHONPATH= JPEG_TPU_SPEC_PRESCAN=4096 \
     python tools/fuzz.py 150 11 --device
 
-# 9. Benchmark smoke (the reference CI *runs* its benches,
+# 9. Legacy wire configurations (the default wire moved to "delta" in
+#    round 4; the words/slots paths must stay green — production degrades
+#    onto them per scan).
+run "wire-words-packed" env JPEG_TPU_WIRE=words-packed python -m pytest \
+    tests/test_stream_bits.py tests/test_pallas_decode.py -x -q "$@"
+run "wire-slots" env JPEG_TPU_WIRE=slots python -m pytest \
+    tests/test_stream_bits.py -x -q "$@"
+
+# 10. Benchmark smoke (the reference CI *runs* its benches,
 #    /root/reference/.github/workflows/rust.yml:36-40): a perf-path import
 #    or staging regression must fail the gate, not the next bench run.
 #    --smoke decodes each bench input once on the CPU tier.

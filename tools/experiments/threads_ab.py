@@ -15,6 +15,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 
 def log(*a):
@@ -43,8 +44,13 @@ def main():
     data = open("/root/reference/benches/large_image.jpg", "rb").read()
     mpix = 2268 * 1512 / 1e6
 
-    # Full published sweep (BASELINE.md cites 3->674, 4->712, 5->762,
-    # 6->753, 8->653 Mpix/s from this harness).
+    # Label the relay phase: the optimum shifts when the link degrades
+    # (bench.py picks 5 healthy / 3 degraded from this harness's columns).
+    from bench import _link_probe_mb_s
+    log(f"link probe: {_link_probe_mb_s()} MB/s")
+
+    # Full published sweep (BASELINE.md cites healthy-phase 3->674, 4->712,
+    # 5->762, 6->753, 8->653 Mpix/s from this harness).
     results = {}
     for nt in (3, 4, 5, 6, 8):
         dec = DeviceStreamDecoder(host_threads=nt)
@@ -55,6 +61,7 @@ def main():
         del dec
     best = max(results, key=results.get)
     log(f"BEST host_threads={best} ({results[best]:.0f} Mpix/s)")
+    log(f"link probe after: {_link_probe_mb_s()} MB/s")
 
 
 if __name__ == "__main__":
