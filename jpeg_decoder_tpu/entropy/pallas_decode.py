@@ -441,11 +441,13 @@ def pack_delta(staged: AnchoredScan):
     # dm must cover the terminator AND every class's [off, off + nb)
     # dynamic-slice window (padded tails read dead rows, masked on device).
     n_pad = _bucket_items(max(n + 1, max_need))
-    dm = np.zeros(n_pad, np.uint32)
+    dm = np.empty(n_pad, np.uint32)
     dm[:n + 1] = dm_head
-    wpad = np.zeros(_bucket_words(staged.n_words + WORDS_PAD), np.uint32)
-    wpad[:staged.n_words] = np.ascontiguousarray(
-        staged.words[:staged.n_words], dtype=np.uint32)
+    dm[n + 1:] = 0
+    nw = staged.n_words
+    wpad = np.empty(_bucket_words(nw + WORDS_PAD), np.uint32)
+    wpad[:nw] = staged.words[:nw]
+    wpad[nw:] = 0
     return ((wpad.view(np.int32), dm.view(np.int32),
              np.asarray(cnts, np.int32)), tuple(shapes))
 
@@ -852,6 +854,18 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
     return call
 
 
+def _nat_mxu() -> bool:
+    """Dense->nat transpose strategy. MEASURED DEAD END on v5e (hardware
+    A/B, tools/experiments/nat_mxu_ab.py 2026-08-20): the dot(X, I)
+    formulation is 0.96x at DEFAULT matmul precision AND wrong — TPU
+    f32 matmuls decompose to bf16 passes by default, rounding the 17-bit
+    coefficient range; HIGHEST (6-pass) costs ~3x the FLOPs and loses
+    worse. The vreg transpose stays the default; the flag remains for
+    re-measurement on other generations (JPEG_TPU_NAT_MXU=1 forces)."""
+    import os
+    return os.environ.get("JPEG_TPU_NAT_MXU", "0") not in ("0", "", "off")
+
+
 def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
                        n_blocks: int, device_slots: bool = False,
                        interpret: bool = False):
@@ -951,8 +965,23 @@ def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
             # exact in wrap-16 (AC coefficients directly; DC diffs modulo
             # 2^16, which the assembler's wrapping prefix sum preserves) and
             # the transpose write + rowmap gather traffic halves.
-            rows.append(jnp.transpose(dense, (1, 2, 3, 0))
-                        .reshape(-1, 64).astype(jnp.int16))
+            if _nat_mxu():
+                # Transpose on the MXU: X^T as dot(X, I) with the shared
+                # axis contracted — |values| < 2^17 are exact in f32, and
+                # the wrap-16 narrow goes through int32 (f32->i16 would
+                # CLAMP, not wrap). A vreg-layout relayout at ~25 GB/s
+                # (2.69 ms/large_image measured) becomes a ~24 GFLOP
+                # matmul; backend-measured default (see _nat_mxu).
+                df = dense.reshape(dense.shape[0], -1).astype(jnp.float32)
+                eye = jnp.eye(dense.shape[0], dtype=jnp.float32)
+                natm = jax.lax.dot_general(
+                    df, eye, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                rows.append(natm.reshape(-1, 64)
+                            .astype(jnp.int32).astype(jnp.int16))
+            else:
+                rows.append(jnp.transpose(dense, (1, 2, 3, 0))
+                            .reshape(-1, 64).astype(jnp.int16))
 
             # Per-class propagation: this class's items are stream-ordered,
             # so (start block, padded base) both increase — cummax fills
