@@ -1391,8 +1391,8 @@ class DeviceStreamDecoder:
         with self._stage("device_dispatch"):
             return fn(scan_args, staged.qts)
 
-    def device_resident_rate(self, source, iters: int = 32, scale_to=None,
-                             reps: int = 2, pad_output: bool = False,
+    def device_resident_rate(self, source, iters: int = 64, scale_to=None,
+                             reps: int = 3, pad_output: bool = False,
                              batch: int = 1):
         """Relay-phase-immune chip rate for the FULL device pipeline (entropy
         kernel + assembly + dequant/IDCT/upsample/color): `iters` decodes run
