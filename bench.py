@@ -229,7 +229,7 @@ def _deadline(seconds: int):
         signal.signal(signal.SIGALRM, old)
 
 
-def _device_available(timeout_s: int = 300, attempts: int = 2) -> bool:
+def _device_available(timeout_s: int = 360, attempts: int = 3) -> bool:
     """Probe the TPU backend in a subprocess with a hard wall-clock bound.
 
     During relay-tunnel outages `jax.devices()` HANGS inside native code in
@@ -247,7 +247,7 @@ def _device_available(timeout_s: int = 300, attempts: int = 2) -> bool:
             "import jax.numpy as jnp; "
             "assert jax.default_backend() == 'tpu'; "
             "float(jnp.ones((8, 128)).sum())")
-    for _ in range(attempts):
+    for attempt in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=timeout_s, capture_output=True)
@@ -255,6 +255,11 @@ def _device_available(timeout_s: int = 300, attempts: int = 2) -> bool:
                 return True
         except Exception:
             pass
+        if attempt + 1 < attempts:
+            # Transient pool/tunnel hiccups (observed 2026-08-20: one
+            # probe window failed between two healthy sessions) must not
+            # flip the official record onto the CPU fallback path.
+            time.sleep(45)
     return False
 
 

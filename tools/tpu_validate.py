@@ -411,7 +411,7 @@ def main() -> int:
     data = open(CASES[-1], "rb").read()
     prefix = DeviceStreamDecoder(host_threads=3, interchange="prefix")
     b = prefix.decode_stream([data])[0]
-    for wire in ("slots", "words", "words-packed"):
+    for wire in ("slots", "words", "words-packed", "delta"):
         os.environ["JPEG_TPU_WIRE"] = wire
         bits = DeviceStreamDecoder(host_threads=3, interchange="bits")
         a = bits.decode_stream([data])[0]
