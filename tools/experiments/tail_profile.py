@@ -107,6 +107,37 @@ def main():
         denses, _ = run_kernels(combined, mc, dl, vv)
         return sum(d.sum() for d in denses)
 
+    def f_b1(combined, mc, dl, vv):
+        # transpose + i16 narrow only (no rowmap, no gather)
+        denses, _ = run_kernels(combined, mc, dl, vv)
+        return sum(jnp.transpose(d, (1, 2, 3, 0)).reshape(-1, 64)
+                   .astype(jnp.int16).astype(jnp.int32).sum()
+                   for d in denses)
+
+    def f_b2(combined, mc, dl, vv):
+        # transpose + the rowmap build (scatter + cummax + merge), no gather
+        denses, starts_l = run_kernels(combined, mc, dl, vv)
+        tsum = sum(jnp.transpose(d, (1, 2, 3, 0)).reshape(-1, 64)
+                   .astype(jnp.int16).astype(jnp.int32).sum()
+                   for d in denses)
+        first_blks, base_rows_all = [], []
+        for starts, (sw, _sm, nb), row0 in zip(starts_l, shapes,
+                                               class_row_base):
+            pb = jnp.arange(nb, dtype=jnp.int32) * K_CAP + row0
+            fb = jnp.full(n_blocks, -1, jnp.int32).at[starts].set(
+                starts, mode="drop")
+            br = jnp.zeros(n_blocks, jnp.int32).at[starts].set(
+                pb, mode="drop")
+            first_blks.append(lax.cummax(fb))
+            base_rows_all.append(lax.cummax(br))
+        best_fb, best_br = first_blks[0], base_rows_all[0]
+        for fb, br in zip(first_blks[1:], base_rows_all[1:]):
+            better = fb > best_fb
+            best_br = jnp.where(better, br, best_br)
+            best_fb = jnp.where(better, fb, best_fb)
+        rowmap = best_br + (jnp.arange(n_blocks, dtype=jnp.int32) - best_fb)
+        return tsum + rowmap.sum()
+
     def f_b(combined, mc, dl, vv):
         denses, starts_l = run_kernels(combined, mc, dl, vv)
         return to_nat(denses, starts_l).sum()
@@ -132,7 +163,10 @@ def main():
     tabs = (jax.device_put(st.tab_maxcode), jax.device_put(st.tab_delta),
             jax.device_put(st.tab_values.view(np.int32)))
 
-    stages = [("A kernel", jax.jit(f_a)), ("B +nat", jax.jit(f_b)),
+    stages = [("A kernel", jax.jit(f_a)),
+              ("B1 +transpose", jax.jit(f_b1)),
+              ("B2 +rowmap", jax.jit(f_b2)),
+              ("B +nat", jax.jit(f_b)),
               ("C +assemble[struct]", jax.jit(f_c)),
               ("D +assemble[gather]", jax.jit(f_d))]
     for name, fn in stages:
@@ -149,10 +183,15 @@ def main():
 
     for name, fn in stages:   # throwaway warm pass
         timed(fn, n=3)
-    results = [(name, timed(fn)) for name, fn in stages]
-    base = {"A kernel": 0.0, "B +nat": results[0][1]}
-    for name, per in results:
-        prev = base.get(name, results[1][1])   # C/D delta vs B
+    results = dict((name, timed(fn)) for name, fn in stages)
+    baseline_of = {"A kernel": None, "B1 +transpose": "A kernel",
+                   "B2 +rowmap": "A kernel", "B +nat": "A kernel",
+                   "C +assemble[struct]": "B +nat",
+                   "D +assemble[gather]": "B +nat"}
+    for name, _fn in stages:
+        per = results[name]
+        prev = results.get(baseline_of[name], 0.0) if baseline_of[name] \
+            else 0.0
         print(f"{name}: {per * 1e3:7.2f} ms  (+{(per - prev) * 1e3:6.2f})  "
               f"{mpix / per:5.0f} Mpix/s")
 
