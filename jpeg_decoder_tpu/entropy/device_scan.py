@@ -965,6 +965,67 @@ def build_assembler_nat(plan: ScanPlan, flat_stores: bool = True):
     return assemble_nat
 
 
+def _fused_asm_enabled() -> bool:
+    """Fused (rows, rowmap) assembly: JPEG_TPU_FUSED_ASM=1/0 forces;
+    default = on for TPU backends (hardware-measured, see
+    build_assembler_fused), off elsewhere (CPU keeps the structured nat
+    path, measured best there)."""
+    v = os.environ.get("JPEG_TPU_FUSED_ASM")
+    if v is not None:
+        return v not in ("0", "", "off")
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def build_assembler_fused(plan: ScanPlan, flat_stores: bool = True):
+    """Assembly straight off the padded kernel rows: consumes
+    (rows [rows_total, 64] i16, rowmap [n_blocks] i32) from
+    build_pallas_sweep(raw=True) and composes the plan's STRUCTURED
+    stream slice into the ROWMAP (reshape/slice on the i32 index array —
+    vector ops), so each component's stream-ordered rows come from ONE
+    row gather. The nat intermediate — a full extra n_blocks-row gather
+    plus its materialization, +1.19 ms/large_image on v5e
+    (tools/experiments/tail_profile.py B-substage, round 4) — disappears.
+    DC prefix semantics and the raster row-gather placement are identical
+    to build_assembler_nat's general path (bit-exact, tested against it
+    corpus-wide on random rows). Requires plan.structured; callers fall
+    back to the nat path otherwise. Returns fn(rows, rowmap) -> stores.
+    """
+    import jax.numpy as jnp
+
+    assert plan.structured is not None
+    (n_mcus, _rows_d, _cols_d, plen), specs = plan.structured
+    raster_src = [jnp.asarray(a) for a in plan.raster_src]
+
+    def assemble(rows_padded, rowmap):
+        by_mcu_idx = rowmap.reshape(n_mcus, plen)
+        stores = []
+        for c, (slot0, bpm, _vs, _hs, _Hc, _W, seg_blocks) in enumerate(
+                specs):
+            idx = by_mcu_idx[:, slot0:slot0 + bpm].reshape(-1)
+            rows_c = jnp.take(rows_padded, idx, axis=0)   # ONE row gather
+            n_c = n_mcus * bpm
+            cum = jnp.cumsum(rows_c[:, 0].astype(jnp.int32))
+            if 0 < seg_blocks < n_c:
+                prev = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
+                nseg = -(-n_c // seg_blocks)
+                base = jnp.repeat(prev[:nseg * seg_blocks:seg_blocks],
+                                  seg_blocks)[:n_c]
+                dc = cum - base
+            else:
+                dc = cum
+            rows_c = rows_c.at[:, 0].set(dc.astype(jnp.int16))
+            ext = jnp.concatenate([rows_c, jnp.zeros((1, 64), jnp.int16)])
+            grid = ext[raster_src[c]]
+            stores.append(grid.reshape(-1) if flat_stores else grid)
+        return stores
+
+    return assemble
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_anchored_decoder(plan: ScanPlan):
     """jit'd standalone decoder for one scan shape."""

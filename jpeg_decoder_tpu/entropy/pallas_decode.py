@@ -868,7 +868,7 @@ def _nat_mxu() -> bool:
 
 def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
                        n_blocks: int, device_slots: bool = False,
-                       interpret: bool = False):
+                       interpret: bool = False, raw: bool = False):
     """The per-class Pallas kernel sweep + rowmap compaction, independent of
     any per-image plan: returns fn(combined, mc, dl, vv) -> nat, an int16
     [n_blocks, 64] coefficient tensor in stream block order. Shared by the
@@ -1009,6 +1009,11 @@ def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
         rowmap = jnp.clip(best_br + (arange_b - best_fb), 0, rows_total - 1)
 
         all_rows = jnp.concatenate(rows)
+        if raw:
+            # Fused-assembly mode: the consumer composes its per-component
+            # stream maps into `rowmap` and gathers straight off the padded
+            # rows (build_assembler_fused) — no nat materialization.
+            return all_rows, rowmap
         return jnp.take(all_rows, rowmap, axis=0)
 
     return run
@@ -1042,6 +1047,26 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
         comp_to_upair = tuple(range(max(plan.pattern or [0]) + 1))
     pattern = tuple(comp_to_upair[c] for c in plan.pattern)
     n_blocks = plan.n_blocks * n_images
+
+    from .device_scan import _fused_asm_enabled, build_assembler_fused
+    if plan.structured is not None and _fused_asm_enabled():
+        # Fused assembly (round 4): the sweep hands back (rows, rowmap)
+        # and the assembler composes the structured stream maps into the
+        # rowmap — one gather per component, no nat intermediate.
+        sweep = build_pallas_sweep(class_shapes, n_tab, pattern, n_blocks,
+                                   device_slots=device_slots,
+                                   interpret=interpret, raw=True)
+        assemble = build_assembler_fused(plan, flat_stores)
+
+        def run(combined, mc, dl, vv):
+            rows, rowmap = sweep(combined, mc, dl, vv)
+            if n_images > 1:
+                rm = rowmap.reshape(n_images, plan.n_blocks)
+                return jax.vmap(lambda r: assemble(rows, r))(rm)
+            return assemble(rows, rowmap)
+
+        return run
+
     sweep = build_pallas_sweep(class_shapes, n_tab, pattern, n_blocks,
                                device_slots=device_slots, interpret=interpret)
     assemble_nat = build_assembler_nat(plan, flat_stores)

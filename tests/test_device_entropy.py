@@ -166,3 +166,52 @@ def test_structured_assembler_matches_gather(monkeypatch):
             assert x.dtype == y.dtype == np.int16
             assert (np.asarray(x) == np.asarray(y)).all(), \
                 f"comp {c} of plan {plan._key}"
+
+
+def test_fused_assembler_matches_nat():
+    """build_assembler_fused (rows+rowmap composition, the TPU default
+    since round 4) must equal build_assembler_nat(take(rows, rowmap))
+    bit-for-bit on every structured corpus plan — random padded rows and
+    a realistic rowmap stress pad/clamp rows, DC segmentation (DRI
+    plans), and multi-block-per-MCU patterns."""
+    import jax.numpy as jnp
+    from conftest import reftest_files
+    from jpeg_decoder_tpu.entropy.device_scan import (build_assembler_fused,
+                                                      build_assembler_nat)
+
+    rng = np.random.default_rng(42)
+    covered = 0
+    for path in list(reftest_files())[:40]:
+        if "lossless" in str(path):
+            continue
+        try:
+            d = Decoder(str(path))
+            cap = AnchorCapture()
+            d._prefix_capture = cap
+            d._decode_entropy_only()
+            scans = [s for s, _c in cap.scans]
+        except Exception:
+            continue
+        for staged in scans:
+            plan = staged.plan
+            if plan.structured is None or plan.n_blocks == 0:
+                continue
+            covered += 1
+            nb = plan.n_blocks
+            rows_total = nb + 37   # padded rows, incl. never-addressed pad
+            rows = rng.integers(-32768, 32768,
+                                (rows_total, 64)).astype(np.int16)
+            # realistic-ish rowmap: blocks point anywhere into the rows
+            rowmap = rng.integers(0, rows_total, nb).astype(np.int32)
+            fused = build_assembler_fused(plan, flat_stores=False)
+            nat_fn = build_assembler_nat(plan, flat_stores=False)
+            nat = jnp.take(jnp.asarray(rows), jnp.asarray(rowmap), axis=0)
+            a = fused(jnp.asarray(rows), jnp.asarray(rowmap))
+            b = nat_fn(nat)
+            assert len(a) == len(b)
+            for c, (x, y) in enumerate(zip(a, b)):
+                assert np.array_equal(np.asarray(x), np.asarray(y)), (
+                    path, c)
+        if covered >= 25:
+            break
+    assert covered >= 10, covered
