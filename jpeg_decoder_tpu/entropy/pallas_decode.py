@@ -403,6 +403,10 @@ def pack_delta(staged: AnchoredScan):
     n = staged.n_items
     if n == 0:
         return None
+    if staged.n_words >= (1 << 26):
+        # Absolute anchor bits must fit the device's int32 cumsum (the
+        # prescan's own uint32 guard allows scans up to 512 MB).
+        return None
 
     from .native import get_native
     native = get_native()
