@@ -86,6 +86,13 @@ run "specprescan" env JPEG_TPU_SPEC_PRESCAN=4096 python -m pytest \
 run "fuzzdev-spec" env PYTHONPATH= JPEG_TPU_SPEC_PRESCAN=4096 \
     python tools/fuzz.py 150 11 --device
 
+# 8c. Fused assembly forced on (the TPU default; CPU default is the
+#     structured nat path) — traces the raw-sweep + rowmap-composition
+#     builders through the stream/mesh trace tests and runs the direct
+#     fused-vs-nat parity test.
+run "fusedasm" env JPEG_TPU_FUSED_ASM=1 python -m pytest \
+    tests/test_stream_bits.py tests/test_device_entropy.py -x -q "$@"
+
 # 9. Legacy wire configurations (the default wire moved to "delta" in
 #    round 4; the words/slots paths must stay green — production degrades
 #    onto them per scan).
