@@ -668,8 +668,25 @@ def materialize_slots(words, sb, sw: int):
     return jnp.transpose(hi | jnp.where(m > 0, lo, 0))
 
 
+def _pack16_enabled() -> bool:
+    """Packed dense emission (round 4): two natural coefficient positions
+    per int32 dense row (wrap16 value in each 16-bit half), OR-accumulated.
+    Sound because every (block, position) is written at most once per
+    baseline scan (DC once at k==0; AC positions strictly increase and the
+    k>=64 clamp fires `done` before a second write can land on 63), so OR
+    == assignment and an emitted 0 coincides with "never written" (both
+    decode to 0). Halves the dominant kernel cost (K_CAP*64 -> K_CAP*32
+    read-modify-write vreg rows per symbol step) AND halves the dense
+    array the layout-forced dense->rows transpose must move (hardware A/B
+    tools/experiments/pack16_ab.py: kernel 2.51 -> 1.78 ms, decode+
+    assembly 5.01 -> 4.26 ms/large_image). JPEG_TPU_PACK16=0 opts out."""
+    import os
+    return os.environ.get("JPEG_TPU_PACK16", "1") not in ("0", "", "off")
+
+
 def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
-                         pattern: tuple, interpret: bool):
+                         pattern: tuple, interpret: bool,
+                         pack16: bool = False):
     """pallas_call-able decode kernel for one class shape."""
     import jax
     import jax.numpy as jnp
@@ -729,7 +746,8 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
             return acc
 
         zero = jnp.zeros(shp, jnp.int32)
-        for r0 in range(KCAP * 64):
+        n_rows = KCAP * (32 if pack16 else 64)
+        for r0 in range(n_rows):
             dense_ref[r0, 0] = zero
 
         def body(t, carry):
@@ -804,16 +822,39 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
             emits = active & (is_dc | ((~is_zrl) & (~is_eob)))
             extm = jnp.where(emits, ext, 0)
 
-            # Dense one-hot accumulation into the chunk's [K_CAP, 64] output
-            # region (factored: 64 position selects + K_CAP row masks).
-            valc = [jnp.where(k_coeff == UNZ_INV[c], extm, 0)
-                    for c in range(64)]
-            for j in range(KCAP):
-                bj = blk == j
-                for c in range(64):
-                    dense_ref[j * 64 + c, 0] = (
-                        dense_ref[j * 64 + c, 0]
-                        + jnp.where(bj, valc[c], zero))
+            if pack16:
+                # Packed dense emission: natural positions 2cp/2cp+1 ride
+                # the low/high 16-bit halves of row j*32+cp as plain wrap16
+                # values, OR-accumulated — write-once per (block, position)
+                # makes OR == assignment, and an emitted 0 coincides with
+                # "never written" exactly (both must decode to 0), so no
+                # written-bit is needed. wrap16 at emission == the unpacked
+                # path's i16 narrow at the transpose, for ALL i32 ext
+                # values including +-32768 mod 2^16 DC deltas.
+                enc = extm & 0xFFFF
+                valp = []
+                for cp in range(32):
+                    lo = jnp.where(k_coeff == UNZ_INV[2 * cp], enc, 0)
+                    hi = jnp.where(k_coeff == UNZ_INV[2 * cp + 1], enc, 0)
+                    valp.append(lo | jax.lax.shift_left(hi, 16))
+                for j in range(KCAP):
+                    bj = blk == j
+                    for cp in range(32):
+                        dense_ref[j * 32 + cp, 0] = (
+                            dense_ref[j * 32 + cp, 0]
+                            | jnp.where(bj, valp[cp], zero))
+            else:
+                # Dense one-hot accumulation into the chunk's [K_CAP, 64]
+                # output region (factored: 64 position selects + K_CAP row
+                # masks).
+                valc = [jnp.where(k_coeff == UNZ_INV[c], extm, 0)
+                        for c in range(64)]
+                for j in range(KCAP):
+                    bj = blk == j
+                    for c in range(64):
+                        dense_ref[j * 64 + c, 0] = (
+                            dense_ref[j * 64 + c, 0]
+                            + jnp.where(bj, valc[c], zero))
 
             # --- state update ---
             consumed = jnp.where(active, length + mag, 0)
@@ -832,6 +873,8 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
         jax.lax.fori_loop(0, s_max, body,
                           (bit0, zero, zero, slot0))
 
+    out_rows = KCAP * (32 if pack16 else 64)
+
     def call(slots_t, meta, base, mc, dl, vv):
         grid = slots_t.shape[1]
         tile = pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
@@ -847,10 +890,10 @@ def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((KCAP * 64, 1, 8, 128),
+            out_specs=pl.BlockSpec((out_rows, 1, 8, 128),
                                    lambda g: (0, g, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((KCAP * 64, grid, 8, 128),
+            out_shape=jax.ShapeDtypeStruct((out_rows, grid, 8, 128),
                                            jnp.int32),
             interpret=interpret,
         )(slots_t, meta, base, mc, dl, vv)
@@ -868,6 +911,28 @@ def _nat_mxu() -> bool:
     re-measurement on other generations (JPEG_TPU_NAT_MXU=1 forces)."""
     import os
     return os.environ.get("JPEG_TPU_NAT_MXU", "0") not in ("0", "", "off")
+
+
+def unpack16_rows(dense, xp=np):
+    """Unpack a pack16 kernel's dense output [K_CAP*32, G, 8, 128] i32 into
+    rows [-1, 64] i16 in the same (chunk-region, natural position) order the
+    unpacked transpose produces. Row j*32+cp packs natural positions 2cp
+    (low 16-bit half) / 2cp+1 (high half) as plain wrap16 values (see the
+    kernel's emit comment: write-once makes OR == assignment and 0 needs
+    no written-bit). The halves interleave along the MAJOR (row) axis
+    before the one transpose — row (j*32+cp)*2+half == j*64 + 2cp + half —
+    so the interleave is pure addressing fused into the transpose read,
+    never a minor-dim element shuffle (a post-transpose axis=-1 stack
+    measured 2.5x SLOWER end-to-end than the unpacked baseline)."""
+    import jax
+
+    lo = (dense & 0xFFFF).astype(xp.int16)  # integer casts wrap (mod 2^16)
+    if xp is np:
+        hi = ((dense >> 16) & 0xFFFF).astype(xp.int16)
+    else:
+        hi = jax.lax.shift_right_logical(dense, 16).astype(xp.int16)
+    d64 = xp.stack([lo, hi], axis=1).reshape(-1, *dense.shape[1:])
+    return xp.transpose(d64, (1, 2, 3, 0)).reshape(-1, 64)
 
 
 def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
@@ -891,8 +956,10 @@ def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
     from .device_scan import K_CAP
 
     class_shapes = tuple(c[:3] for c in class_shapes)
+    pack16 = _pack16_enabled()
     kernels = [
-        _build_decode_kernel(sw, sm, n_tab, pattern, interpret)
+        _build_decode_kernel(sw, sm, n_tab, pattern, interpret,
+                             pack16=pack16)
         for (sw, sm, _nb) in class_shapes]
 
     # Static padded-row base of each class's region in the concatenated rows.
@@ -969,7 +1036,9 @@ def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
             # exact in wrap-16 (AC coefficients directly; DC diffs modulo
             # 2^16, which the assembler's wrapping prefix sum preserves) and
             # the transpose write + rowmap gather traffic halves.
-            if _nat_mxu():
+            if pack16:
+                rows.append(unpack16_rows(dense, xp=jnp))
+            elif _nat_mxu():
                 # Transpose on the MXU: X^T as dot(X, I) with the shared
                 # axis contracted — |values| < 2^17 are exact in f32, and
                 # the wrap-16 narrow goes through int32 (f32->i16 would

@@ -803,3 +803,46 @@ def test_pack_delta_native_matches_numpy_mirror():
             assert np.array_equal(got[0], rcnt), path
             assert np.array_equal(got[1], rsyms), path
     assert covered >= 20, covered
+
+
+def test_unpack16_rows_roundtrip():
+    """pack16 dense emission (round 4): packing two natural positions per
+    int32 row (bias-encoded 16-bit halves, 0 = unwritten) must unpack to
+    exactly the rows the unpacked [K_CAP*64] transpose produces — same
+    row order, same natural-position columns, same wrap-16 values."""
+    import jax
+    import jax.numpy as jnp
+    from jpeg_decoder_tpu.entropy.device_scan import K_CAP
+    from jpeg_decoder_tpu.entropy.pallas_decode import unpack16_rows
+
+    rng = np.random.default_rng(7)
+    G = 2
+    # Write-once sparse values per (lane, chunk-block j, position c): the
+    # full int16 range INCLUDING -32768 (a transcoded DC delta of +-32768
+    # mod 2^16 is reachable via DC wraparound and must survive exactly).
+    dense64 = np.zeros((K_CAP * 64, G, 8, 128), np.int32)
+    packed = np.zeros((K_CAP * 32, G, 8, 128), np.int32)
+    n_writes = 5000
+    rows_w = rng.integers(0, K_CAP * 64, n_writes)
+    gs = rng.integers(0, G, n_writes)
+    sub = rng.integers(0, 8, n_writes)
+    lane = rng.integers(0, 128, n_writes)
+    vals = rng.integers(-32768, 32768, n_writes).astype(np.int32)
+    vals[:8] = -32768  # force the wraparound edge into the corpus
+    for r, g, s, l, v in zip(rows_w, gs, sub, lane, vals):
+        if dense64[r, g, s, l] != 0:
+            continue
+        dense64[r, g, s, l] = v
+        j, c = divmod(int(r), 64)
+        word = (int(v) & 0xFFFF) << (16 * (c % 2))
+        if word >= 1 << 31:  # two's-complement wrap (high half, bit 31)
+            word -= 1 << 32
+        packed[j * 32 + c // 2, g, s, l] |= word
+
+    expect = dense64.transpose(1, 2, 3, 0).reshape(-1, 64).astype(np.int16)
+    got_np = unpack16_rows(packed, xp=np)
+    assert got_np.dtype == np.int16
+    assert np.array_equal(got_np, expect)
+    got_j = np.asarray(jax.jit(
+        lambda d: unpack16_rows(d, xp=jnp))(jnp.asarray(packed)))
+    assert np.array_equal(got_j, expect)

@@ -93,6 +93,11 @@ run "fuzzdev-spec" env PYTHONPATH= JPEG_TPU_SPEC_PRESCAN=4096 \
 run "fusedasm" env JPEG_TPU_FUSED_ASM=1 python -m pytest \
     tests/test_stream_bits.py tests/test_device_entropy.py -x -q "$@"
 
+# 8d. Unpacked dense emission forced (pack16 became the default in round
+#     4) — keeps the legacy kernel emission + transpose-narrow path green.
+run "pack16-off" env JPEG_TPU_PACK16=0 python -m pytest \
+    tests/test_stream_bits.py tests/test_pallas_decode.py -x -q "$@"
+
 # 9. Legacy wire configurations (the default wire moved to "delta" in
 #    round 4; the words/slots paths must stay green — production degrades
 #    onto them per scan).
