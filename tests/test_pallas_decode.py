@@ -807,7 +807,7 @@ def test_pack_delta_native_matches_numpy_mirror():
 
 def test_unpack16_rows_roundtrip():
     """pack16 dense emission (round 4): packing two natural positions per
-    int32 row (bias-encoded 16-bit halves, 0 = unwritten) must unpack to
+    int32 row (plain wrap16 16-bit halves, OR-accumulated) must unpack to
     exactly the rows the unpacked [K_CAP*64] transpose produces — same
     row order, same natural-position columns, same wrap-16 values."""
     import jax
