@@ -679,9 +679,10 @@ def _pack16_enabled() -> bool:
     read-modify-write vreg rows per symbol step) AND halves the dense
     array the layout-forced dense->rows transpose must move (hardware A/B
     tools/experiments/pack16_ab.py: kernel 2.51 -> 1.78 ms, decode+
-    assembly 5.01 -> 4.26 ms/large_image). JPEG_TPU_PACK16=0 opts out."""
+    assembly 5.01 -> 4.26 ms/large_image). JPEG_TPU_PACK16=0 opts out;
+    set-but-empty means default-on (the repo-wide '' convention)."""
     import os
-    return os.environ.get("JPEG_TPU_PACK16", "1") not in ("0", "", "off")
+    return os.environ.get("JPEG_TPU_PACK16", "1") not in ("0", "off")
 
 
 def _build_decode_kernel(slot_w: int, s_max: int, n_tab: int,
@@ -937,7 +938,8 @@ def unpack16_rows(dense, xp=np):
 
 def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
                        n_blocks: int, device_slots: bool = False,
-                       interpret: bool = False, raw: bool = False):
+                       interpret: bool = False, raw: bool = False,
+                       pack16: bool = None):
     """The per-class Pallas kernel sweep + rowmap compaction, independent of
     any per-image plan: returns fn(combined, mc, dl, vv) -> nat, an int16
     [n_blocks, 64] coefficient tensor in stream block order. Shared by the
@@ -949,6 +951,11 @@ def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
     comp_to_upair; `n_blocks` may exceed the real merged block count (shape
     bucketing) — padding block positions gather garbage rows (clamped
     in-bounds) that callers never assemble.
+
+    `pack16=None` snapshots the env flag at build time; lru-cached callers
+    must snapshot it themselves and pass it through as part of their cache
+    key (a stale cached decoder with the other emission layout decodes
+    garbage, not an error).
     """
     import jax
     import jax.numpy as jnp
@@ -956,7 +963,8 @@ def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
     from .device_scan import K_CAP
 
     class_shapes = tuple(c[:3] for c in class_shapes)
-    pack16 = _pack16_enabled()
+    if pack16 is None:
+        pack16 = _pack16_enabled()
     kernels = [
         _build_decode_kernel(sw, sm, n_tab, pattern, interpret,
                              pack16=pack16)
@@ -1096,7 +1104,8 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
                          n_tab: int, flat_stores: bool = True,
                          interpret: bool = False,
                          comp_to_upair: tuple = None,
-                         n_images: int = 1, device_slots: bool = False):
+                         n_images: int = 1, device_slots: bool = False,
+                         pack16: bool = None):
     """Traceable decoder using per-class Pallas kernels + shared assembly.
 
     class_shapes: tuple of (slot_words, s_max, n_bucket[, n_items]) per class
@@ -1128,7 +1137,8 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
         # rowmap — one gather per component, no nat intermediate.
         sweep = build_pallas_sweep(class_shapes, n_tab, pattern, n_blocks,
                                    device_slots=device_slots,
-                                   interpret=interpret, raw=True)
+                                   interpret=interpret, raw=True,
+                                   pack16=pack16)
         assemble = build_assembler_fused(plan, flat_stores)
 
         def run(combined, mc, dl, vv):
@@ -1141,7 +1151,8 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
         return run
 
     sweep = build_pallas_sweep(class_shapes, n_tab, pattern, n_blocks,
-                               device_slots=device_slots, interpret=interpret)
+                               device_slots=device_slots, interpret=interpret,
+                               pack16=pack16)
     assemble_nat = build_assembler_nat(plan, flat_stores)
 
     def run(combined, mc, dl, vv):
@@ -1155,9 +1166,10 @@ def build_pallas_decoder(plan: ScanPlan, class_shapes: tuple,
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_pallas_decoder(plan: ScanPlan, class_shapes: tuple, n_tab: int,
-                             interpret: bool, comp_to_upair: tuple,
-                             device_slots: bool = False):
+def _compiled_pallas_decoder_cached(plan: ScanPlan, class_shapes: tuple,
+                                    n_tab: int, interpret: bool,
+                                    comp_to_upair: tuple,
+                                    device_slots, pack16: bool):
     import jax
 
     from ..ops.pipeline import _enable_compile_cache
@@ -1165,7 +1177,23 @@ def _compiled_pallas_decoder(plan: ScanPlan, class_shapes: tuple, n_tab: int,
     return jax.jit(build_pallas_decoder(plan, class_shapes, n_tab,
                                         interpret=interpret,
                                         comp_to_upair=comp_to_upair,
-                                        device_slots=device_slots))
+                                        device_slots=device_slots,
+                                        pack16=pack16))
+
+
+def _compiled_pallas_decoder(plan: ScanPlan, class_shapes: tuple, n_tab: int,
+                             interpret: bool, comp_to_upair: tuple,
+                             device_slots=False):
+    """lru-cached compiled decoder. The pack16 env flag is snapshotted HERE
+    and made part of the cache key — the kernel layout is baked in at build
+    time, so a flip of JPEG_TPU_PACK16 in-process must miss the cache
+    (ADVICE round 4)."""
+    return _compiled_pallas_decoder_cached(plan, class_shapes, n_tab,
+                                           interpret, comp_to_upair,
+                                           device_slots, _pack16_enabled())
+
+
+_compiled_pallas_decoder.cache_clear = _compiled_pallas_decoder_cached.cache_clear
 
 
 def decode_anchored_pallas(staged: AnchoredScan, interpret: bool = False,

@@ -899,7 +899,8 @@ def _stage_host_decoded_bits(source, scale_to, precision: str):
 def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
                             geometry: ImageGeometry, layout: str,
                             pallas_shapes: tuple = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            pack16: bool = None):
     """Fused device dispatch: anchored entropy decode for every scan +
     dequant/IDCT/upsample/color — one jit, pixels stay in HBM.
 
@@ -924,7 +925,8 @@ def _compiled_bits_pipeline(plans_with_comps: tuple, ncomp: int,
             decoders.append(("pallas", build_pallas_decoder(
                 plan, class_shapes, n_tab, flat_stores=False,
                 interpret=interpret,
-                comp_to_upair=comp_to_upair, device_slots=device_slots)))
+                comp_to_upair=comp_to_upair, device_slots=device_slots,
+                pack16=pack16)))
         else:
             decoders.append(("xla", build_anchored_decoder(
                 plan, flat_stores=False)))
@@ -953,7 +955,8 @@ def _compiled_bits_pipeline_batched(plan, n_images: int, class_shapes: tuple,
                                     n_tab: int, comp_to_upair: tuple,
                                     geometry: ImageGeometry, layout: str,
                                     device_slots: bool = False,
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    pack16: bool = None):
     """Batched bits-interchange dispatch: one merged Pallas chunk sweep over
     n_images same-plan images (merge_image_packs), vmapped assembly +
     reconstruction. Sub-megapixel images are dominated by per-dispatch
@@ -970,7 +973,8 @@ def _compiled_bits_pipeline_batched(plan, n_images: int, class_shapes: tuple,
                                    interpret=interpret,
                                    comp_to_upair=comp_to_upair,
                                    n_images=n_images,
-                                   device_slots=device_slots)
+                                   device_slots=device_slots,
+                                   pack16=pack16)
 
     def recon_one(stores, qts):
         if layout == "planar-pallas":
@@ -991,7 +995,8 @@ def _compiled_bits_pipeline_batched(plan, n_images: int, class_shapes: tuple,
 
 @functools.lru_cache(maxsize=64)
 def _compiled_bits_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
-                         n_blocks: int, device_slots: bool, interpret: bool):
+                         n_blocks: int, device_slots: bool, interpret: bool,
+                         pack16: bool = None):
     """One jitted kernel sweep over a (possibly mixed-plan) merged pack:
     returns the stream-order [n_blocks, 64] int16 coefficient tensor.
     Keyed only by bucketed shapes — a mixed stream's composition never
@@ -1003,7 +1008,8 @@ def _compiled_bits_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
     _enable_compile_cache(jax)
     return jax.jit(build_pallas_sweep(class_shapes, n_tab, pattern, n_blocks,
                                       device_slots=device_slots,
-                                      interpret=interpret))
+                                      interpret=interpret,
+                                      pack16=pack16))
 
 
 @functools.lru_cache(maxsize=64)
@@ -1361,10 +1367,12 @@ class DeviceStreamDecoder:
                                       scan.comp_to_upair,
                                       _wire_flag(entry[2])))
 
+        from ..entropy.pallas_decode import _pack16_enabled
         fn = _compiled_bits_pipeline(
             plans_with_comps, len(staged.qts), staged.geometry, layout,
             tuple(pallas_shapes),
-            interpret=_bits_pallas_mode() == "interpret")
+            interpret=_bits_pallas_mode() == "interpret",
+            pack16=_pack16_enabled())
         with self._stage("h2d_submit"):
             scan_args = []
             for (scan, _kept), entry in zip(staged.scans, per_scan):
@@ -1458,11 +1466,13 @@ class DeviceStreamDecoder:
             combined, shapes = merge([entry[:2]] * batch,
                                      scan0.plan.n_blocks)
             layout = self._effective_layout(staged.geometry)
+            from ..entropy.pallas_decode import _pack16_enabled
             fn = _compiled_bits_pipeline_batched(
                 scan0.plan, batch, tuple(s[:3] for s in shapes),
                 len(scan0.tab_maxcode), scan0.comp_to_upair,
                 staged.geometry, layout, device_slots=_wire_flag(wire),
-                interpret=_bits_pallas_mode() == "interpret")
+                interpret=_bits_pallas_mode() == "interpret",
+                pack16=_pack16_enabled())
             ncomp = len(staged.qts)
             qts_b = tuple(np.stack([staged.qts[c]] * batch)
                           for c in range(ncomp))
@@ -1680,11 +1690,13 @@ class DeviceStreamDecoder:
         layout = self._effective_layout(group[0].geometry)
         # n_items varies per group; the compiled shape doesn't depend on it.
         shapes_key = tuple(s[:3] for s in shapes)
+        from ..entropy.pallas_decode import _pack16_enabled
         fn = _compiled_bits_pipeline_batched(
             scan0.plan, batch, shapes_key, len(scan0.tab_maxcode),
             scan0.comp_to_upair, group[0].geometry, layout,
             device_slots=_wire_flag(wire),
-            interpret=_bits_pallas_mode() == "interpret")
+            interpret=_bits_pallas_mode() == "interpret",
+            pack16=_pack16_enabled())
 
         ncomp = len(group[0].qts)
         qts_b = tuple(
@@ -1748,9 +1760,11 @@ class DeviceStreamDecoder:
         mapped_pattern = tuple(
             scan0.comp_to_upair[c] for c in scan0.plan.pattern)
         interpret = _bits_pallas_mode() == "interpret"
+        from ..entropy.pallas_decode import _pack16_enabled
         sweep = _compiled_bits_sweep(
             tuple(s[:3] for s in shapes), len(scan0.tab_maxcode),
-            mapped_pattern, nb_bucket, _wire_flag(wire), interpret)
+            mapped_pattern, nb_bucket, _wire_flag(wire), interpret,
+            pack16=_pack16_enabled())
 
         with self._stage("h2d_submit"):
             dev = tuple(jax.device_put(a) for a in combined)

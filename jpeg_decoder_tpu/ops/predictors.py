@@ -15,9 +15,11 @@ vectorizes exactly:
   collapses to a short windowed convolution (fully parallel).
 - Predictors 2 (Rb) and 3 (Rc) are row-at-a-time vector ops.
 - Predictor 4 (Ra+Rb-Rc) with t=0 telescopes to a 2-D cumulative sum.
-- Predictors 5-7 carry a nonlinear >>1 and fall back to the exact scalar loop
-  (the C++ host kernel implements them natively; a TPU wavefront formulation is
-  the planned device path).
+- Predictors 5-7 carry a nonlinear >>1 with no closed form; on device they run
+  through the general anti-diagonal wavefront scan
+  (`reconstruct_lossless_wavefront`), which evaluates every predictor and any
+  point transform bit-identically. `device_supported` routes: closed forms for
+  predictors 0-4 at pt=0, the wavefront for everything else.
 
 Reference quirk reproduced deliberately: the reference's phase-2 restart check
 reads the restart counter *left over from phase 1* without updating it

@@ -545,7 +545,7 @@ def test_mixed_size_stream_routes_hetero(monkeypatch):
     recons = []
 
     def fake_sweep(class_shapes, n_tab, pattern, n_blocks, device_slots,
-                   interpret):
+                   interpret, pack16=None):
         sweeps.append((class_shapes, n_blocks, device_slots))
 
         def run(combined, mc, dl, vv):

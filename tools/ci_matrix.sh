@@ -95,6 +95,11 @@ run "fusedasm" env JPEG_TPU_FUSED_ASM=1 python -m pytest \
 
 # 8d. Unpacked dense emission forced (pack16 became the default in round
 #     4) — keeps the legacy kernel emission + transpose-narrow path green.
+#     NB: this leg exercises the UNPACKED path; packed-path bit-exactness
+#     is hardware-gated (tools/experiments/pack16_ab.py — interpret-mode
+#     kernel runs are prohibitively slow on CPU, see BASELINE round-4
+#     "CPU kernel-parity smoke"), while unpack16_rows itself is
+#     unit-tested numpy-vs-jnp in the default suite.
 run "pack16-off" env JPEG_TPU_PACK16=0 python -m pytest \
     tests/test_stream_bits.py tests/test_pallas_decode.py -x -q "$@"
 

@@ -4,9 +4,11 @@
 The decode kernel's dominant cost is the dense one-hot emission:
 K_CAP*64 read-modify-write vreg rows per symbol step (round-2 op-model,
 CLAUDE.md). pack16 packs two natural positions per int32 row
-(bias-encoded 16-bit halves, OR-accumulate; write-once per block makes
-OR == assignment), halving both the emission op count and the bytes the
-layout-forced dense->rows transpose moves.
+(plain wrap16 16-bit halves, OR-accumulated; write-once per block makes
+OR == assignment and an emitted 0 coincide with "unwritten" — a bias
+encoding would alias ±32768-mod-2^16 DC deltas), halving both the
+emission op count and the bytes the layout-forced dense->rows transpose
+moves.
 
 Checks bit-exactness of the packed path's stores against the unpacked
 path (itself oracle-proven corpus-wide), then times decode+assembly for
