@@ -122,6 +122,10 @@ class AnchoredScan:
     tab_delta: np.ndarray = None    # int32 [n_tab, 16]
     tab_values: np.ndarray = None   # uint32 [n_tab, 64] (256 bytes LE-packed)
     comp_to_upair: tuple = None     # scan component pos -> unique pair index
+    # Parsed syntax objects, kept for derived staging (stripe splitting
+    # builds per-stripe sub-plans from them; parallel/stripe_bits.py).
+    frame: object = None
+    scan: object = None
 
 
 def unstuff_scan(data, pos: int):
@@ -458,7 +462,8 @@ def _staged_from_layout(frame, scan, restart_interval, luts, out_bytes,
                         anchor_block=anchor_block, anchor_slot=anchor_slot,
                         luts=luts, n_blocks=n_blocks, plan=plan,
                         chunk_end=chunk_end, chunk_syms=chunk_syms,
-                        n_items=n_items, n_words=n_words)
+                        n_items=n_items, n_words=n_words,
+                        frame=frame, scan=scan)
 
 
 _PLAN_CACHE: dict = {}
@@ -771,12 +776,34 @@ def prescan_baseline(cursor, frame, scan, dc_tables, ac_tables,
     return _finish_scan(shim, cursor), staged
 
 
-def build_anchored_decoder(plan: ScanPlan, flat_stores: bool = True):
+def _dc_carry(cum, axis):
+    """Cross-stripe DC predictor seam (parallel/stripe_bits.py): the DC
+    column holds stream-ordered diffs, so a stripe's absolute DC values are
+    its local prefix sum plus the TOTAL diff sum of every earlier stripe.
+    One scalar all_gather per component over the stripe axis; int32 wrap
+    preserves the mod-2^16 residue the wrap-16 store narrowing keeps."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    total = cum[-1]
+    tots = lax.all_gather(total, axis)                       # [n_stripes]
+    d = lax.axis_index(axis)
+    return jnp.sum(jnp.where(jnp.arange(tots.shape[0]) < d, tots, 0))
+
+
+def build_anchored_decoder(plan: ScanPlan, flat_stores: bool = True,
+                           dc_carry_axis: str = None):
     """Traceable device decoder for one scan shape:
     (words, anchor_bits, anchor_block, anchor_slot, luts) -> per-scan-component
     int16 stores ([nb*64] flat, or [nb, 64] when flat_stores=False).
     Composable under an outer jit (the streaming path fuses this with the
-    reconstruction pipeline in one dispatch)."""
+    reconstruction pipeline in one dispatch).
+
+    `dc_carry_axis`: stripe-shard mode (must run inside shard_map over that
+    axis) — chunk block bases may be NEGATIVE (a chunk straddling the stripe
+    entry decodes lead-in blocks owned by the previous stripe), emissions
+    outside [0, n_blocks) are dropped, and the DC prefix sums add the
+    all-gathered carry from earlier stripes."""
     import jax
     import jax.numpy as jnp
 
@@ -829,8 +856,13 @@ def build_anchored_decoder(plan: ScanPlan, flat_stores: bool = True):
             emits = active & (is_dc | ((~is_zrl) & (~is_eob)))
             pos_nat = unzig[k_coeff]
 
-            code = jnp.where(
-                emits, (base_block + blk) * 64 + pos_nat, n_blocks * 64)
+            blk_abs = base_block + blk
+            if dc_carry_axis is not None:
+                # Stripe mode: drop lead-in emissions from a straddling
+                # chunk (negative indices would WRAP through `.at[]`, not
+                # drop) — those blocks belong to the previous stripe.
+                emits = emits & (blk_abs >= 0)
+            code = jnp.where(emits, blk_abs * 64 + pos_nat, n_blocks * 64)
 
             consumed = jnp.where(active, length + mag, 0)
             k_next = jnp.where(
@@ -850,11 +882,12 @@ def build_anchored_decoder(plan: ScanPlan, flat_stores: bool = True):
         _, (codes, vals) = jax.lax.scan(step, init, None, length=plan.s_max)
         return assemble(codes.reshape(-1), vals.reshape(-1))
 
-    assemble = build_assembler(plan, flat_stores)
+    assemble = build_assembler(plan, flat_stores, dc_carry_axis=dc_carry_axis)
     return run
 
 
-def build_assembler(plan: ScanPlan, flat_stores: bool = True):
+def build_assembler(plan: ScanPlan, flat_stores: bool = True,
+                    dc_carry_axis: str = None):
     """Traceable assembly: flat (code, value) emission pairs -> per-component
     int16 stores. One scatter + static gathers + segmented DC prefix sums
     (wrapping-i16 predictor semantics, `/root/reference/src/decoder.rs:1102-1118`)."""
@@ -865,7 +898,8 @@ def build_assembler(plan: ScanPlan, flat_stores: bool = True):
     raster_src = [jnp.asarray(a) for a in plan.raster_src]
     seg_first = [jnp.asarray(a) for a in plan.seg_first]
 
-    assemble_nat = build_assembler_nat(plan, flat_stores)
+    assemble_nat = build_assembler_nat(plan, flat_stores,
+                                       dc_carry_axis=dc_carry_axis)
 
     def assemble(codes, vals):
         # int16 scatter: exact in wrap-16 (see build_assembler_nat) and half
@@ -877,10 +911,16 @@ def build_assembler(plan: ScanPlan, flat_stores: bool = True):
     return assemble
 
 
-def build_assembler_nat(plan: ScanPlan, flat_stores: bool = True):
+def build_assembler_nat(plan: ScanPlan, flat_stores: bool = True,
+                        dc_carry_axis: str = None):
     """Assembly from a dense natural-order [n_blocks, 64] tensor in stream
     order (DC column holds diffs): segmented DC prefix sums + stream->raster
     rearrangement into per-component stores.
+
+    `dc_carry_axis` (stripe-shard mode): the non-segmented DC prefix sums
+    add the all-gathered diff totals of earlier stripes (_dc_carry);
+    restart-segmented components need no carry — the stripe splitter only
+    accepts DRI streams whose segments are stripe-local.
 
     Two execution strategies, identical outputs: when the plan's geometry
     admits the verified closed form (plan.structured — every product-path
@@ -929,6 +969,8 @@ def build_assembler_nat(plan: ScanPlan, flat_stores: bool = True):
                     base = jnp.repeat(prev[:nseg * seg_blocks:seg_blocks],
                                       seg_blocks)[:n_c]
                     dc = cum - base
+                elif dc_carry_axis is not None:
+                    dc = cum + _dc_carry(cum, dc_carry_axis)
                 else:
                     dc = cum
                 rows = rows.at[:, 0].set(dc.astype(jnp.int16))
@@ -954,6 +996,8 @@ def build_assembler_nat(plan: ScanPlan, flat_stores: bool = True):
             cum = jnp.cumsum(rows[:, 0].astype(jnp.int32))
             prev = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
             dc = cum - prev[seg_first[c]]
+            if dc_carry_axis is not None and plan.restart_interval == 0:
+                dc = dc + _dc_carry(cum, dc_carry_axis)
             rows = rows.at[:, 0].set(dc.astype(rows.dtype))
             rows16 = rows.astype(jnp.int16)               # wrap16 semantics
             ext_rows = jnp.concatenate(
@@ -980,7 +1024,8 @@ def _fused_asm_enabled() -> bool:
         return False
 
 
-def build_assembler_fused(plan: ScanPlan, flat_stores: bool = True):
+def build_assembler_fused(plan: ScanPlan, flat_stores: bool = True,
+                          dc_carry_axis: str = None):
     """Assembly straight off the padded kernel rows: consumes
     (rows [rows_total, 64] i16, rowmap [n_blocks] i32) from
     build_pallas_sweep(raw=True) and composes the plan's STRUCTURED
@@ -1015,6 +1060,8 @@ def build_assembler_fused(plan: ScanPlan, flat_stores: bool = True):
                 base = jnp.repeat(prev[:nseg * seg_blocks:seg_blocks],
                                   seg_blocks)[:n_c]
                 dc = cum - base
+            elif dc_carry_axis is not None:
+                dc = cum + _dc_carry(cum, dc_carry_axis)
             else:
                 dc = cum
             rows_c = rows_c.at[:, 0].set(dc.astype(jnp.int16))

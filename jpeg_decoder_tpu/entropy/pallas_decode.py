@@ -1067,10 +1067,16 @@ def build_pallas_sweep(class_shapes: tuple, n_tab: int, pattern: tuple,
             # Per-class propagation: this class's items are stream-ordered,
             # so (start block, padded base) both increase — cummax fills
             # every block position with the class's latest start/base.
+            # Stripe-shard mode (parallel/stripe_bits.py) rebases block
+            # indices per stripe, so the FIRST chunk's start can be
+            # NEGATIVE (it straddles the stripe entry): scatter its VALUE
+            # at position 0 (`.at[]` would WRAP a negative position, not
+            # drop it) and keep the init sentinel below any legal start.
             pb = jnp.arange(nb, dtype=jnp.int32) * K_CAP + row0
-            fb = jnp.full(n_blocks, -1, jnp.int32).at[starts].set(
+            pos = jnp.maximum(starts, 0)
+            fb = jnp.full(n_blocks, -(1 << 30), jnp.int32).at[pos].set(
                 starts, mode="drop")
-            br = jnp.zeros(n_blocks, jnp.int32).at[starts].set(
+            br = jnp.zeros(n_blocks, jnp.int32).at[pos].set(
                 pb, mode="drop")
             fb = jax.lax.cummax(fb)
             br = jax.lax.cummax(br)

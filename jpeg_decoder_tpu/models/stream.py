@@ -1270,6 +1270,29 @@ class DeviceStreamDecoder:
                 return "planar"
         return self.layout
 
+    def decode_striped(self, source, scale_to=None,
+                       stripe_axis: str = "stripe", engine: str = None):
+        """Decode ONE image with its MCU rows — entropy decode included —
+        sharded over the mesh's `stripe_axis` (parallel/stripe_bits.py):
+        each device Huffman-decodes its stripe's anchored chunks, assembles
+        with the DC seam carry, and reconstructs behind a 1-row halo
+        exchange. The pod-scale path for images too large for one chip.
+        Returns the device pixel array (rows sharded over the stripe axis);
+        falls back to the single-device pipeline when the mesh has no such
+        axis or the image isn't stripe-eligible. Reconstruction runs the
+        exact integer kernels (same contract as parallel/stripes.py)."""
+        staged = stage_host_bits(source, scale_to, self.precision,
+                                 timer=self.timer)
+        if (self.mesh is not None and stripe_axis in self.mesh.shape
+                and isinstance(staged, StagedBits)):
+            from ..parallel.stripe_bits import decode_bits_striped
+            with self._stage("device_dispatch"):
+                out = decode_bits_striped(staged, self.mesh, stripe_axis,
+                                          engine=engine)
+            if out is not None:
+                return out
+        return self.decode_one(staged)
+
     def decode_one(self, staged):
         if isinstance(staged, StagedBits):
             return self._decode_one_bits(staged)

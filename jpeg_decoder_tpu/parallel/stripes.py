@@ -51,28 +51,18 @@ def _shard_map_uncheck_kwargs(shard_map):
     return {}
 
 
-@functools.lru_cache(maxsize=32)
-def make_stripe_pipeline(geometry: ImageGeometry, mcu_rows: int, n_stripes: int,
-                         mesh, stripe_axis: str = "stripe",
-                         data_axis: str = None):
-    """Compile the striped reconstruction.
-
-    Expects per-component stores padded to `ceil(mcu_rows/n) * n` MCU rows.
-    Returns fn(stores, qts) -> uint8 [n*R, W(, C)] sharded on rows, where
-    R = stripe output rows.
-
-    With `data_axis` set, inputs carry a leading batch dimension sharded over
-    that mesh axis and each image's rows are striped over `stripe_axis` —
-    batch DP and stripe SP composed in one program (halo ppermutes ride the
-    stripe axis; the data axis needs no collectives).
-    """
-    import jax
+def build_stripe_local_recon(geometry: ImageGeometry, mcu_rows: int,
+                             n_stripes: int, stripe_axis: str = "stripe"):
+    """Per-device reconstruction body for one MCU-row stripe: dequant+IDCT,
+    1-row V2 chroma halo exchange (ppermute over `stripe_axis`), upsample,
+    color. Must run inside shard_map over that axis. Returns
+    local_fn(stores_tuple, qts_tuple) -> uint8 [R, out_w(, C)] where
+    stores are per-component [k_mcu * v_i * blocks_wide, 64] int16 for this
+    stripe. Shared by the store-level stripe pipeline (make_stripe_pipeline)
+    and the stripe-sharded bits pipeline (parallel/stripe_bits.py), which
+    fuses it behind the on-device entropy decode."""
     import jax.numpy as jnp
-
-    from ..ops.pipeline import _enable_compile_cache
-    _enable_compile_cache(jax)
     from jax import lax
-    from jax.sharding import PartitionSpec as P
 
     comps = geometry.components
     # v_i = block rows per MCU row; derive from block grid vs MCU rows.
@@ -86,9 +76,7 @@ def make_stripe_pipeline(geometry: ImageGeometry, mcu_rows: int, n_stripes: int,
     fwd = [(i, i + 1) for i in range(n_stripes - 1)]   # send down (recv from prev)
     bwd = [(i + 1, i) for i in range(n_stripes - 1)]   # send up (recv from next)
 
-    def local_fn(*args):
-        stores = args[:len(comps)]
-        qts = args[len(comps):]
+    def local_fn(stores, qts):
         d = lax.axis_index(stripe_axis)
 
         out_w = geometry.out_width
@@ -140,6 +128,37 @@ def make_stripe_pipeline(geometry: ImageGeometry, mcu_rows: int, n_stripes: int,
             comp = comps[0]
             return channels[0]
         return color_convert_image(channels, geometry.transform, xp=jnp)
+
+    return local_fn
+
+
+@functools.lru_cache(maxsize=32)
+def make_stripe_pipeline(geometry: ImageGeometry, mcu_rows: int, n_stripes: int,
+                         mesh, stripe_axis: str = "stripe",
+                         data_axis: str = None):
+    """Compile the striped reconstruction.
+
+    Expects per-component stores padded to `ceil(mcu_rows/n) * n` MCU rows.
+    Returns fn(stores, qts) -> uint8 [n*R, W(, C)] sharded on rows, where
+    R = stripe output rows.
+
+    With `data_axis` set, inputs carry a leading batch dimension sharded over
+    that mesh axis and each image's rows are striped over `stripe_axis` —
+    batch DP and stripe SP composed in one program (halo ppermutes ride the
+    stripe axis; the data axis needs no collectives).
+    """
+    import jax
+
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+    from jax.sharding import PartitionSpec as P
+
+    comps = geometry.components
+    recon = build_stripe_local_recon(geometry, mcu_rows, n_stripes,
+                                     stripe_axis)
+
+    def local_fn(*args):
+        return recon(args[:len(comps)], args[len(comps):])
 
     shard_map = _shard_map()
     if data_axis is None:

@@ -40,6 +40,7 @@ while IFS= read -r tid; do
   fi
 done < <(env JPEG_TPU_SLOW_TESTS=1 python -m pytest \
            tests/test_pallas_decode.py tests/test_pallas.py \
+           tests/test_stripe_bits.py::test_pallas_stripe_engine_interpret \
            --collect-only -q 2>/dev/null | grep '::')
 if [ "$INTERPRET_OK" = 1 ]; then echo "=== [interpret-slow] PASS";
 else echo "=== [interpret-slow] FAIL"; FAILED=1; fi
