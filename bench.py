@@ -328,7 +328,11 @@ def main() -> None:
             pass
         # Reference bench classes (decoding_benchmark.rs:21-39), each as a
         # phase-immune device-resident rate: baseline/progressive/grayscale
-        # 512x512 towers + a lossless reftest image.
+        # 512x512 towers + a lossless reftest image. Small-image classes
+        # additionally record the BATCHED rate (8 copies merged into one
+        # kernel sweep + vmapped recon per iteration — the serving shape;
+        # round-4 verdict item 2: per-dispatch fixed overhead dominates the
+        # 0.26 Mpix class, and the solo number alone understates the chip).
         classes = {}
         for name, path in (
                 ("tower", "/root/reference/benches/tower.jpg"),
@@ -345,6 +349,16 @@ def main() -> None:
                     classes[name] = bits.device_resident_rate(cdata)
             except Exception:
                 classes[name] = None
+            if name.startswith("tower"):
+                try:
+                    with _deadline(420):
+                        r = bits.device_resident_rate(cdata, batch=8)
+                        # Only record if the batched pipeline actually ran
+                        # (ineligible stages fall back to solo, batch=1).
+                        classes[name + "_batch8"] = (
+                            r if r.get("batch", 1) > 1 else None)
+                except Exception:
+                    classes[name + "_batch8"] = None
         extra["classes_device_resident"] = classes
         if not os.environ.get("JPEG_TPU_BENCH_SKIP_SUSTAINED"):
             with _deadline(180):

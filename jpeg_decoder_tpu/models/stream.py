@@ -1506,12 +1506,14 @@ class DeviceStreamDecoder:
             args_b = tuple(jax.device_put(a) for a in combined)
             call = lambda args: fn(args, mc, dl, vv, qts_b)  # noqa: E731
             kind = f"bits-batch{batch}"
+            eff_batch = batch
         elif isinstance(staged, StagedBits):
             fn, args_a = self._bits_fn_args(staged)
             _, args_b = self._bits_fn_args(staged)
             qts = staged.qts
             call = lambda args: fn(args, qts)  # noqa: E731
             kind = "bits"
+            eff_batch = 1       # batch>1 request was ineligible: honest solo
         elif isinstance(staged, StagedLossless):
             fn = _compiled_lossless_pipeline(
                 staged.diffs.shape[0], staged.predictor,
@@ -1522,6 +1524,7 @@ class DeviceStreamDecoder:
             args_b = jax.device_put(staged.diffs)
             call = fn
             kind = "lossless"
+            eff_batch = 1
         else:  # StagedImage — prefix coefficients
             layout = self._effective_layout(staged.geometry)
             fn = _compiled_prefix_pipeline(
@@ -1532,6 +1535,7 @@ class DeviceStreamDecoder:
             qts = staged.qts
             call = lambda args: fn(*args, qts)  # noqa: E731
             kind = "prefix"
+            eff_batch = 1
 
         @jax.jit
         def chained(aa, ab):
@@ -1548,10 +1552,10 @@ class DeviceStreamDecoder:
             t0 = _time.perf_counter()
             int(jax.device_get(chained(args_a, args_b)))
             best = min(best, (_time.perf_counter() - t0) / iters)
-        per_image = best / max(batch, 1)
+        per_image = best / eff_batch
         return {"ms_per_image": round(per_image * 1e3, 3),
                 "mpix_s": round(staged.mpix / per_image, 1),
-                "interchange": kind}
+                "interchange": kind, "batch": eff_batch}
 
     def decode_stream(self, sources: Iterable, scale_to=None,
                       batch_size: int = 1, on_error: str = "raise") -> list:

@@ -77,6 +77,27 @@ def test_striped_bits_matches_oracle(name, h, w, mode, n, save_kw):
     assert bad.size == 0, f"{bad.size} pixel mismatches"
 
 
+def test_giant_image_30mpix():
+    """The capability the stripe path exists for: a >=30 Mpix baseline JPEG
+    decodes with its entropy decode sharded across 8 devices, bit-exact vs
+    the single-device oracle (VERDICT round-4 item 1's done-bar). Smooth
+    synthesized content keeps the host staging/oracle cost test-sized."""
+    h, w = 4800, 6400                                  # 30.7 Mpix
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 255, (h // 16, w // 16, 3)).astype(np.uint8)
+    arr = np.asarray(PIL.fromarray(base).resize((w, h), PIL.BILINEAR))
+    b = io.BytesIO()
+    PIL.fromarray(arr).save(b, format="JPEG", quality=85, subsampling=2)
+    data = b.getvalue()
+
+    mesh = _mesh(8)
+    st = stage_host_bits(data)
+    out = decode_bits_striped(st, mesh, engine="xla")
+    assert out is not None
+    gold = Decoder(data, backend="numpy").decode_array()
+    assert np.array_equal(np.asarray(out), gold)
+
+
 def test_unaligned_dri_declines():
     """Restart segments that would straddle a stripe must decline (the DC
     reset position would be mis-modeled by the local segmented prefix sum).

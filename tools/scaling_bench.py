@@ -95,6 +95,41 @@ def main() -> None:
         print(f"devices={ndev:>2}  t={best * 1e3:7.1f} ms  "
               f"overhead efficiency {t_base / best * 100:5.1f}%")
 
+    # Stripe-bits sharding overhead (round 5): ONE image, entropy decode
+    # included, through the single-device bits pipeline vs the N-device
+    # stripe program (parallel/stripe_bits.py) — equal total work, so
+    # t1/tN ~= 100% on the virtual mesh means the stripe partition (DC
+    # carry all_gathers + halo ppermutes + duplicate straddler chunks)
+    # costs nothing structural and real-chip speedup rides the hardware.
+    from jpeg_decoder_tpu.models.stream import (DeviceStreamDecoder,
+                                                stage_host_bits)
+    from jpeg_decoder_tpu.parallel.stripe_bits import decode_bits_striped
+    st = stage_host_bits(data)
+    single = DeviceStreamDecoder(host_threads=1, interchange="bits")
+    print("-- stripe-bits sharding-overhead (one image, entropy on-mesh) --")
+    out = single.decode_one(st)
+    out = out.block_until_ready() if hasattr(out, "block_until_ready") else out
+    t1 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        single.decode_one(st).block_until_ready()
+        t1 = min(t1, time.perf_counter() - t0)
+    print(f"devices= 1  t={t1 * 1e3:7.1f} ms  (single-device bits pipeline)")
+    for ndev in [s for s in sizes if s >= 2]:
+        mesh = make_mesh({"stripe": ndev}, devices)
+        o = decode_bits_striped(st, mesh)
+        if o is None:
+            print(f"devices={ndev:>2}  stripe-ineligible")
+            continue
+        o.block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            decode_bits_striped(st, mesh).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        print(f"devices={ndev:>2}  t={best * 1e3:7.1f} ms  "
+              f"overhead efficiency {t1 / best * 100:5.1f}%")
+
 
 if __name__ == "__main__":
     main()
