@@ -44,12 +44,16 @@ TARGET_MPIX_S = 500.0
 _WEDGED: list = []
 
 
-def _measure_burst(dec, data: bytes, mpix: float, n_images: int = 24) -> float:
+def _measure_burst(dec, data: bytes, mpix: float, n_images: int = 24,
+                   max_trials: int = 4) -> float:
     best = 0.0
     # The TPU tunnel in this environment has transient multi-second stalls;
     # take the best of several trials (with a short cool-down after a stalled
     # one) so the number reflects the pipeline, not a relay hiccup.
-    for trial in range(4):
+    # `max_trials=1` when the caller's link probe already shows a hopeless
+    # phase: extra samples of a degraded relay buy no signal (round-4
+    # verdict item 6) — the probe history in the JSON attributes the number.
+    for trial in range(max_trials):
         t0 = time.perf_counter()
         outs = dec.decode_stream([data] * n_images)
         for o in outs:
@@ -300,7 +304,14 @@ def main() -> None:
                 host_threads = 5 if link_now >= LINK_HEALTHY_MB_S else 3
                 dec = DeviceStreamDecoder(host_threads=host_threads,
                                           timer=timer)
-                throughput = _measure_burst(dec, data, mpix)
+                # Hopeless phase (post-backoff probe still degraded): one
+                # burst sample only — the device_resident field below is
+                # the phase-immune record; minutes of extra relay sampling
+                # buy no signal (round-4 verdict item 6).
+                burst_trials = 4 if link_now >= LINK_HEALTHY_MB_S else 1
+                extra["burst_trials"] = burst_trials
+                throughput = _measure_burst(dec, data, mpix,
+                                            max_trials=burst_trials)
                 extra["stage_ms_per_image"] = timer.per_call_ms()
                 extra["host_threads"] = host_threads
             if throughput == 0.0:

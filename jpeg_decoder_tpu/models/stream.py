@@ -837,6 +837,27 @@ def _wire_flag(wire: str):
     return "delta" if wire == "delta" else wire.startswith("words")
 
 
+def _put_recorded(arrs) -> tuple:
+    """device_put a tuple of arrays, folding the observed transfer rate
+    into utils.link's EMA when the payload is big enough to time bandwidth.
+    Never adds a sync: where device_put is asynchronous the elapsed time is
+    ~0 and the sample is ignored by construction (record_transfer's rate is
+    then absurd-high and only nudges the EMA toward "healthy", the default
+    belief); through the blocking relay of this environment the put call
+    itself waits on the wire, so the sample is the real link rate."""
+    import time as _time
+
+    import jax
+
+    from ..utils import link as _link
+    nbytes = sum(a.nbytes for a in arrs)
+    t0 = _time.perf_counter()
+    out = tuple(jax.device_put(a) for a in arrs)
+    if nbytes >= (4 << 20):
+        _link.record_transfer(nbytes, _time.perf_counter() - t0)
+    return out
+
+
 def _attach_pallas(st: "StagedBits") -> "StagedBits":
     """Pre-pack the Pallas class layout for every scan (runs in the staging
     thread pool so the dispatch thread only does device_put + dispatch)."""
@@ -1402,7 +1423,7 @@ class DeviceStreamDecoder:
                 if entry is not None:
                     combined, _shapes, _wire = entry
                     scan_args.append((
-                        tuple(jax.device_put(a) for a in combined),
+                        _put_recorded(combined),
                         self._put_cached(scan.tab_maxcode),
                         self._put_cached(scan.tab_delta),
                         self._put_cached(scan.tab_values.view(np.int32)),
@@ -1650,13 +1671,24 @@ class DeviceStreamDecoder:
                 # stream, 0.84x with >=0.5 Mpix members. The mesh path
                 # still needs exact-plan stacks. JPEG_TPU_HETERO_BITS:
                 # ''/'1' = default (<=0.25 Mpix merge across plans),
-                # '0' = exact-key only, other float = Mpix threshold.
+                # '0' = exact-key only, other float = Mpix threshold,
+                # 'auto' = link-aware: exact-key only while the observed
+                # H2D link is degraded (utils/link EMA — hetero's extra
+                # dispatches lose when per-RPC RTT dominates; mixed_ab
+                # round-4/5 phase tables). NOT the default: the degraded-
+                # phase optimum is stream-shape dependent (interleaved
+                # mixed streams still favor hetero's fewer group flushes,
+                # scenario 3) and the nominal-phase policy is measured.
                 if self.mesh is not None:
                     key = _bits_group_key(st, True)
                 else:
                     v = os.environ.get("JPEG_TPU_HETERO_BITS", "1")
-                    thr = 0.0 if v == "0" else (0.25 if v in ("", "1")
-                                                else float(v))
+                    if v == "auto":
+                        from ..utils import link as _link
+                        thr = 0.0 if _link.degraded() else 0.25
+                    else:
+                        thr = 0.0 if v == "0" else (0.25 if v in ("", "1")
+                                                    else float(v))
                     key = (_bits_hetero_key(st) if st.mpix <= thr
                            else _bits_group_key(st))
                 if key is None:
@@ -1731,7 +1763,7 @@ class DeviceStreamDecoder:
                      + [group[-1].qts[c]] * (batch - n))
             for c in range(ncomp))
         with self._stage("h2d_submit"):
-            dev = tuple(jax.device_put(a) for a in combined)
+            dev = _put_recorded(combined)
             mc = self._put_cached(scan0.tab_maxcode)
             dl = self._put_cached(scan0.tab_delta)
             vv = self._put_cached(scan0.tab_values.view(np.int32))
@@ -1794,7 +1826,7 @@ class DeviceStreamDecoder:
             pack16=_pack16_enabled())
 
         with self._stage("h2d_submit"):
-            dev = tuple(jax.device_put(a) for a in combined)
+            dev = _put_recorded(combined)
             mc = self._put_cached(scan0.tab_maxcode)
             dl = self._put_cached(scan0.tab_delta)
             vv = self._put_cached(scan0.tab_values.view(np.int32))
