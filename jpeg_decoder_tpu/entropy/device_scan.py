@@ -1042,17 +1042,67 @@ def build_assembler_fused(plan: ScanPlan, flat_stores: bool = True,
     import jax.numpy as jnp
 
     assert plan.structured is not None
-    (n_mcus, _rows_d, _cols_d, plen), specs = plan.structured
+    (n_mcus, rows_d, cols_d, plen), specs = plan.structured
     raster_src = [jnp.asarray(a) for a in plan.raster_src]
+    fused_raster = _fused_raster_enabled()
 
     def assemble(rows_padded, rowmap):
         by_mcu_idx = rowmap.reshape(n_mcus, plen)
         stores = []
-        for c, (slot0, bpm, _vs, _hs, _Hc, _W, seg_blocks) in enumerate(
+        for c, (slot0, bpm, vs, hs, Hc, W, seg_blocks) in enumerate(
                 specs):
             idx = by_mcu_idx[:, slot0:slot0 + bpm].reshape(-1)
-            rows_c = jnp.take(rows_padded, idx, axis=0)   # ONE row gather
             n_c = n_mcus * bpm
+            if fused_raster:
+                # Compose the RASTER placement into the index array too
+                # (round-5 tail candidate): the structured raster map is a
+                # reshape/transpose/pad, so applying it to the i32 `idx`
+                # vector is cheap vector data movement — and the stream-
+                # ordered [n_c, 64] intermediate (one full row gather + its
+                # materialization) disappears; each store is ONE gather
+                # straight from the padded kernel rows. The DC diffs come
+                # back OUT of the gathered grid through the inverse raster
+                # transform (slice + transpose — vector ops; a per-element
+                # column gather by `idx` would be the measured-slow class),
+                # cumsum in stream order, then ride the forward transform
+                # back in.
+                def rasterize(vec, fill=0):
+                    g = vec.reshape(rows_d, cols_d, vs, hs)
+                    g = g.transpose(0, 2, 1, 3).reshape(rows_d * vs,
+                                                        cols_d * hs)
+                    return jnp.pad(g, ((0, Hc - rows_d * vs),
+                                       (0, W - cols_d * hs)),
+                                   constant_values=fill).reshape(-1)
+
+                ridx = rasterize(idx)
+                grid = jnp.take(rows_padded, ridx, axis=0)  # ONE gather
+                dcol = (grid[:, 0].reshape(Hc, W)
+                        [:rows_d * vs, :cols_d * hs]
+                        .reshape(rows_d, vs, cols_d, hs)
+                        .transpose(0, 2, 1, 3).reshape(-1)
+                        .astype(jnp.int32))                 # stream order
+                cum = jnp.cumsum(dcol)
+                if 0 < seg_blocks < n_c:
+                    prev = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
+                    nseg = -(-n_c // seg_blocks)
+                    base = jnp.repeat(prev[:nseg * seg_blocks:seg_blocks],
+                                      seg_blocks)[:n_c]
+                    dc = cum - base
+                elif dc_carry_axis is not None:
+                    dc = cum + _dc_carry(cum, dc_carry_axis)
+                else:
+                    dc = cum
+                grid = grid.at[:, 0].set(rasterize(dc.astype(jnp.int16)))
+                if rows_d * vs < Hc or cols_d * hs < W:
+                    # Pad raster positions must be zero; their gathered
+                    # rows are kernel garbage. Static mask, fused select.
+                    mask = np.zeros((Hc, W), bool)
+                    mask[:rows_d * vs, :cols_d * hs] = True
+                    grid = jnp.where(jnp.asarray(mask.reshape(-1, 1)),
+                                     grid, 0)
+                stores.append(grid.reshape(-1) if flat_stores else grid)
+                continue
+            rows_c = jnp.take(rows_padded, idx, axis=0)   # ONE row gather
             cum = jnp.cumsum(rows_c[:, 0].astype(jnp.int32))
             if 0 < seg_blocks < n_c:
                 prev = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
@@ -1071,6 +1121,14 @@ def build_assembler_fused(plan: ScanPlan, flat_stores: bool = True,
         return stores
 
     return assemble
+
+
+def _fused_raster_enabled() -> bool:
+    """Round-5 tail experiment: compose the raster placement into the fused
+    assembler's gather (see build_assembler_fused). JPEG_TPU_FUSED_RASTER=1
+    opts in; default off until the hardware A/B lands a verdict."""
+    return os.environ.get("JPEG_TPU_FUSED_RASTER", "0") not in ("0", "",
+                                                                "off")
 
 
 @functools.lru_cache(maxsize=64)

@@ -5,6 +5,8 @@ byte-identical to `decode_scan_dct` (the oracle mirroring
 `/root/reference/src/decoder.rs:863-1172`) for every baseline scan it accepts.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -212,6 +214,17 @@ def test_fused_assembler_matches_nat():
             for c, (x, y) in enumerate(zip(a, b)):
                 assert np.array_equal(np.asarray(x), np.asarray(y)), (
                     path, c)
+            # Round-5 fused-raster strategy (raster placement composed
+            # into the one gather) must be bit-identical too.
+            os.environ["JPEG_TPU_FUSED_RASTER"] = "1"
+            try:
+                fr = build_assembler_fused(plan, flat_stores=False)
+            finally:
+                del os.environ["JPEG_TPU_FUSED_RASTER"]
+            c2 = fr(jnp.asarray(rows), jnp.asarray(rowmap))
+            for c, (x, y) in enumerate(zip(c2, b)):
+                assert np.array_equal(np.asarray(x), np.asarray(y)), (
+                    "fused-raster", path, c)
         if covered >= 25:
             break
     assert covered >= 10, covered
