@@ -48,13 +48,21 @@ from .scan_python import UNZIGZAG
 _MAX_CHUNK_SPAN_BYTES = 512
 _WORST_BLOCK_BYTES = 256 + 9
 
-# Symbol target per chunk. The prescan uses 96 (its walk cost scales with
-# anchor density); the transcoder pays nothing extra for longer chunks, and
-# ~160 symbols x ~5.5 bits lands near the 128-byte slot class boundary —
-# ~87% class fill vs ~69% at 96. Ceiling: 160 - 1 + one block's 64-symbol
-# overshoot = 223 <= the 224 device step budget (_s_max_bucket /
-# pallas_decode.SYM_BUCKETS).
-S_TARGET_TC = 160
+# Symbol target per chunk. Round-4 default was 160 (~87% slot-class fill
+# vs ~69% at 96 — a SLOTS-wire economy: overlapping class-padded slot
+# copies shrink with fill). On the words/delta wires (default since round
+# 3/4) the compressed words ship once and chunk count costs only 4-12
+# B/chunk (~0.1% of the wire at 0.26 Mpix), while the kernel's fori_loop
+# runs s_max steps per class — 160-symbol chunks bucket to s_max 224 and
+# spill into the 256-byte slot class, which round-4 BENCH measured as the
+# transcoded-progressive device-resident gap (tower_progressive 1.62 ms vs
+# tower 1.37 on identical pixels). Default now matches the prescan's
+# anchoring (96 -> s_max <= 176, no 256B class); JPEG_TPU_TRANSCODE_STARGET
+# overrides for re-measurement. Ceiling either way: target - 1 + one
+# block's 64-symbol overshoot <= the 224 device step budget.
+import os as _os
+
+S_TARGET_TC = int(_os.environ.get("JPEG_TPU_TRANSCODE_STARGET", "96"))
 
 
 def _limited_code_lengths(freqs: "list[int]", max_len: int = 16) -> "list[int]":
