@@ -1124,11 +1124,22 @@ def build_assembler_fused(plan: ScanPlan, flat_stores: bool = True,
 
 
 def _fused_raster_enabled() -> bool:
-    """Round-5 tail experiment: compose the raster placement into the fused
-    assembler's gather (see build_assembler_fused). JPEG_TPU_FUSED_RASTER=1
-    opts in; default off until the hardware A/B lands a verdict."""
-    return os.environ.get("JPEG_TPU_FUSED_RASTER", "0") not in ("0", "",
-                                                                "off")
+    """Compose the raster placement into the fused assembler's one gather
+    (see build_assembler_fused). Hardware A/B (v5e large_image,
+    tools/experiments/fused_raster_ab.py, 2026-08-20): decode+assembly
+    4.21 -> 3.87 ms/iter (887 Mpix/s), stores bit-exact — TPU default.
+    JPEG_TPU_FUSED_RASTER=1/0 forces (read at assembler BUILD time: flip
+    only at process start, the compiled-pipeline caches don't key on it).
+    Only reachable under the fused assembler, which is itself TPU-default
+    (CPU keeps the structured nat path)."""
+    v = os.environ.get("JPEG_TPU_FUSED_RASTER")
+    if v is not None:
+        return v not in ("0", "", "off")
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 @functools.lru_cache(maxsize=64)
