@@ -1136,7 +1136,8 @@ def _compiled_bits_pipeline_mesh_pallas(plan, kept: tuple, batch: int,
                                         geometry: ImageGeometry, layout: str,
                                         device_slots: bool, n_combined: int,
                                         mesh, data_axis: str,
-                                        interpret: bool = False):
+                                        interpret: bool = False,
+                                        pack16: bool = None):
     """Mesh-sharded batched bits dispatch on the PALLAS engine: per-image
     packed class buffers stack along the image axis and shard over
     `data_axis`; inside shard_map each device runs the single-image Pallas
@@ -1157,7 +1158,8 @@ def _compiled_bits_pipeline_mesh_pallas(plan, kept: tuple, batch: int,
     decoder = build_pallas_decoder(plan, class_shapes, n_tab,
                                    flat_stores=False, interpret=interpret,
                                    comp_to_upair=comp_to_upair,
-                                   device_slots=device_slots)
+                                   device_slots=device_slots,
+                                   pack16=pack16)
     ndev = int(mesh.shape[data_axis])
     local_b = batch // ndev
 
@@ -1927,13 +1929,15 @@ class DeviceStreamDecoder:
         shapes_key = tuple(s[:3] for s in entries[0][1])
         wire = entries[0][2]
         layout = self._effective_layout(group[0].geometry)
+        from ..entropy.pallas_decode import _pack16_enabled
         fn = _compiled_bits_pipeline_mesh_pallas(
             scan0.plan, kept, batch, shapes_key, len(scan0.tab_maxcode),
             scan0.comp_to_upair, ncomp, group[0].geometry, layout,
             _wire_flag(wire), n_combined, self.mesh, self.data_axis,
-            interpret=_bits_pallas_mode() == "interpret")
+            interpret=_bits_pallas_mode() == "interpret",
+            pack16=_pack16_enabled())
         with self._stage("h2d_submit"):
-            dev = tuple(jax.device_put(a) for a in stacked)
+            dev = _put_recorded(stacked)
             mc = self._put_cached(scan0.tab_maxcode)
             dl = self._put_cached(scan0.tab_delta)
             vv = self._put_cached(scan0.tab_values.view(np.int32))
