@@ -969,7 +969,11 @@ def build_assembler_nat(plan: ScanPlan, flat_stores: bool = True,
                     base = jnp.repeat(prev[:nseg * seg_blocks:seg_blocks],
                                       seg_blocks)[:n_c]
                     dc = cum - base
-                elif dc_carry_axis is not None:
+                elif dc_carry_axis is not None and seg_blocks == 0:
+                    # Restart streams NEVER carry across stripes: the
+                    # splitter only accepts segment layouts that are
+                    # stripe-local, and seg_blocks == n_c (one segment per
+                    # stripe) means DC resets exactly at the stripe entry.
                     dc = cum + _dc_carry(cum, dc_carry_axis)
                 else:
                     dc = cum
@@ -1088,7 +1092,11 @@ def build_assembler_fused(plan: ScanPlan, flat_stores: bool = True,
                     base = jnp.repeat(prev[:nseg * seg_blocks:seg_blocks],
                                       seg_blocks)[:n_c]
                     dc = cum - base
-                elif dc_carry_axis is not None:
+                elif dc_carry_axis is not None and seg_blocks == 0:
+                    # Restart streams NEVER carry across stripes: the
+                    # splitter only accepts segment layouts that are
+                    # stripe-local, and seg_blocks == n_c (one segment per
+                    # stripe) means DC resets exactly at the stripe entry.
                     dc = cum + _dc_carry(cum, dc_carry_axis)
                 else:
                     dc = cum
@@ -1110,7 +1118,9 @@ def build_assembler_fused(plan: ScanPlan, flat_stores: bool = True,
                 base = jnp.repeat(prev[:nseg * seg_blocks:seg_blocks],
                                   seg_blocks)[:n_c]
                 dc = cum - base
-            elif dc_carry_axis is not None:
+            elif dc_carry_axis is not None and seg_blocks == 0:
+                # See the fused-raster branch: restart segments are
+                # stripe-local by the splitter's eligibility rule — no carry.
                 dc = cum + _dc_carry(cum, dc_carry_axis)
             else:
                 dc = cum
@@ -1133,8 +1143,8 @@ def _fused_raster_enabled() -> bool:
     Only reachable under the fused assembler, which is itself TPU-default
     (CPU keeps the structured nat path)."""
     v = os.environ.get("JPEG_TPU_FUSED_RASTER")
-    if v is not None:
-        return v not in ("0", "", "off")
+    if v:                       # set-but-empty means default (repo-wide '')
+        return v not in ("0", "off")
     try:
         import jax
         return jax.default_backend() == "tpu"

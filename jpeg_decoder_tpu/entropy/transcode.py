@@ -62,7 +62,10 @@ _WORST_BLOCK_BYTES = 256 + 9
 # block's 64-symbol overshoot <= the 224 device step budget.
 import os as _os
 
-S_TARGET_TC = int(_os.environ.get("JPEG_TPU_TRANSCODE_STARGET", "96"))
+try:
+    S_TARGET_TC = int(_os.environ.get("JPEG_TPU_TRANSCODE_STARGET") or 96)
+except ValueError:
+    S_TARGET_TC = 96
 
 
 def _limited_code_lengths(freqs: "list[int]", max_len: int = 16) -> "list[int]":

@@ -216,11 +216,15 @@ def test_fused_assembler_matches_nat():
                     path, c)
             # Round-5 fused-raster strategy (raster placement composed
             # into the one gather) must be bit-identical too.
+            prev = os.environ.get("JPEG_TPU_FUSED_RASTER")
             os.environ["JPEG_TPU_FUSED_RASTER"] = "1"
             try:
                 fr = build_assembler_fused(plan, flat_stores=False)
             finally:
-                del os.environ["JPEG_TPU_FUSED_RASTER"]
+                if prev is None:
+                    del os.environ["JPEG_TPU_FUSED_RASTER"]
+                else:
+                    os.environ["JPEG_TPU_FUSED_RASTER"] = prev
             c2 = fr(jnp.asarray(rows), jnp.asarray(rowmap))
             for c, (x, y) in enumerate(zip(c2, b)):
                 assert np.array_equal(np.asarray(x), np.asarray(y)), (
