@@ -355,6 +355,99 @@ def _compiled_stripe_bits_pallas(plan: ScanPlan, kept: tuple, ncomp: int,
     return jax.jit(lambda *args: fn(*args)[:out_h])
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_stripe_bits_xla_batch(plan: ScanPlan, kept: tuple, ncomp: int,
+                                    geometry: ImageGeometry, mcu_rows: int,
+                                    n_stripes: int, batch: int, mesh,
+                                    data_axis: str, stripe_axis: str):
+    """DP x SP composed on the bits pipeline: a batch of same-layout images
+    sharded over `data_axis`, each image's entropy decode + assembly +
+    reconstruction striped over `stripe_axis`. The per-image body is the
+    single-image stripe program vmapped over the local batch — the halo
+    ppermutes and DC-carry all_gathers ride the stripe axis under vmap
+    (same composition the store-level decode_striped_batch uses)."""
+    import jax
+
+    from ..entropy.device_scan import build_anchored_decoder
+    from ..ops.pipeline import _enable_compile_cache
+    _enable_compile_cache(jax)
+    from jax.sharding import PartitionSpec as P
+
+    decoder = build_anchored_decoder(plan, flat_stores=False,
+                                     dc_carry_axis=stripe_axis)
+    recon = build_stripe_local_recon(geometry, mcu_rows, n_stripes,
+                                     stripe_axis)
+
+    def one(words, abits, ablk, aslot, luts, qts):
+        scan_stores = decoder(words[0], abits[0], ablk[0], aslot[0], luts)
+        stores = [None] * ncomp
+        for pos, comp_i in kept:
+            stores[comp_i] = scan_stores[pos]
+        return recon(tuple(stores), qts)
+
+    batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None, None))
+
+    sm = _shard_map()
+    D, R = P(data_axis, stripe_axis), P()
+    fn = sm(batched, mesh=mesh,
+            in_specs=(D, D, D, D, R, (R,) * ncomp),
+            out_specs=P(data_axis, stripe_axis),
+            **_shard_map_uncheck_kwargs(sm))
+    out_h = geometry.out_height
+    return jax.jit(lambda *args: fn(*args)[:, :out_h])
+
+
+def decode_bits_striped_batch(staged_list, mesh, data_axis: str = "data",
+                              stripe_axis: str = "stripe"):
+    """Decode a batch of SAME-LAYOUT staged images with batch DP over
+    `data_axis` and per-image MCU-row stripes (entropy included) over
+    `stripe_axis` — the full DP x SP composition on the flagship bits path.
+    Returns the device pixel batch (cropped to the output height), or None
+    when any image declines (different plans/layouts, stripe-ineligible).
+    The batch must be a multiple of the data-axis size."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = int(mesh.shape[stripe_axis])
+    nd = int(mesh.shape[data_axis])
+    if not staged_list or len(staged_list) % nd:
+        return None
+    splits = []
+    for st in staged_list:
+        if st is None or len(st.scans) != 1:
+            return None
+        scan0, kept = st.scans[0]
+        if len(kept) != len(st.qts):
+            return None
+        sp = split_anchored_stripes(scan0, n)
+        if sp is None:
+            return None
+        splits.append(sp)
+    s0 = splits[0]
+    for sp in splits[1:]:
+        if (sp.plan is not s0.plan or sp.words.shape != s0.words.shape
+                or sp.anchor_bits.shape != s0.anchor_bits.shape):
+            return None
+    g0 = staged_list[0].geometry
+    if any(st.geometry != g0 for st in staged_list[1:]):
+        return None
+
+    kept = staged_list[0].scans[0][1]
+    ncomp = len(staged_list[0].qts)
+    fn = _compiled_stripe_bits_xla_batch(
+        s0.plan, tuple(kept), ncomp, g0, s0.mcu_rows, n,
+        len(staged_list), mesh, data_axis, stripe_axis)
+
+    sharded = NamedSharding(mesh, P(data_axis, stripe_axis))
+    repl = NamedSharding(mesh, P())
+    stack = lambda f: jax.device_put(
+        np.stack([getattr(sp, f) for sp in splits]), sharded)
+    qts = tuple(jax.device_put(np.asarray(q), repl)
+                for q in staged_list[0].qts)
+    return fn(stack("words"), stack("anchor_bits"), stack("anchor_block"),
+              stack("anchor_slot"), jax.device_put(s0.luts, repl), qts)
+
+
 def decode_bits_striped(staged_bits, mesh, stripe_axis: str = "stripe",
                         engine: str = None, interpret: bool = False):
     """Decode ONE staged image with its MCU rows sharded over `mesh`'s

@@ -139,6 +139,29 @@ def test_decoder_method_and_fallback():
     assert np.abs(out2.astype(int) - gold2.astype(int)).max() <= 3
 
 
+def test_dp_sp_bits_batch():
+    """Full DP x SP composition on the bits path: a batch of same-layout
+    images sharded over the data axis, each image's entropy decode striped
+    over the stripe axis — bit-exact per image vs the oracle."""
+    import jax
+    from jax.sharding import Mesh
+
+    from jpeg_decoder_tpu.parallel.stripe_bits import decode_bits_striped_batch
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("data", "stripe"))
+    datas = [_jpeg(360, 480, "RGB", seed=200 + i, subsampling=2)
+             for i in range(4)]
+    st = [stage_host_bits(d) for d in datas]
+    out = decode_bits_striped_batch(st, mesh)
+    assert out is not None
+    for i, d in enumerate(datas):
+        gold = Decoder(d, backend="numpy").decode_array()
+        assert np.array_equal(np.asarray(out[i]), gold), f"image {i}"
+
+
 def test_stripe_packer_matches_pack_classes():
     """The stripe words-wire packer must agree, per stripe, with
     pack_classes(wire="words") run on that stripe's rebased sub-scan —
