@@ -69,6 +69,15 @@ class ClassPack:
     ab: np.ndarray = None   # int32 [G, 8, 128] entry bit offset (wire="words")
 
 
+def _class_collapse_enabled() -> bool:
+    """Small-image single-kernel packing (see pack_classes). Experimental:
+    JPEG_TPU_CLASS_COLLAPSE=1 opts in; default off until the hardware A/B
+    lands a verdict."""
+    import os
+    return os.environ.get("JPEG_TPU_CLASS_COLLAPSE", "0") not in ("0", "",
+                                                                  "off")
+
+
 def _bucket_items(n: int) -> int:
     """1024-granular bucket with 1.3x geometric steps (pow2 wastes up to 2x
     in kernel lane-slots; tiles are 1024 items)."""
@@ -110,11 +119,27 @@ def pack_classes(staged: AnchoredScan, wire: str = "slots"):
             words_u32 = np.ascontiguousarray(staged.words, dtype=np.uint32)
     budgets = (staged.anchor_block[1:n + 1] - staged.anchor_block[:n])
 
+    collapse = None
+    if _class_collapse_enabled() and n <= 1024:
+        # Small-image class collapse: every per-class kernel is ONE grid
+        # tile (1024 lanes) anyway, so splitting < 1024 chunks across slot
+        # classes multiplies grid-1 pallas launches (latency-bound) without
+        # saving lanes. Put every chunk in the single widest REQUIRED
+        # class: per-step window selects grow with slot_w, but launches
+        # drop to one per scan.
+        collapse = int(np.searchsorted(np.asarray(SLOT_CLASSES),
+                                       int(span.max()), side="left"))
+
     packs = []
-    for cls in SLOT_CLASSES:
-        lo = 0 if cls == SLOT_CLASSES[0] else SLOT_CLASSES[
-            SLOT_CLASSES.index(cls) - 1]
-        sel = np.flatnonzero((span > lo) & (span <= cls))
+    for ci, cls in enumerate(SLOT_CLASSES):
+        if collapse is not None and ci != collapse:
+            continue
+        if collapse is not None:
+            sel = np.arange(n)
+        else:
+            lo = 0 if cls == SLOT_CLASSES[0] else SLOT_CLASSES[
+                SLOT_CLASSES.index(cls) - 1]
+            sel = np.flatnonzero((span > lo) & (span <= cls))
         if len(sel) == 0:
             continue
         nb = _bucket_items(len(sel))

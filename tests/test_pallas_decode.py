@@ -163,6 +163,37 @@ def test_class_packing_budget():
     assert sum(p.n_items for p in packs) == staged.n_items
 
 
+def test_class_collapse_packing(monkeypatch):
+    """JPEG_TPU_CLASS_COLLAPSE=1 packs every chunk of a small scan into ONE
+    class (the widest required), with content identical to the multi-class
+    layout's union: same meta/base values per chunk, just one kernel
+    launch. Off by default."""
+    import pathlib
+    tower = pathlib.Path("/root/reference/benches/tower.jpg")
+    if not tower.exists():
+        pytest.skip("bench corpus unavailable")
+    staged = _staged_scans(tower)[0]
+    assert staged.n_items <= 1024
+    base = pack_classes(staged, wire="words")
+    monkeypatch.setenv("JPEG_TPU_CLASS_COLLAPSE", "1")
+    packs = pack_classes(staged, wire="words")
+    assert len(packs) == 1 and len(base) > 1
+    p = packs[0]
+    assert p.n_items == staged.n_items
+    assert p.slot_words == max(b.slot_words for b in base)
+    assert p.s_max >= max(b.s_max for b in base)
+    # Stream-ordered content: chunk i's meta/base match the staged arrays.
+    n = staged.n_items
+    budgets = staged.anchor_block[1:n + 1] - staged.anchor_block[:n]
+    a = staged.anchor_bits[:n].astype(np.int64)
+    want_meta = ((a & 7)
+                 | (staged.anchor_slot[:n].astype(np.int64) << 3)
+                 | (budgets.astype(np.int64) << 7)).astype(np.int32)
+    assert np.array_equal(p.meta.reshape(-1)[:n], want_meta)
+    assert np.array_equal(p.block_base.reshape(-1)[:n],
+                          staged.anchor_block[:n])
+
+
 @pytest.mark.parametrize("name", ["rgb.jpg", "restarts.jpg",
                                   "mozilla/jpg-progressive.jpg"])
 def test_native_pack_matches_numpy(name, monkeypatch):
