@@ -70,11 +70,17 @@ class ClassPack:
 
 
 def _class_collapse_enabled() -> bool:
-    """Small-image single-kernel packing (see pack_classes). Experimental:
-    JPEG_TPU_CLASS_COLLAPSE=1 opts in; default off until the hardware A/B
-    lands a verdict."""
+    """Small-image single-kernel packing (see pack_classes/pack_delta):
+    scans with <= 1024 chunks put every chunk in the single widest required
+    slot class — each per-class kernel is ONE grid tile (1024 lanes)
+    anyway, so class splitting multiplies latency-bound grid-1 launches
+    without saving lanes, and the collapsed s_max_max run is FEWER total
+    lane-steps than the per-class sum. Hardware A/B (tower 0.26 Mpix, v5e,
+    2026-08-20): delta solo 1.377 -> 0.855 ms (306 Mpix/s, 1.61x), batch8
+    0.504 -> 0.412 ms (636 Mpix/s); words-packed solo 1.322 -> 0.781 ms
+    (336 Mpix/s). Default ON; JPEG_TPU_CLASS_COLLAPSE=0 opts out."""
     import os
-    return os.environ.get("JPEG_TPU_CLASS_COLLAPSE", "0") not in ("0", "",
+    return os.environ.get("JPEG_TPU_CLASS_COLLAPSE", "1") not in ("0",
                                                                   "off")
 
 
@@ -450,6 +456,21 @@ def pack_delta(staged: AnchoredScan):
             return None
         dm_head, cls_count, cls_maxsyms = out
 
+    if _class_collapse_enabled() and n <= 1024:
+        # Small-scan collapse (see pack_classes): one class = one grid-1
+        # kernel launch. The device partition skips the span rule when a
+        # single class is present (unpack_delta_classes), so host and
+        # device agree by construction.
+        top = max(ci for ci in range(len(SLOT_CLASSES)) if cls_count[ci])
+        ms = max(int(cls_maxsyms[ci]) for ci in range(len(SLOT_CLASSES)))
+        if ms > SYM_BUCKETS[-1]:
+            return None
+        s_max = next(b for b in SYM_BUCKETS if ms <= b)
+        cls_count = [0] * len(SLOT_CLASSES)
+        cls_count[top] = n
+        cls_maxsyms = [0] * len(SLOT_CLASSES)
+        cls_maxsyms[top] = ms
+
     shapes = []
     cnts = []
     cum = 0
@@ -624,9 +645,16 @@ def unpack_delta_classes(combined, class_shapes: tuple, n_blocks: int):
     sl0 = dm & 0xF
     ab = jnp.cumsum(d, dtype=jnp.int32)
     sbv = jax.lax.shift_right_logical(ab, 3)
-    d_next = jnp.concatenate([d[1:], jnp.zeros((1,), d.dtype)])
-    spanb = jax.lax.shift_right_logical(ab + d_next, 3) - sbv + 9
-    cls = sum((spanb > c).astype(jnp.int32) for c in SLOT_CLASSES)
+    if len(class_shapes) == 1:
+        # Collapsed pack (or a genuinely single-class scan): every live
+        # chunk belongs to the one class — skip the span rule (which would
+        # re-derive the REAL classes and disagree with the host's counts
+        # under JPEG_TPU_CLASS_COLLAPSE); dead/pad entries still sort last.
+        cls = jnp.zeros_like(budget)
+    else:
+        d_next = jnp.concatenate([d[1:], jnp.zeros((1,), d.dtype)])
+        spanb = jax.lax.shift_right_logical(ab + d_next, 3) - sbv + 9
+        cls = sum((spanb > c).astype(jnp.int32) for c in SLOT_CLASSES)
     order = jnp.argsort(   # jnp.argsort is stable — within-class stream
         jnp.where(budget > 0, cls,   # order survives, which the rowmap's
                   jnp.int32(len(SLOT_CLASSES) + 1)))  # cummax requires

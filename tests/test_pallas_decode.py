@@ -174,6 +174,7 @@ def test_class_collapse_packing(monkeypatch):
         pytest.skip("bench corpus unavailable")
     staged = _staged_scans(tower)[0]
     assert staged.n_items <= 1024
+    monkeypatch.setenv("JPEG_TPU_CLASS_COLLAPSE", "0")
     base = pack_classes(staged, wire="words")
     monkeypatch.setenv("JPEG_TPU_CLASS_COLLAPSE", "1")
     packs = pack_classes(staged, wire="words")
@@ -192,6 +193,23 @@ def test_class_collapse_packing(monkeypatch):
     assert np.array_equal(p.meta.reshape(-1)[:n], want_meta)
     assert np.array_equal(p.block_base.reshape(-1)[:n],
                           staged.anchor_block[:n])
+
+    # Delta wire: the collapsed pack's device-side partition (single-class
+    # shortcut in unpack_delta_classes — the span rule must NOT re-derive
+    # the real classes) reconstructs the same stream-ordered sb/meta/base.
+    from jpeg_decoder_tpu.entropy.pallas_decode import (pack_delta,
+                                                        unpack_delta_classes)
+    packed = pack_delta(staged)
+    assert packed is not None
+    combined, shapes = packed
+    assert len(shapes) == 1 and shapes[0][3] == n
+    sb, meta, base = [np.asarray(x) for x in unpack_delta_classes(
+        combined, tuple(s[:3] for s in shapes), staged.n_blocks)[0]]
+    assert np.array_equal(sb[:n],
+                          (staged.anchor_bits[:n] >> 3).astype(np.int32))
+    assert np.array_equal(meta[:n], want_meta)
+    assert np.array_equal(base[:n], staged.anchor_block[:n])
+    assert (base[n:] == staged.n_blocks).all() and not meta[n:].any()
 
 
 @pytest.mark.parametrize("name", ["rgb.jpg", "restarts.jpg",
@@ -666,12 +684,15 @@ def _delta_expected(staged):
 
 
 @pytest.mark.parametrize("name", ["rgb.jpg", "restarts.jpg", "mjpeg.jpg"])
-def test_delta_wire_unpack_parity(name):
+def test_delta_wire_unpack_parity(name, monkeypatch):
     """wire="delta" (4 B/chunk): the jitted device reconstruction
     (unpack_delta_classes — cumsums, span classification, stable argsort
     partition) must reproduce the stream-ordered per-class sb/meta/base
     exactly, and the materialised windows must match the host-packed
-    tiles at those starts."""
+    tiles at those starts. Collapse is disabled: this pins the SPAN-RULE
+    path (the collapsed single-class path is pinned by
+    test_class_collapse_packing)."""
+    monkeypatch.setenv("JPEG_TPU_CLASS_COLLAPSE", "0")
     import jax
     import jax.numpy as jnp
     from jpeg_decoder_tpu.entropy.pallas_decode import (
@@ -750,9 +771,13 @@ def test_delta_wire_corpus_packing_parity():
                                   staged.anchor_bits[:nreal].astype(np.int64))
             assert np.array_equal(
                 base[:nreal], staged.anchor_block[:nreal].astype(np.int64))
-            exp = _delta_expected(staged)
-            assert [len(v[0]) for v in exp.values()] == list(
-                int(c) for c in cnts)
+            if len(cnts) == 1 and nreal <= 1024:
+                # Collapsed small scan (default): one class holds all.
+                assert [nreal] == [int(c) for c in cnts]
+            else:
+                exp = _delta_expected(staged)
+                assert [len(v[0]) for v in exp.values()] == list(
+                    int(c) for c in cnts)
     assert covered >= 20, (covered, eligible)
     # The wire must not silently regress to rare: most eligible scans pack.
     assert covered >= eligible * 3 // 4, (covered, eligible)

@@ -162,12 +162,15 @@ def test_dp_sp_bits_batch():
         assert np.array_equal(np.asarray(out[i]), gold), f"image {i}"
 
 
-def test_stripe_packer_matches_pack_classes():
+def test_stripe_packer_matches_pack_classes(monkeypatch):
     """The stripe words-wire packer must agree, per stripe, with
     pack_classes(wire="words") run on that stripe's rebased sub-scan —
     same class rule, same meta packing, same bases — for every real chunk.
     (Buckets differ by construction: the stripe packer buckets globally so
-    one shard_map program covers every stripe.)"""
+    one shard_map program covers every stripe; class collapse is pinned off
+    — the stripe packer keeps the span classes so its layout stays uniform
+    across stripes.)"""
+    monkeypatch.setenv("JPEG_TPU_CLASS_COLLAPSE", "0")
     from types import SimpleNamespace
 
     from jpeg_decoder_tpu.entropy.pallas_decode import pack_classes
