@@ -567,10 +567,25 @@ def merge_image_packs_delta(entries, nb_image):
 
     Returns ((words, dm, cnts), shapes) or None on delta overflow at an
     image boundary / oversize merged stream (callers degrade the group to
-    the words-packed merge)."""
+    the words-packed merge).
+
+    Class collapse (pack_delta under JPEG_TPU_CLASS_COLLAPSE): a collapsed
+    input's host counts do NOT follow the span rule the merged device
+    partition re-derives, so merging them under span classes decodes
+    garbage. All-single-class inputs (collapsed or genuinely one-class)
+    merge into ONE union class — the device's single-class shortcut keeps
+    stream order, matching the summed counts for either kind. A mix of
+    single- and multi-class inputs is declined when the single-class ones
+    could be collapsed (callers decode those images singly)."""
     word_total = sum(len(e[0][0]) for e in entries)
     if word_total >= (1 << 26):
         # Absolute anchor bits must fit the device's int32 cumsum.
+        return None
+    single = [len(shapes) == 1 for (_c, shapes) in entries]
+    collapse_merge = all(single)
+    if not collapse_merge and any(
+            s and _class_collapse_enabled() and shapes[0][3] <= 1024
+            for s, (_c, shapes) in zip(single, entries)):
         return None
     per_class: dict = {}
     dm_parts = []
@@ -594,8 +609,9 @@ def merge_image_packs_delta(entries, nb_image):
         prev_end = first_abs + int(d[1:].sum())
         total_real += n
         for (sw, sm, _nb, ni) in shapes:
-            c0, s0 = per_class.get(sw, (0, 0))
-            per_class[sw] = (c0 + ni, max(s0, sm))
+            key = 0 if collapse_merge else sw
+            c0, s0, w0 = per_class.get(key, (0, 0, 0))
+            per_class[key] = (c0 + ni, max(s0, sm), max(w0, sw))
         words_parts.append(words)
         word_off += len(words)
 
@@ -603,8 +619,9 @@ def merge_image_packs_delta(entries, nb_image):
     cnts_out = []
     cum = 0
     max_need = 0
-    for sw in sorted(per_class):
-        cnt, sm = per_class[sw]
+    for key in sorted(per_class):
+        cnt, sm, sw_max = per_class[key]
+        sw = sw_max if collapse_merge else key
         nb = _bucket_items(cnt)
         shapes_out.append((sw, sm, nb, cnt))
         cnts_out.append(cnt)

@@ -212,6 +212,54 @@ def test_class_collapse_packing(monkeypatch):
     assert (base[n:] == staged.n_blocks).all() and not meta[n:].any()
 
 
+def test_collapsed_delta_merge():
+    """Merging collapsed (single-class) delta packs of images with
+    DIFFERENT top classes must produce ONE union class whose device
+    partition keeps stream order — the span rule would re-derive the real
+    classes and disagree with the summed host counts (hardware-caught
+    round-5 regression: mixed-size hetero sweep, 699k mismatches)."""
+    import io
+
+    PIL = pytest.importorskip("PIL.Image")
+    from jpeg_decoder_tpu.entropy.pallas_decode import (
+        merge_image_packs_delta, pack_delta, unpack_delta_classes)
+    from jpeg_decoder_tpu.models.stream import stage_host_bits
+
+    rng = np.random.default_rng(21)
+
+    def mk(h, w, q):
+        arr = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        b = io.BytesIO()
+        PIL.fromarray(arr).save(b, format="JPEG", quality=q, subsampling=2)
+        return b.getvalue()
+
+    sts = [stage_host_bits(d).scans[0][0]
+           for d in (mk(64, 64, 60), mk(96, 96, 95))]
+    packs = [pack_delta(s) for s in sts]
+    assert all(p is not None and len(p[1]) == 1 for p in packs)
+    assert packs[0][1][0][0] != packs[1][1][0][0], "want distinct classes"
+    nbs = [s.plan.n_blocks for s in sts]
+    merged = merge_image_packs_delta(packs, nbs)
+    assert merged is not None
+    combined, shapes = merged
+    assert len(shapes) == 1
+    assert shapes[0][0] == max(p[1][0][0] for p in packs)
+    sb, meta, base = [np.asarray(x) for x in unpack_delta_classes(
+        tuple(map(np.asarray, combined)), tuple(s[:3] for s in shapes),
+        sum(nbs))[0]]
+    k = boff = 0
+    for s in sts:
+        n = s.n_items
+        budgets = s.anchor_block[1:n + 1] - s.anchor_block[:n]
+        wm = ((s.anchor_bits[:n].astype(np.int64) & 7)
+              | (s.anchor_slot[:n].astype(np.int64) << 3)
+              | (budgets.astype(np.int64) << 7)).astype(np.int32)
+        assert np.array_equal(meta[k:k + n], wm)
+        assert np.array_equal(base[k:k + n], s.anchor_block[:n] + boff)
+        k += n
+        boff += int(s.n_blocks)
+
+
 @pytest.mark.parametrize("name", ["rgb.jpg", "restarts.jpg",
                                   "mozilla/jpg-progressive.jpg"])
 def test_native_pack_matches_numpy(name, monkeypatch):
