@@ -84,6 +84,13 @@ def _class_collapse_enabled() -> bool:
                                                                   "off")
 
 
+# Collapse applies up to this many chunks (= one 1024-lane kernel tile).
+# Whether 2-tile scans (<= 2048) also win is unmeasured — raise only with
+# a hardware A/B (the collapsed class runs s_max_max steps for EVERY tile,
+# so the per-class split's smaller step counts matter more as tiles grow).
+COLLAPSE_MAX = 1024
+
+
 def _bucket_items(n: int) -> int:
     """1024-granular bucket with 1.3x geometric steps (pow2 wastes up to 2x
     in kernel lane-slots; tiles are 1024 items)."""
@@ -126,7 +133,7 @@ def pack_classes(staged: AnchoredScan, wire: str = "slots"):
     budgets = (staged.anchor_block[1:n + 1] - staged.anchor_block[:n])
 
     collapse = None
-    if _class_collapse_enabled() and n <= 1024:
+    if _class_collapse_enabled() and n <= COLLAPSE_MAX:
         # Small-image class collapse: every per-class kernel is ONE grid
         # tile (1024 lanes) anyway, so splitting < 1024 chunks across slot
         # classes multiplies grid-1 pallas launches (latency-bound) without
@@ -456,7 +463,7 @@ def pack_delta(staged: AnchoredScan):
             return None
         dm_head, cls_count, cls_maxsyms = out
 
-    if _class_collapse_enabled() and n <= 1024:
+    if _class_collapse_enabled() and n <= COLLAPSE_MAX:
         # Small-scan collapse (see pack_classes): one class = one grid-1
         # kernel launch. The device partition skips the span rule when a
         # single class is present (unpack_delta_classes), so host and
@@ -584,7 +591,7 @@ def merge_image_packs_delta(entries, nb_image):
     single = [len(shapes) == 1 for (_c, shapes) in entries]
     collapse_merge = all(single)
     if not collapse_merge and any(
-            s and _class_collapse_enabled() and shapes[0][3] <= 1024
+            s and _class_collapse_enabled() and shapes[0][3] <= COLLAPSE_MAX
             for s, (_c, shapes) in zip(single, entries)):
         return None
     per_class: dict = {}
