@@ -70,25 +70,33 @@ class ClassPack:
 
 
 def _class_collapse_enabled() -> bool:
-    """Small-image single-kernel packing (see pack_classes/pack_delta):
-    scans with <= 1024 chunks put every chunk in the single widest required
-    slot class — each per-class kernel is ONE grid tile (1024 lanes)
-    anyway, so class splitting multiplies latency-bound grid-1 launches
-    without saving lanes, and the collapsed s_max_max run is FEWER total
-    lane-steps than the per-class sum. Hardware A/B (tower 0.26 Mpix, v5e,
-    2026-08-20): delta solo 1.377 -> 0.855 ms (306 Mpix/s, 1.61x), batch8
-    0.504 -> 0.412 ms (636 Mpix/s); words-packed solo 1.322 -> 0.781 ms
-    (336 Mpix/s). Default ON; JPEG_TPU_CLASS_COLLAPSE=0 opts out."""
+    """Single-class packing (see pack_classes/pack_delta): every chunk of
+    a scan goes in the single widest REQUIRED slot class. The slot-class
+    machinery was a wire-size economy for the round-2 slots wire; on the
+    words/delta wires (stream shipped once) it only splits the kernel into
+    per-class launches with padded last tiles — and the collapsed
+    s_max_max run measured FASTER at every scale on v5e (2026-08-20/21
+    A/Bs, delta wire solo): tower 0.26 Mpix 1.377 -> 0.855 ms (1.61x),
+    rgb 0.17 Mpix 1.227 -> 0.890 (1.38x), 0.39 Mpix synth 1.447 -> 1.238
+    (1.17x), large_image 3.43 Mpix 5.147 -> **4.329 ms = 792 Mpix/s**
+    (1.19x; 13k chunks, so this is not just launch overhead — full tiles
+    and one program beat five partially-padded classes). The prescan
+    bounds every chunk at S_MAX=162 symbols, so the collapsed step count
+    never exceeds the 176 bucket. Default ON; JPEG_TPU_CLASS_COLLAPSE=0
+    restores the span classes."""
     import os
     return os.environ.get("JPEG_TPU_CLASS_COLLAPSE", "1") not in ("0",
                                                                   "off")
 
 
-# Collapse applies up to this many chunks (= one 1024-lane kernel tile).
-# Whether 2-tile scans (<= 2048) also win is unmeasured — raise only with
-# a hardware A/B (the collapsed class runs s_max_max steps for EVERY tile,
-# so the per-class split's smaller step counts matter more as tiles grow).
-COLLAPSE_MAX = 1024
+# Chunk-count ceiling for collapse: effectively unlimited (measured winning
+# at 13k chunks); JPEG_TPU_COLLAPSE_MAX tunes for re-measurement.
+import os as _os
+
+try:
+    COLLAPSE_MAX = int(_os.environ.get("JPEG_TPU_COLLAPSE_MAX") or (1 << 30))
+except ValueError:
+    COLLAPSE_MAX = 1 << 30
 
 
 def _bucket_items(n: int) -> int:

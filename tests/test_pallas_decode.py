@@ -819,8 +819,8 @@ def test_delta_wire_corpus_packing_parity():
                                   staged.anchor_bits[:nreal].astype(np.int64))
             assert np.array_equal(
                 base[:nreal], staged.anchor_block[:nreal].astype(np.int64))
-            if len(cnts) == 1 and nreal <= 1024:
-                # Collapsed small scan (default): one class holds all.
+            if len(cnts) == 1:
+                # Collapsed scan (default): one class holds all chunks.
                 assert [nreal] == [int(c) for c in cnts]
             else:
                 exp = _delta_expected(staged)
@@ -831,11 +831,14 @@ def test_delta_wire_corpus_packing_parity():
     assert covered >= eligible * 3 // 4, (covered, eligible)
 
 
-def test_delta_wire_merge_parity():
+def test_delta_wire_merge_parity(monkeypatch):
     """merge_image_packs_delta: N copies of one image must unpack to the
     per-image metadata with word starts shifted by each image's word base
     and block bases by i * n_blocks (which the budget cumsum must produce
-    without any explicit offsets)."""
+    without any explicit offsets). Collapse pinned off: this exercises the
+    span-class merge (collapsed merges are pinned by
+    test_collapsed_delta_merge)."""
+    monkeypatch.setenv("JPEG_TPU_CLASS_COLLAPSE", "0")
     import jax
     import jax.numpy as jnp
     from jpeg_decoder_tpu.entropy.pallas_decode import (
