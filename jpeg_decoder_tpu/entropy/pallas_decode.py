@@ -141,13 +141,12 @@ def pack_classes(staged: AnchoredScan, wire: str = "slots"):
     budgets = (staged.anchor_block[1:n + 1] - staged.anchor_block[:n])
 
     collapse = None
-    if _class_collapse_enabled() and n <= COLLAPSE_MAX:
-        # Small-image class collapse: every per-class kernel is ONE grid
-        # tile (1024 lanes) anyway, so splitting < 1024 chunks across slot
-        # classes multiplies grid-1 pallas launches (latency-bound) without
-        # saving lanes. Put every chunk in the single widest REQUIRED
-        # class: per-step window selects grow with slot_w, but launches
-        # drop to one per scan.
+    if wire != "slots" and _class_collapse_enabled() and n <= COLLAPSE_MAX:
+        # wire="slots" keeps span classes: that wire SHIPS the class-padded
+        # slot copies, so collapsing to the widest class would inflate H2D
+        # by the padding the classes exist to avoid. The words/delta wires
+        # ship the stream once — collapse is free there (and measured
+        # faster; see _class_collapse_enabled).
         collapse = int(np.searchsorted(np.asarray(SLOT_CLASSES),
                                        int(span.max()), side="left"))
 
