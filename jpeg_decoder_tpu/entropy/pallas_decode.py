@@ -141,12 +141,13 @@ def pack_classes(staged: AnchoredScan, wire: str = "slots"):
     budgets = (staged.anchor_block[1:n + 1] - staged.anchor_block[:n])
 
     collapse = None
-    if wire != "slots" and _class_collapse_enabled() and n <= COLLAPSE_MAX:
-        # wire="slots" keeps span classes: that wire SHIPS the class-padded
-        # slot copies, so collapsing to the widest class would inflate H2D
-        # by the padding the classes exist to avoid. The words/delta wires
-        # ship the stream once — collapse is free there (and measured
-        # faster; see _class_collapse_enabled).
+    if _class_collapse_enabled() and n <= COLLAPSE_MAX:
+        # NB: collapse applies to wire="slots" too, though it inflates that
+        # wire's H2D (it ships the class-padded slot copies; every chunk
+        # now pads to the widest class). slots is the legacy/A-B wire —
+        # keeping one class layout across wires preserves the
+        # words==slots parity net (test_words_wire_*); a deployment that
+        # actually ships wire=slots should set JPEG_TPU_CLASS_COLLAPSE=0.
         collapse = int(np.searchsorted(np.asarray(SLOT_CLASSES),
                                        int(span.max()), side="left"))
 
