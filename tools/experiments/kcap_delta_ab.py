@@ -24,7 +24,14 @@ sys.path.insert(0, "/root/repo/tools")
 
 import numpy as np
 
-CONFIGS = ((16, 96), (12, 64), (8, 48), (8, 96), (6, 32))
+# Round-4 swept DOWNWARD (denser anchoring) and found ~neutral — the
+# per-class s_max buckets stayed high regardless. Under the round-5
+# UNLIMITED class collapse the work model is tiles x s_max_bucket, which
+# favors LARGER chunks: lane-steps/symbol ~ (S_TARGET + 66 bucketed) /
+# S_TARGET. Sweep upward too (budget field caps K_CAP at 31; the 224
+# step-bucket caps S_TARGET at 158).
+CONFIGS = ((24, 96), (16, 96), (12, 64),
+           (24, 128), (24, 144), (31, 144), (31, 158))
 
 
 def main():
