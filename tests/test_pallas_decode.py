@@ -212,12 +212,15 @@ def test_class_collapse_packing(monkeypatch):
     assert (base[n:] == staged.n_blocks).all() and not meta[n:].any()
 
 
-def test_collapsed_delta_merge():
+def test_collapsed_delta_merge(monkeypatch):
     """Merging collapsed (single-class) delta packs of images with
     DIFFERENT top classes must produce ONE union class whose device
     partition keeps stream order — the span rule would re-derive the real
     classes and disagree with the summed host counts (hardware-caught
-    round-5 regression: mixed-size hetero sweep, 699k mismatches)."""
+    round-5 regression: mixed-size hetero sweep, 699k mismatches).
+    Collapse pinned ON (this is the collapsed-path test; ci_matrix runs
+    the suite with it forced off)."""
+    monkeypatch.setenv("JPEG_TPU_CLASS_COLLAPSE", "1")
     import io
 
     PIL = pytest.importorskip("PIL.Image")

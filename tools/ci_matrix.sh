@@ -104,6 +104,12 @@ run "fusedasm" env JPEG_TPU_FUSED_ASM=1 python -m pytest \
 run "pack16-off" env JPEG_TPU_PACK16=0 python -m pytest \
     tests/test_stream_bits.py tests/test_pallas_decode.py -x -q "$@"
 
+# 8e. Span classes forced (class collapse became the default in round 5)
+#     — keeps the per-class packing/partition path green.
+run "collapse-off" env JPEG_TPU_CLASS_COLLAPSE=0 python -m pytest \
+    tests/test_stream_bits.py tests/test_pallas_decode.py \
+    tests/test_stripe_bits.py -x -q "$@"
+
 # 9. Legacy wire configurations (the default wire moved to "delta" in
 #    round 4; the words/slots paths must stay green — production degrades
 #    onto them per scan).
